@@ -1,0 +1,128 @@
+"""Source readers (SURVEY.md section 2.1, S1-S5, S10).
+
+Design rules:
+- Explicit ``StructType`` everywhere -- the reference re-infers schemas at
+  every XCom hop and silently degrades types (SURVEY.md section 1.3);
+  we never infer in production paths.
+- Encoding is an option on the distributed CSV reader (S2) -- the
+  Windows-1252 min-wage file needs ``encoding='windows-1252'``; an optional
+  chardet pre-sniff reads only the first bytes on the driver.
+- Excel (S3/S4) has no distributed reader: the xlsx is a 57-row
+  dimension-sized file, so a pandas/openpyxl shim on the driver ->
+  ``spark.createDataFrame`` is the honest design at any scale (a 100 TB
+  pipeline does not ship 100 TB of xlsx; the shim is for dims only and
+  raises above a row cap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EXCEL_SHIM_ROW_CAP = 1_000_000  # dims only; fail loudly rather than OOM the driver
+
+
+def sniff_encoding(path: str, n_bytes: int = 64 * 1024) -> str:
+    """S2 -- charset detection for legacy CSVs (reference uses chardet on the
+    whole file, DAG1:54-58; we sniff a prefix on the driver -- O(1), not O(file))."""
+    with open(path, "rb") as f:
+        head = f.read(n_bytes)
+    try:
+        import chardet
+
+        enc = chardet.detect(head)["encoding"] or "utf-8"
+    except ImportError:  # chardet not in the runtime image: cheap heuristic
+        try:
+            head.decode("utf-8")
+            enc = "utf-8"
+        except UnicodeDecodeError:
+            enc = "windows-1252"
+    return enc
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    encoding: str | None = None,
+    sniff: bool = False,
+) -> DataFrame:
+    """S1/S2 -- distributed CSV scan with explicit schema (splittable,
+    predicate/projection friendly). ``sniff=True`` detects legacy encodings
+    from a byte prefix."""
+    if sniff and encoding is None:
+        encoding = sniff_encoding(path)
+    reader = spark.read.option("header", str(header).lower())
+    if encoding:
+        reader = reader.option("encoding", encoding)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_excel_sheet(
+    spark: SparkSession,
+    path: str,
+    sheet: int | str = 0,
+    skip_banner_rows: int = 0,
+    drop_first_col: bool = False,
+    drop_footer_rows: int = 0,
+    header_row: bool = True,
+) -> DataFrame:
+    """S3/S4/S5 -- Excel ingest shim.
+
+    Reproduces the reference's positional sheet surgery (DAG1:24-38): skip
+    banner rows, drop the leading empty column, promote the next row to
+    header, drop trailing footer rows. Positional logic is inherently
+    driver-side; this shim is restricted to dimension-sized files
+    (EXCEL_SHIM_ROW_CAP) and hands a properly-typed DataFrame to the
+    distributed engine. All cells come back as strings -- downstream cleaning
+    casts explicitly (no inference drift).
+    """
+    from .excel import read_xlsx_grid
+
+    sheet_index = sheet if isinstance(sheet, int) else 0
+    grid = read_xlsx_grid(path, sheet_index=sheet_index)
+    if len(grid) > EXCEL_SHIM_ROW_CAP:
+        raise ValueError(
+            f"excel shim is for dimension-sized files; {path} has {len(grid)} rows"
+        )
+    if skip_banner_rows:
+        grid = grid[skip_banner_rows:]
+    if drop_first_col:
+        grid = [row[1:] for row in grid]
+    if header_row:
+        header = [str(h).strip() if h is not None else "" for h in grid[0]]
+        # mixed string/float year labels ('2014.0') -> canonical int-ish labels
+        header = [h[:-2] if h.endswith(".0") else h for h in header]
+        grid = grid[1:]
+    else:
+        header = [f"_c{i}" for i in range(len(grid[0]))] if grid else []
+    if drop_footer_rows:
+        grid = grid[:-drop_footer_rows]
+    rows = [tuple(row + [None] * (len(header) - len(row))) for row in grid]
+    schema = T.StructType([T.StructField(c, T.StringType(), True) for c in header])
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S10 -- columnar scan of a published table (projection + predicate
+    pushdown, partition pruning all free via the parquet source)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Convenience: load the driver testdata tables and register temp views."""
+    names = names or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out: dict[str, DataFrame] = {}
+    for n in names:
+        df = read_parquet_table(spark, sf_dir, n)
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

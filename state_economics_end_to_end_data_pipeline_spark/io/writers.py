@@ -1,0 +1,55 @@
+"""Sinks (SURVEY.md section 2.1, S7-S9).
+
+The reference writes 11 CSVs to a shared volume (DAG1:199-209) and
+full-refreshes Postgres via DELETE + COPY (DAG1:272-290). Spark-first
+equivalents:
+
+- Parquet is the canonical at-rest format (columnar, splittable,
+  statistics for pushdown); CSV kept for interchange parity.
+- JDBC publish uses ``mode('overwrite')`` + ``truncate`` -- semantically the
+  reference's full refresh, but executed by executors in parallel
+  partitions instead of a single driver COPY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
+    """S7 -- CSV sink. ``single_file`` coalesces to one part (interchange
+    convenience for dim-sized outputs; never for fact tables at scale)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    truncate: bool = True,
+    properties: dict[str, str] | None = None,
+    create_table_column_types: str | None = None,
+) -> None:
+    """S8/S9 -- JDBC full-refresh publish. ``createTableColumnTypes``
+    mirrors the reference's dtype->SQL DDL map (DAG1:216-226) when exact
+    column types matter."""
+    writer = df.write.mode(mode).option("truncate", str(truncate).lower())
+    if create_table_column_types:
+        writer = writer.option("createTableColumnTypes", create_table_column_types)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.jdbc(url, table)
