@@ -1,0 +1,64 @@
+"""Benchmark harness: run the engine's query catalog at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Timing is end-to-end per query: build the plan, execute, and drain the
+result to the driver (count() on the final DataFrame after a write-free
+materialization via collect of the aggregate result -- all catalog
+queries return small-ish results by construction, so collect() is the
+honest cost of the distributed work, not a driver bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from state_economics_end_to_end_data_pipeline_spark.plans import load_all  # noqa: E402
+from state_economics_end_to_end_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
+    spark = get_spark(app_name="bench")
+
+    qs = load_all()
+    # Warm-up: JVM codegen + parquet footer reads, not counted.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        try:
+            rows = qs[name].fn(spark, sf_dir).collect()
+            _ = len(rows)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep benching; a failed query reports -1
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

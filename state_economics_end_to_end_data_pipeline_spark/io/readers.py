@@ -108,10 +108,38 @@ def read_excel_sheet(
     return spark.createDataFrame(rows, schema=schema)
 
 
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as INT64 TIMESTAMP(NANOS) in a local parquet file.
+    Spark has no nanosecond timestamp type; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` they scan as bigint and we
+    convert to microsecond timestamps (integer div by 1000 -- lossless for
+    the semantics here, no double round-trip)."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+        ]
+    except Exception:  # non-local path / no pyarrow: caller sees raw longs
+        return []
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S10 -- columnar scan of a published table (projection + predicate
     pushdown, partition pruning all free via the parquet source)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    for c in _nanos_ts_columns(path):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_testdata(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

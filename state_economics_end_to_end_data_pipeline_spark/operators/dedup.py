@@ -1,0 +1,188 @@
+"""Deduplication operators for LLM-data pipelines (north-star extensions).
+
+Five tiers, cheap to expensive, all shuffle-frugal:
+
+1. exact (all-column / subset)   -- hash groupBy, shuffle O(distinct)
+2. content-hash (md5)            -- one narrow pass + groupBy on 128-bit key
+3. MinHash + LSH                 -- shingle -> k salted-min hashes -> band
+                                    buckets -> candidate pairs; the join is
+                                    on bucket ids, never all-pairs
+4. SimHash                       -- 16-bit locality hash; equal-hash blocking
+5. n-gram Jaccard verify         -- exact similarity, run only on candidates
+
+Hashing is md5-based (not Spark's murmur3) so signatures are reproducible
+in any engine -- this is what lets the DuckDB oracle check byte-identical
+signatures. At 100 TB the shape holds: everything is per-row expression
+work + groupBys on hashes; no driver collects, no cross joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens, word_ngrams
+
+
+def exact_dedup(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Tier 1 -- dropDuplicates (A2), all-column or subset."""
+    return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def content_hash(c: Column | str) -> Column:
+    """Tier 2 -- md5 content fingerprint for exact-duplicate grouping."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.md5(c)
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingle set of a document."""
+    return word_ngrams(tokens(text_col), n=n, distinct=True)
+
+
+def minhash_cols(shingle_col: Column, num_hashes: int = 8) -> list[Column]:
+    """MinHash signature as ``num_hashes`` independent salted-md5 minima.
+
+    min(md5(salt:shingle)) over the shingle set is a valid min-wise hash
+    per salt; md5-string ordering is total and engine-portable. Returns one
+    Column per hash (mh0..mh{k-1}).
+
+    NB: the per-salt lambda must be unary -- F.transform treats a 2-arg
+    callable as an (element, index) lambda, which would silently replace
+    the salt with the array position."""
+
+    def salted(i: int):
+        prefix = f"{i}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return [
+        F.array_min(F.transform(shingle_col, salted(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature table: id, mh0..mh{k-1}, sig_hash.
+    Narrow (per-row) computation -- no shuffle at all."""
+    sh = shingles(text_col, shingle_n)
+    out = df.filter(F.size(tokens(text_col)) >= shingle_n).select(
+        id_col, *[c for c in minhash_cols(sh, num_hashes)]
+    )
+    sig = F.md5(F.concat_ws("|", *[f"mh{i}" for i in range(num_hashes)]))
+    return out.withColumn("sig_hash", sig)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket, join docs
+    sharing any (band, bucket). The self-join is on bucket ids -- shuffle
+    O(docs x bands), never O(docs^2). Returns distinct (id_a, id_b) pairs,
+    id_a < id_b."""
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    exploded = sig.select(id_col, F.explode(F.array(*bands)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = exploded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = exploded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"], "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "doc_id",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Tier 5 -- exact n-gram Jaccard similarity via inverted-index join:
+    explode distinct shingles, self-join on shingle (pairs meet only where
+    they share a gram), count intersections, derive union from set sizes.
+    ``block_col`` restricts pairs to the same block (e.g. a source or an
+    LSH bucket) -- the scale lever."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("block")] if block_col else [] ),
+        F.explode(shingles(text_col, shingle_n)).alias("gram"),
+    ).dropDuplicates()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    join_keys = ["block", "gram"] if block_col else ["gram"]
+    a = sh.withColumnRenamed("id", "id_a")
+    b = sh.withColumnRenamed("id", "id_b")
+    inter = (
+        a.join(b, join_keys, "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "n_b"), "id_b")
+        .select(
+            "id_a", "id_b", "n_inter", "n_a", "n_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def simhash16(text_col: str = "text") -> Column:
+    """Tier 4 -- 16-bit SimHash from the token multiset.
+
+    Each token votes +-1 on 16 bits taken from the first 4 hex chars of
+    md5(token); bit j of the final hash is the sign of the vote sum.
+    Hex digits are decoded with a position-lookup (portable to any SQL
+    dialect -- no hex-int casts)."""
+    toks = tokens(text_col)
+
+    def contrib_fn(nibble_idx: int, bit_in_nibble: int):
+        # unary closure (see minhash_cols note on F.transform arity)
+        def contrib(tok):
+            h4 = F.substring(F.md5(tok), 1, 4)
+            hexval = F.position(
+                F.substring(h4, nibble_idx, 1), F.lit("0123456789abcdef")
+            ) - 1
+            bit = F.shiftright(hexval, bit_in_nibble).bitwiseAND(F.lit(1))
+            return (bit * 2 - 1).cast("bigint")
+
+        return contrib
+
+    total = F.lit(0).cast("bigint")
+    for j in range(16):
+        vote = F.aggregate(
+            F.transform(toks, contrib_fn(j // 4 + 1, j % 4)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        total = total + F.when(vote > 0, F.lit(2 ** j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return total

@@ -1,0 +1,124 @@
+"""Table profiling as Spark aggregates (SURVEY.md section 2.9).
+
+The reference runs ydata-profiling's ``ProfileReport`` per table
+(`finalprojectpandasprofiling.py:50`) -- an eager pandas pass that cannot
+scale past driver memory. Here a profile is a handful of distributed
+aggregate jobs; everything is a built-in function, so one profile pass at
+100 TB is a few shuffles of O(columns x groups), never O(rows) to the
+driver.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.aggregates import exact_avg
+
+_NUMERIC_TYPES = (
+    T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+    T.DoubleType, T.FloatType, T.DecimalType,
+)
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC_TYPES)]
+
+
+def numeric_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Long-format numeric stats: one row per column with
+    count / nulls / distinct / min / max / mean (decimal-exact mean, so the
+    profile is reproducible across partitionings)."""
+    cols = list(cols) if cols is not None else numeric_columns(df)
+    parts = []
+    for c in cols:
+        parts.append(
+            df.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col(c).isNull(), 1)).alias("n_null"),
+                F.countDistinct(F.col(c)).alias("n_distinct"),
+                F.min(c).cast("double").alias("min_value"),
+                F.max(c).cast("double").alias("max_value"),
+                exact_avg(c).alias("mean_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def frequent_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Top-k most frequent values of a column (deterministic tie-break)."""
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col(col).asc_nulls_last())
+        .limit(k)
+    )
+
+
+def histogram(df: DataFrame, col: str, n_buckets: int = 20) -> DataFrame:
+    """Equi-width histogram as a single aggregate pass (min/max first, then
+    one groupBy on the bucket index)."""
+    lo, hi = df.agg(F.min(col), F.max(col)).first()
+    if lo is None or hi is None or lo == hi:
+        return df.groupBy(F.lit(0).alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def profile_report(df: DataFrame, table_name: str, quantiles=(0.25, 0.5, 0.75)) -> dict:
+    """Full profile dict for one table (the ProfileReport analog): row
+    count, per-column stats, approximate quantiles, string cardinalities.
+    Driver collects only the aggregate results (O(columns), never O(rows)).
+    """
+    num_cols = numeric_columns(df)
+    out: dict = {
+        "table": table_name,
+        "n_rows": df.count(),
+        "n_columns": len(df.columns),
+        "columns": {},
+    }
+    if num_cols:
+        stats = {r["column_name"]: r.asDict() for r in numeric_profile(df, num_cols).collect()}
+        qs = df.stat.approxQuantile(num_cols, list(quantiles), 0.01)
+        for c, q in zip(num_cols, qs):
+            stats[c]["quantiles"] = dict(zip(map(str, quantiles), q))
+            out["columns"][c] = stats[c]
+    str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+    if str_cols:
+        aggs = []
+        for c in str_cols:
+            aggs += [
+                F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            ]
+        row = df.agg(*aggs).first().asDict()
+        for c in str_cols:
+            out["columns"][c] = {
+                "n_distinct": row[f"{c}__distinct"],
+                "n_null": row[f"{c}__nulls"],
+            }
+    return out
+
+
+def write_profile_json(profile: dict, path: str) -> None:
+    """Render the profile to a JSON report file (the HTML-report analog,
+    DAG2:52-54; JSON keeps it machine-checkable)."""
+    with open(path, "w") as f:
+        json.dump(profile, f, indent=2, default=str)

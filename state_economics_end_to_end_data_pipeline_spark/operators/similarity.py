@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (north-star extensions).
+
+Embeddings are ``array<float>`` columns. Two paths:
+
+- **Brute-force cosine top-k** (the correctness baseline): cross join of a
+  small query set against the corpus; the dot product is a JVM-side
+  ``zip_with`` + left-fold (no UDF, no explode-shuffle). At scale the
+  query side is broadcast, so cost is one pass over the corpus per batch
+  of queries.
+- **Sign-LSH bucketing** (the scale path): bucket vectors by the sign bits
+  of selected dimensions (a deterministic random-hyperplane family for
+  cosine similarity with axis-aligned planes); candidate pairs share a
+  bucket, shrinking the pair space by ~2^bits before exact verification.
+
+Determinism note: dot products fold left-to-right over the array -- the
+same IEEE operation order in every engine -- so results are bit-identical
+to the DuckDB oracle's list_reduce, with no decimal detour needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two float arrays, computed in double."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm2(a: Column) -> Column:
+    """Squared L2 norm (sequential fold, double)."""
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays."""
+    return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k neighbors for each query vector.
+
+    ``queries`` is broadcast (query batches are small by construction);
+    ranking uses row_number with an id tie-break so top-k is total-ordered
+    and reproducible."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def sign_lsh_bucket(vec: Column, bits: int = 4) -> Column:
+    """Sign-LSH bucket id from the first ``bits`` dimensions' signs."""
+    out = F.lit(0).cast("bigint")
+    for d in range(bits):
+        bit = F.when(F.element_at(vec, d + 1) > 0, F.lit(2 ** d)).otherwise(F.lit(0))
+        out = out + bit.cast("bigint")
+    return out
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate vector pairs: sign-LSH blocking then exact cosine
+    verify within buckets. The join key is the bucket id -- pair count drops
+    ~2^bits vs all-pairs; raise ``bits`` as the corpus grows."""
+    with_bucket = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    a = with_bucket.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+    )
+    b = with_bucket.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket", "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= min_cosine)
+    )

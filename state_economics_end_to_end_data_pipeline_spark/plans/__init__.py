@@ -1,0 +1,47 @@
+"""Query catalog: every operator from SURVEY.md section 2 (and the LLM
+data-pipeline extensions) as a named query over the driver testdata, each
+paired with a DuckDB oracle SQL for differential correctness checking.
+
+Registry contract (mirrors ``__spark_entry__.py``):
+- ``QUERIES[name].fn(spark, sf_dir) -> DataFrame`` -- the Spark-engine query
+- ``QUERIES[name].oracle`` -- equivalent SQL runnable by DuckDB over views
+  named after the parquet tables (or None for non-SQL-expressible ops)
+
+Column names are aliased identically on both sides (the driver sorts
+columns by name before value-hashing). Floating aggregates go through
+decimal-exact summation (functions.aggregates) so results are
+order-insensitive and engine-exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = Query(fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import all catalog modules (side effect: fills QUERIES)."""
+    from . import catalog  # noqa: F401
+    from . import extensions  # noqa: F401
+
+    return QUERIES

@@ -1,0 +1,698 @@
+"""Core relational query catalog -- one named query per operator row of
+SURVEY.md section 2 (scan/project/filter, reshape, scalar functions, joins,
+aggregation, quality checks, serving), expressed over the driver's TPC-H-ish
+testdata with a DuckDB oracle each.
+
+Plan-quality notes are embedded per query: what should push down, what
+should broadcast, what shuffles -- these are asserted in
+tests/test_plans.py, not just eyeballed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.aggregates import exact_avg, exact_cumsum, exact_sum
+from ..functions.cleaning import currency_to_double
+from ..io.readers import read_parquet_table as t
+from ..operators.quality import duplicate_keys
+from ..operators.reshape import surrogate_key
+from . import register
+
+# ---------------------------------------------------------------- scans P1/P2
+
+
+@register(
+    "scan_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_quantity < 25
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+    """,
+)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P1/P2 -- projection + predicate straight onto the parquet scan
+    (both the filters and the 5-column ReadSchema must appear in the scan
+    node; row-level arithmetic is codegen'd)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") < 25)
+            & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+# ------------------------------------------------------------- aggregation A1
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (TPC-H Q1 shape): scan -> filter -> hash-aggregate on a
+    low-cardinality key. Partial aggregation makes the shuffle O(groups),
+    not O(rows); decimal-exact sums keep the result identical from 2 cores
+    to 1000 executors."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "groupby_avg",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_balance,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 -- the reference's inflation-multiplier group-mean (DAG1:162-164)
+    re-expressed over testdata."""
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            exact_avg("c_acctbal").alias("avg_balance"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- reshape R1
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT measure, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM (
+      SELECT l_quantity AS value, 'l_quantity' AS measure FROM lineitem
+      UNION ALL SELECT l_extendedprice, 'l_extendedprice' FROM lineitem
+      UNION ALL SELECT l_discount, 'l_discount' FROM lineitem
+      UNION ALL SELECT l_tax, 'l_tax' FROM lineitem
+    ) GROUP BY measure
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 -- wide->long unpivot (native Expand node: no shuffle for the
+    reshape itself; the only shuffle is the 4-group aggregate after)."""
+    li = t(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.select("l_orderkey", *measures).unpivot(
+        ["l_orderkey"], measures, "measure", "value"
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"), exact_sum("value").alias("total")
+    )
+
+
+@register(
+    "pivot_wide",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot with explicit pivot values (avoids the extra
+    distinct-values job; single shuffle on the grouping key)."""
+    li = t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(exact_sum("l_quantity"))
+    )
+    return out.withColumnRenamed("F", "qty_F").withColumnRenamed("O", "qty_O")
+
+
+@register(
+    "surrogate_key_dim",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY p_brand, p_type) - 1 AS BIGINT) AS type_id,
+           p_brand, p_type
+    FROM (SELECT DISTINCT p_brand, p_type FROM part)
+    """,
+)
+def surrogate_key_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 -- deterministic surrogate key over a deduplicated dimension
+    (row_number over explicit ordering, never monotonically_increasing_id:
+    reproducible across runs and partitionings)."""
+    dim = surrogate_key(t(spark, sf_dir, "part"), ["p_brand", "p_type"], "type_id")
+    return dim.select(F.col("type_id").cast("bigint"), "p_brand", "p_type")
+
+
+# ------------------------------------------------------- scalar functions F*
+
+
+@register(
+    "currency_parse",
+    oracle="""
+    SELECT o_orderkey,
+           '$' || format('{:,}', o_custkey) AS raw,
+           CAST(regexp_replace('$' || format('{:,}', o_custkey), '[$,]', '', 'g') AS DOUBLE) AS parsed
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def currency_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 -- '$53,990' -> 53990.0 (reference DAG1:88,103), exercised on
+    strings synthesized from keys so both engines see identical input."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    raw = F.format_string("$%,d", F.col("o_custkey"))
+    return o.select(
+        "o_orderkey", raw.alias("raw"), currency_to_double(raw).alias("parsed")
+    )
+
+
+@register(
+    "lenient_cast_sentinels",
+    oracle="""
+    WITH raw AS (
+      SELECT CASE WHEN p_size % 7 = 0 THEN '(D)' ELSE CAST(p_size AS VARCHAR) END AS cell
+      FROM part
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN TRY_CAST(cell AS DOUBLE) IS NULL THEN 1 END) AS n_suppressed,
+           CAST(SUM(CAST(TRY_CAST(cell AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sum_parsed
+    FROM raw
+    """,
+)
+def lenient_cast_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 -- lenient numeric cast: disclosure sentinels like '(D)' coerce to
+    null (DAG1:103); try_cast matches pandas errors='coerce' and DuckDB
+    TRY_CAST exactly."""
+    p = t(spark, sf_dir, "part")
+    cell = F.when(F.col("p_size") % 7 == 0, F.lit("(D)")).otherwise(
+        F.col("p_size").cast("string")
+    )
+    val = cell.try_cast("double")
+    return p.select(val.alias("val")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("val").isNull(), 1)).alias("n_suppressed"),
+        exact_sum("val").alias("sum_parsed"),
+    )
+
+
+@register(
+    "string_cleaning",
+    oracle="""
+    SELECT p_partkey,
+           LPAD(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           UPPER(TRIM(p_brand)) AS brand_norm,
+           regexp_replace(p_type, ' ', '_', 'g') AS type_slug
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def string_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-F7 -- trim/strip/zero-pad family (DAG1:39,98,106,117) as pure
+    codegen expressions."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.upper(F.trim("p_brand")).alias("brand_norm"),
+        F.regexp_replace("p_type", " ", "_").alias("type_slug"),
+    )
+
+
+@register(
+    "json_extract_regex",
+    oracle="""
+    SELECT event_type,
+           COUNT(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS n_with_k,
+           CAST(SUM(CAST(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the events props payload
+    (regexp_extract -- JVM-side, no UDF)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).try_cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("k").alias("n_with_k"), exact_avg("k").alias("avg_k"))
+    )
+
+
+# --------------------------------------------------------------------- joins
+
+
+@register(
+    "full_outer_join_coalesce",
+    oracle="""
+    WITH cs AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+    ), ss AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+    )
+    SELECT COALESCE(cs.nationkey, ss.nationkey) AS nationkey,
+           COALESCE(cs.n_customers, 0) AS n_customers,
+           COALESCE(ss.n_suppliers, 0) AS n_suppliers
+    FROM cs FULL OUTER JOIN ss ON cs.nationkey = ss.nationkey
+    """,
+)
+def full_outer_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/F10 -- the location-dimension build pattern (DAG1:111-116): full
+    outer join of two keyed sides, coalesce across them."""
+    cs = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    ss = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    joined = cs.withColumnRenamed("nationkey", "c_nk").join(
+        ss.withColumnRenamed("nationkey", "s_nk"),
+        F.col("c_nk") == F.col("s_nk"),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "composite_key_join",
+    oracle="""
+    WITH dim AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_returnflag, l_linestatus) - 1 AS BIGINT) AS flag_status_id,
+             l_returnflag, l_linestatus
+      FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+    )
+    SELECT d.flag_status_id, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN dim d ON l.l_returnflag = d.l_returnflag AND l.l_linestatus = d.l_linestatus
+    GROUP BY d.flag_status_id
+    """,
+)
+def composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/R2 -- facts resolve a surrogate-keyed dim by composite natural key
+    (DAG1:137); dim is tiny so the join broadcasts (no fact shuffle)."""
+    li = t(spark, sf_dir, "lineitem")
+    dim = surrogate_key(li, ["l_returnflag", "l_linestatus"], "flag_status_id")
+    dim = dim.withColumn("flag_status_id", F.col("flag_status_id").cast("bigint"))
+    return (
+        li.join(F.broadcast(dim), ["l_returnflag", "l_linestatus"], "inner")
+        .groupBy("flag_status_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "broadcast_dim_join",
+    oracle="""
+    SELECT p.p_brand, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 -- fact x dimension name resolution (DAG1:139,157): part is a true
+    dimension, so broadcast-hash join -- zero shuffle of the fact side."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "join_anti_no_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers_without_orders
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS) -- customers with no orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+    )
+
+
+@register(
+    "join_semi_with_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers_with_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) -- customers with at least one order."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
+    )
+
+
+# ------------------------------------------------------------------- set ops
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+    INTERSECT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9500
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection of two keyed sides."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500)
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9500)
+    return c.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9500
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference of two keyed sides."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500)
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9500)
+    # subtract == EXCEPT DISTINCT (set semantics); exceptAll would keep
+    # left-side multiplicity surplus even for keys present on the right.
+    return c.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900
+    UNION
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9900
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct union of two keyed sides."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9900)
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .dropDuplicates()
+    )
+
+
+# -------------------------------------------------------- dedup / quality A2+
+
+
+@register(
+    "dedup_exact",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 -- all-column dropDuplicates (the reference's most-used operator,
+    15 call sites). Partial-aggregate dedup: shuffle O(distinct)."""
+    return t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").dropDuplicates()
+
+
+@register(
+    "dedup_subset_keep_latest",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_totalprice AS latest_totalprice
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def dedup_subset_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 subset-dedup made deterministic: keep the latest row per key via
+    row_number over an explicit total order (pandas drop_duplicates(subset)
+    keeps arbitrary rows; at scale that's non-reproducible, so we pin it)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_totalprice").alias("latest_totalprice"),
+        )
+    )
+
+
+@register(
+    "duplicate_key_count",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS cnt FROM orders
+    GROUP BY o_custkey HAVING COUNT(*) > 1
+    """,
+)
+def duplicate_key_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 -- duplicate-key detection with multiplicities (DAG1:74)."""
+    return duplicate_keys(t(spark, sf_dir, "orders"), ["o_custkey"])
+
+
+@register(
+    "pk_check_violations",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (
+         SELECT l_orderkey, l_linenumber FROM lineitem
+         GROUP BY 1, 2 HAVING COUNT(*) > 1)) AS n_dup_keys,
+      (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey IS NULL OR l_linenumber IS NULL) AS n_null_key_rows
+    """,
+)
+def pk_check_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 -- the reference's check_primary_key (DAG1:71-79) as a one-row
+    violation summary over the lineitem PK."""
+    li = t(spark, sf_dir, "lineitem")
+    dups = duplicate_keys(li, ["l_orderkey", "l_linenumber"]).agg(
+        F.count(F.lit(1)).alias("n_dup_keys")
+    )
+    nulls = li.agg(
+        F.count(
+            F.when(F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull(), 1)
+        ).alias("n_null_key_rows")
+    )
+    return dups.crossJoin(nulls)
+
+
+# ------------------------------------------------------------ windows / misc
+
+
+@register(
+    "window_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+    FROM orders WHERE o_custkey <= 200
+    """,
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: running sum + sequence number per customer over an
+    explicit total order (decimal-exact so the cumsum is engine-identical)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        exact_cumsum("o_totalprice", w).alias("running_spend"),
+        F.row_number().over(w_seq).cast("bigint").alias("order_seq"),
+    )
+
+
+@register(
+    "rollup_counts",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (subtotal + grand-total rows)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 -- the serving surface's LIMIT query, made deterministic with a
+    total order (executes as TakeOrderedAndProject: no global sort)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+@register(
+    "catalog_columns",
+    oracle="""
+    SELECT column_name FROM information_schema.columns
+    WHERE table_name = 'lineitem'
+    """,
+)
+def catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1/V3 -- catalog introspection: column names of a served table."""
+    li = t(spark, sf_dir, "lineitem")
+    return spark.createDataFrame([(c,) for c in li.columns], ["column_name"])
+
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the events table (the batch twin of
+    the streaming tumbling-window query in streaming/)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "profile_numeric",
+    oracle="""
+    SELECT 'c_acctbal' AS column_name, COUNT(*) AS n,
+           COUNT(CASE WHEN c_acctbal IS NULL THEN 1 END) AS n_null,
+           COUNT(DISTINCT c_acctbal) AS n_distinct,
+           MIN(c_acctbal) AS min_value, MAX(c_acctbal) AS max_value,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c_acctbal) AS mean_value
+    FROM customer
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END),
+           COUNT(DISTINCT o_totalprice),
+           MIN(o_totalprice), MAX(o_totalprice),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(o_totalprice)
+    FROM orders
+    """,
+)
+def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section 2.9 -- the profiling operator's numeric-stats core
+    (count/nulls/distinct/min/max/mean) in long format."""
+    from ..operators.profile import numeric_profile
+
+    c = numeric_profile(t(spark, sf_dir, "customer"), ["c_acctbal"])
+    o = numeric_profile(t(spark, sf_dir, "orders"), ["o_totalprice"])
+    return c.union(o)

@@ -1,0 +1,356 @@
+"""LLM-data-pipeline extension queries (north-star: dedup, similarity
+search, text analysis, multimodal columns) over the documents/embeddings
+testdata, each with a DuckDB oracle.
+
+Hash-based operators use md5 (portable) so the oracle checks *byte-
+identical* signatures, not just row counts. Dot products fold left-to-
+right in double on both engines -- bit-identical cosines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.readers import read_parquet_table as t
+from ..operators.dedup import (
+    content_hash,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+)
+from ..operators.similarity import cosine_topk, neardup_pairs_lsh
+from ..operators.text import (
+    STOPWORDS,
+    char_ngram_fingerprint,
+    lang_guess,
+    quality_features,
+    token_count,
+    tokens,
+)
+from . import register
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB sequential-fold dot product (list_reduce is a left fold --
+    same IEEE order as Spark's aggregate())."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / sqrt({_dot_sql(a, a)} * {_dot_sql(b, b)}))"
+
+
+# ------------------------------------------------------------------- dedup
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
+    FROM documents GROUP BY lang
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: md5 fingerprint groupBy -- the shuffle
+    key is 128 bits, never the document bodies (at 100 TB you shuffle
+    hashes, not text)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(content_hash("text")).alias("n_unique"),
+    )
+
+
+_MINHASH_SIG_SQL = """
+WITH tk AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2])) AS shingles
+  FROM tk WHERE len(toks) >= 3
+), mh AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh
+)
+""".strip()
+
+
+def _minhash_sig_cte(num_hashes: int = 8) -> str:
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    return _MINHASH_SIG_SQL.format(toks=_TOKS, mh_cols=mh_cols)
+
+
+@register(
+    "minhash_signatures",
+    oracle=_minhash_sig_cte()
+    + """
+    SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+           md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 || '|' ||
+               mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS sig_hash
+    FROM mh
+    """,
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 salted-md5 min-hashes over distinct word
+    3-gram shingles). Fully narrow: per-row expressions, zero shuffle."""
+    return minhash_signatures(t(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=_minhash_sig_cte()
+    + """
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND (
+         (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR
+         (a.mh2 = b.mh2 AND a.mh3 = b.mh3) OR
+         (a.mh4 = b.mh4 AND a.mh5 = b.mh5) OR
+         (a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+    """,
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands x 2 hashes): near-dup candidate pairs via
+    bucket join -- shuffle O(docs x bands), never O(docs^2). (The oracle
+    states the same semantics as an O(n^2) predicate join; the engine
+    never executes that shape.)"""
+    sigs = minhash_signatures(t(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
+    return lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, lang, {toks} AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS id, lang AS block,
+             unnest(list_distinct(list_transform(range(1, len(toks)),
+               j -> toks[j] || ' ' || toks[j+1]))) AS gram
+      FROM tk WHERE len(toks) >= 2
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n_grams FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.block = b.block AND a.gram = b.gram AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT id_a, id_b, n_inter, sa.n_grams AS n_a, sb.n_grams AS n_b,
+             CAST(n_inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    ) WHERE jaccard >= 0.2
+    """.format(toks=_TOKS),
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs via inverted-index join,
+    blocked by lang (the block column is the scale lever: swap in an LSH
+    bucket at 100 TB)."""
+    return jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        text_col="text",
+        id_col="doc_id",
+        shingle_n=2,
+        min_jaccard=0.2,
+        block_col="lang",
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = []
+    for j in range(16):
+        ni, bi = j // 4 + 1, j % 4
+        contrib = (
+            f"CASE WHEN (((strpos('0123456789abcdef', substr(md5(tok), {ni}, 1)) - 1)"
+            f" >> {bi}) & 1) = 1 THEN 1 ELSE -1 END"
+        )
+        votes.append(
+            f"CASE WHEN list_sum(list_transform(toks, tok -> {contrib})) > 0 "
+            f"THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    total = " + ".join(votes)
+    return f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM tk
+    """
+
+
+@register("simhash16", oracle=_simhash_oracle())
+def simhash16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (token multiset votes +-1 per bit from
+    md5 nibbles; portable hex-digit decode)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash16("text").alias("simhash"))
+
+
+# ------------------------------------------------------------ text analysis
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens, n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) next to the stored n_chars."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text").alias("n_tokens"), "n_chars")
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+           CAST(len(list_filter(toks, tok -> list_contains({_STOPLIST}, tok))) AS BIGINT) AS n_stopwords,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+           CAST(len(list_filter(toks, tok -> list_contains({_STOPLIST}, tok))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+           CAST(list_sum(list_transform(toks, tok -> length(tok))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS mean_token_len
+    FROM tk
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (length/diversity/stopword heuristics used
+    to filter LLM training corpora)."""
+    return quality_features(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+    SELECT lang,
+           CASE WHEN CAST(len(list_filter(toks, tok -> list_contains({_STOPLIST}, tok))) AS BIGINT) * 100
+                     >= CAST(len(toks) AS BIGINT) * 8
+                THEN 'en' ELSE 'other' END AS guess,
+           COUNT(*) AS n
+    FROM tk GROUP BY 1, 2
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-id (stopword density) vs the labeled lang column
+    -- a confusion matrix. Integer cross-multiplied threshold: no float
+    edge cases."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_guess(tokens("text")).alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+             i -> md5(substr(text, i, 8)))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over character 8-grams."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", char_ngram_fingerprint("text", 8).alias("fingerprint"))
+
+
+# ------------------------------------------------------- similarity search
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id, {_cos_sql('q_vec', 'c_vec')} AS cos_sim
+      FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (the ANN correctness baseline):
+    query batch broadcast against the corpus, JVM-side fold dot product."""
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "embedding_neardup_lsh",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id AS id, embedding AS vec,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    )
+    SELECT * FROM (
+      SELECT a.id AS id_a, b.id AS id_b, {_cos_sql('a.vec', 'b.vec')} AS cos_sim
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
+    ) WHERE cos_sim >= 0.5
+    """,
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors: sign-LSH bucketing (16 buckets) then exact
+    cosine verify within buckets -- the scale path for all-pairs search."""
+    return neardup_pairs_lsh(
+        t(spark, sf_dir, "embeddings"), bits=4, min_cosine=0.5
+    )
+
+
+# ----------------------------------------------------------------- multimodal
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: byte length, magic-prefix hex, and
+    content hash over a binary payload (here: the utf-8 text bytes standing
+    in for image/audio blobs; see operators/multimodal.py for the typed
+    decode pipeline)."""
+    d = t(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(blob).cast("bigint").alias("n_bytes"),
+        F.lower(F.hex(F.substring(blob, 1, 4))).alias("magic_hex"),
+        F.md5("text").alias("content_hash"),
+    )

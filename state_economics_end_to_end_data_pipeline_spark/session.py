@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # full JVM charset set for legacy-encoded CSVs (e.g. windows-1252)
         .config("spark.sql.legacy.javaCharsets", "true")
+        # read INT64 TIMESTAMP(NANOS) parquet columns as long instead of
+        # failing; io.readers.read_parquet_table converts them back to
+        # microsecond timestamps losslessly
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
