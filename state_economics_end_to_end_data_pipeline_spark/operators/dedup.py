@@ -71,11 +71,19 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Per-document MinHash signature table: id, mh0..mh{k-1}, sig_hash.
-    Narrow (per-row) computation -- no shuffle at all."""
-    sh = shingles(text_col, shingle_n)
-    out = df.filter(F.size(tokens(text_col)) >= shingle_n).select(
-        id_col, *[c for c in minhash_cols(sh, num_hashes)]
+    Narrow (per-row) computation -- no shuffle at all.
+
+    Tokenization and shingling are staged through ``withColumn`` so each
+    becomes an attribute reference downstream: Catalyst excludes
+    higher-order-function lambdas from common-subexpression elimination,
+    so inlining the shingle subtree into all k min-hash columns would
+    re-run split+ngram k times per row (measured 12x slower at sf0.1)."""
+    staged = (
+        df.withColumn("__toks", tokens(text_col))
+        .filter(F.size("__toks") >= shingle_n)
+        .withColumn("__sh", word_ngrams(F.col("__toks"), n=shingle_n, distinct=True))
     )
+    out = staged.select(id_col, *minhash_cols(F.col("__sh"), num_hashes))
     sig = F.md5(F.concat_ws("|", *[f"mh{i}" for i in range(num_hashes)]))
     return out.withColumn("sig_hash", sig)
 
@@ -123,11 +131,17 @@ def jaccard_pairs(
     they share a gram), count intersections, derive union from set sizes.
     ``block_col`` restricts pairs to the same block (e.g. a source or an
     LSH bucket) -- the scale lever."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("block")] if block_col else [] ),
-        F.explode(shingles(text_col, shingle_n)).alias("gram"),
-    ).dropDuplicates()
+    sh = (
+        df.withColumn("__toks", tokens(text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            *([F.col(block_col).alias("block")] if block_col else []),
+            F.explode(
+                word_ngrams(F.col("__toks"), n=shingle_n, distinct=True)
+            ).alias("gram"),
+        )
+        .dropDuplicates()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     join_keys = ["block", "gram"] if block_col else ["gram"]
     a = sh.withColumnRenamed("id", "id_a")
@@ -154,19 +168,19 @@ def jaccard_pairs(
     return out
 
 
-def simhash16(text_col: str = "text") -> Column:
-    """Tier 4 -- 16-bit SimHash from the token multiset.
+def simhash16_from_h4(h4s: Column) -> Column:
+    """Tier 4 -- 16-bit SimHash from a pre-computed array of 4-hex-char
+    token hashes (``substring(md5(token), 1, 4)``).
 
-    Each token votes +-1 on 16 bits taken from the first 4 hex chars of
-    md5(token); bit j of the final hash is the sign of the vote sum.
-    Hex digits are decoded with a position-lookup (portable to any SQL
-    dialect -- no hex-int casts)."""
-    toks = tokens(text_col)
+    Each token votes +-1 on 16 bits; bit j of the final hash is the sign
+    of the vote sum. Hex digits are decoded with a position-lookup
+    (portable to any SQL dialect -- no hex-int casts). Takes the hash
+    array (not raw text) so md5 runs ONCE per token, not once per bit --
+    the 16 vote expressions all reference the same attribute."""
 
     def contrib_fn(nibble_idx: int, bit_in_nibble: int):
         # unary closure (see minhash_cols note on F.transform arity)
-        def contrib(tok):
-            h4 = F.substring(F.md5(tok), 1, 4)
+        def contrib(h4):
             hexval = F.position(
                 F.substring(h4, nibble_idx, 1), F.lit("0123456789abcdef")
             ) - 1
@@ -178,7 +192,7 @@ def simhash16(text_col: str = "text") -> Column:
     total = F.lit(0).cast("bigint")
     for j in range(16):
         vote = F.aggregate(
-            F.transform(toks, contrib_fn(j // 4 + 1, j % 4)),
+            F.transform(h4s, contrib_fn(j // 4 + 1, j % 4)),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
@@ -186,3 +200,15 @@ def simhash16(text_col: str = "text") -> Column:
             F.lit(0).cast("bigint")
         )
     return total
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document 16-bit SimHash table: id, simhash. Stages the
+    token-hash array as a column (see minhash_signatures on why)."""
+    staged = df.withColumn(
+        "__h4",
+        F.transform(tokens(text_col), lambda t: F.substring(F.md5(t), 1, 4)),
+    )
+    return staged.select(id_col, simhash16_from_h4(F.col("__h4")).alias("simhash"))

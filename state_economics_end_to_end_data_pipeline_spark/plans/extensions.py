@@ -18,8 +18,9 @@ from ..operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
-    simhash16,
+    simhash_table,
 )
+from ..operators.partitioning import rebalance_for_cpu
 from ..operators.similarity import cosine_topk, neardup_pairs_lsh
 from ..operators.text import (
     STOPWORDS,
@@ -106,7 +107,8 @@ def _minhash_sig_cte(num_hashes: int = 8) -> str:
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 salted-md5 min-hashes over distinct word
     3-gram shingles). Fully narrow: per-row expressions, zero shuffle."""
-    return minhash_signatures(t(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
+    docs = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    return minhash_signatures(docs, num_hashes=8, shingle_n=3)
 
 
 @register(
@@ -126,7 +128,8 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join -- shuffle O(docs x bands), never O(docs^2). (The oracle
     states the same semantics as an O(n^2) predicate join; the engine
     never executes that shape.)"""
-    sigs = minhash_signatures(t(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
+    docs = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_n=3)
     return lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
 
 
@@ -161,7 +164,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked by lang (the block column is the scale lever: swap in an LSH
     bucket at 100 TB)."""
     return jaccard_pairs(
-        t(spark, sf_dir, "documents"),
+        rebalance_for_cpu(t(spark, sf_dir, "documents")),
         text_col="text",
         id_col="doc_id",
         shingle_n=2,
@@ -192,9 +195,9 @@ def _simhash_oracle() -> str:
 @register("simhash16", oracle=_simhash_oracle())
 def simhash16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (token multiset votes +-1 per bit from
-    md5 nibbles; portable hex-digit decode)."""
-    d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash16("text").alias("simhash"))
+    md5 nibbles; portable hex-digit decode). md5 is staged once per token
+    (simhash_table), not recomputed per bit."""
+    return simhash_table(rebalance_for_cpu(t(spark, sf_dir, "documents")))
 
 
 # ------------------------------------------------------------ text analysis
@@ -270,7 +273,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min md5 over character 8-grams."""
-    d = t(spark, sf_dir, "documents")
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
     return d.select("doc_id", char_ngram_fingerprint("text", 8).alias("fingerprint"))
 
 
