@@ -134,9 +134,14 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     from pyspark.sql import functions as F
 
     path = f"{sf_dir}/{name}.parquet"
+    nanos_cols = _nanos_ts_columns(path)
+    if nanos_cols:
+        # Runtime-settable; a session built outside get_spark (e.g. the
+        # driver's) would otherwise fail the scan with PARQUET_TYPE_ILLEGAL.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
-    for c in _nanos_ts_columns(path):
+    for c in nanos_cols:
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df

@@ -43,5 +43,6 @@ def load_all() -> dict[str, Query]:
     """Import all catalog modules (side effect: fills QUERIES)."""
     from . import catalog  # noqa: F401
     from . import extensions  # noqa: F401
+    from . import streaming_queries  # noqa: F401
 
     return QUERIES

@@ -1,0 +1,134 @@
+"""Streaming queries as oracle-checkable catalog entries.
+
+Each entry executes an unbounded Structured Streaming plan over the
+events table with ``trigger(availableNow=True)`` into a memory sink --
+a finite, deterministic replay -- and the DuckDB oracle states the same
+event-time semantics in batch SQL. This is the strongest correctness
+check streaming allows: the streaming result must equal the batch result
+on the same (now bounded) input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.events import (
+    read_events_stream,
+    run_available_now,
+    session_windows,
+    stateful_user_totals,
+    stream_dedup,
+    tumbling_counts,
+)
+from . import register
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "stream_hourly_tumbling",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS hour,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (1h event-time windows x
+    event_type), replayed to completion: must equal the batch GROUP BY
+    on the same input."""
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(tumbling_counts(stream), output_mode="complete")
+    return out.select(
+        F.date_format("window.start", _TS_FMT_SPARK).alias("hour"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM d
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '{_TS_FMT_DUCK}') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user session windows (30 min gap): session_window
+    state merging must reproduce the batch gaps-and-islands derivation
+    (a session starts when the gap to the previous event is >= the gap;
+    session end = last event + gap)."""
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(session_windows(stream), output_mode="complete")
+    return out.select(
+        "user_id",
+        F.date_format("session_window.start", _TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_window.end", _TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): cumulative
+    per-user totals. The last emission per user (max n_events) must equal
+    the batch per-user aggregate. Money is summed as integer cents inside
+    the state so the result is order-exact across engines."""
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 100).cast("bigint")
+    )
+    out = run_available_now(stateful_user_totals(stream), output_mode="update")
+    # update mode re-emits a row per micro-batch; totals are cumulative,
+    # so the final state per user is the row with the max event count.
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").cast("bigint").alias("total_cents"),
+    )
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on event_id):
+    distinct-event counts per type must match batch COUNT(DISTINCT)."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = run_available_now(
+        stream_dedup(stream, ["event_id"]), output_mode="append"
+    )
+    return deduped.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_distinct")
+    )

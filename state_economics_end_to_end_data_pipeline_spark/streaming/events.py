@@ -1,0 +1,152 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY.md section 2.10); this is a
+north-star extension. Design mirrors the batch catalog:
+
+- file source (``readStream`` + glob) stands in for Kafka locally; every
+  transformation below is source-agnostic, so swapping in
+  ``spark.readStream.format("kafka")`` changes nothing downstream.
+- event-time semantics: watermarks bound state for tumbling/session
+  windows; at 100 TB/day the state store holds only
+  O(open windows x keys), never the stream.
+- ``trigger(availableNow=True)`` + memory sink turns each streaming query
+  into a finite, oracle-checkable batch -- the same plan runs unbounded in
+  production.
+- one custom stateful operator (``stateful_user_totals``) shows the
+  ``applyInPandasWithState`` pattern: Arrow-batched per-key state, the
+  scale path for logic session_window/window cannot express.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over ``{sf_dir}/events.parquet``.
+
+    The file source requires a directory, so the base path is ``sf_dir``
+    with a glob filter selecting the events file. ``ts`` is stored as
+    INT64 TIMESTAMP(NANOS) (no Spark type): scanned as long and converted
+    to microsecond timestamps, matching io.readers.read_parquet_table.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(sf_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time window x event_type: count + decimal-exact sum.
+    The streaming twin of the batch ``events_hourly`` query."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def session_windows(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (gap-based). ``session_window`` merges
+    events closer than ``gap``; state closes once the watermark passes a
+    session's end, so state size is O(open sessions)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drops repeats of ``keys`` arriving within the
+    watermark horizon -- state is bounded by the watermark, unlike a plain
+    ``dropDuplicates`` on a stream which retains keys forever."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+_USER_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_USER_TOTALS_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+
+
+def _user_totals_fn(key, pdf_iter, state: GroupState):
+    """Cumulative per-user event count/value with explicit GroupState.
+    Arrow-batched: each call sees this key's rows for the micro-batch."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user totals emitted every micro-batch. The pattern to copy for
+    logic built-in stateful ops can't express (custom sessionization,
+    fraud counters, CDC merge)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType=_USER_TOTALS_SCHEMA,
+        stateStructType=_USER_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    result: DataFrame, output_mode: str = "complete", timeout_s: int = 300
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion on the data available
+    now (memory sink) and return the result table. Finite, deterministic
+    replay of the unbounded plan -- this is what the oracle checks."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.exception() is not None:
+        raise q.exception()
+    return result.sparkSession.table(name)
