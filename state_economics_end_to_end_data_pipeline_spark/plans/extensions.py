@@ -20,6 +20,12 @@ from ..operators.dedup import (
     minhash_signatures,
     simhash_table,
 )
+from ..operators.multimodal import (
+    decode_media,
+    media_table,
+    sample_frame_indexes,
+    thumbnail_dims,
+)
 from ..operators.partitioning import rebalance_for_cpu
 from ..operators.similarity import cosine_topk, neardup_pairs_lsh
 from ..operators.text import (
@@ -356,4 +362,93 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(blob).cast("bigint").alias("n_bytes"),
         F.lower(F.hex(F.substring(blob, 1, 4))).alias("magic_hex"),
         F.md5("text").alias("content_hash"),
+    )
+
+
+def _hex_to_int_sql(h: str, start: int, n: int) -> str:
+    """Portable SQL for int(substr(h, start, n), 16) via nibble lookups."""
+    parts = [
+        f"(strpos('0123456789abcdef', substr({h}, {start + i}, 1)) - 1) * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+_DECODE_CTE = f"""
+WITH meta AS (
+  SELECT doc_id,
+         1 + {_hex_to_int_sql('md5(text)', 1, 4)} % 4096 AS width,
+         1 + {_hex_to_int_sql('md5(text)', 5, 4)} % 4096 AS height,
+         1 + {_hex_to_int_sql('md5(text)', 9, 4)} % 240 AS n_frames,
+         ['jpeg', 'png', 'webp', 'gif'][1 + {_hex_to_int_sql('md5(text)', 13, 1)} % 4] AS format
+  FROM documents
+)
+""".strip()
+
+
+@register(
+    "multimodal_decode",
+    oracle=_DECODE_CTE
+    + """
+    SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(n_frames AS INT) AS n_frames, format
+    FROM meta
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed media decode via mapInPandas (Arrow-batched Python):
+    binary payload -> typed metadata struct. The decode body is the
+    deterministic fake (no media libs in this container -- see
+    operators/multimodal.py); the Spark plumbing (schema, batch iterator,
+    partitioning) is the real pipeline."""
+    docs = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    return decode_media(media_table(docs), decoder="fake")
+
+
+@register(
+    "multimodal_thumbnail",
+    oracle=_DECODE_CTE
+    + """
+    SELECT doc_id,
+           CAST(CASE WHEN width > 128 OR height > 128
+             THEN greatest(floor(width * 128 / greatest(width, height)), 1)
+             ELSE width END AS INT) AS thumb_w,
+           CAST(CASE WHEN width > 128 OR height > 128
+             THEN greatest(floor(height * 128 / greatest(width, height)), 1)
+             ELSE height END AS INT) AS thumb_h
+    FROM meta
+    """,
+)
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving thumbnail planning on decoded metadata -- pure
+    JVM integer expressions after the Python decode boundary (resize work
+    would fan out per row; the dims are the contract)."""
+    docs = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    meta = decode_media(media_table(docs), decoder="fake")
+    tw, th = thumbnail_dims(F.col("width"), F.col("height"), max_dim=128)
+    return meta.select("doc_id", tw.alias("thumb_w"), th.alias("thumb_h"))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=_DECODE_CTE
+    + """
+    SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+           CAST((n_frames - 1) // 24 + 1 AS BIGINT) AS n_sampled
+    FROM meta
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: every-24th frame indexes as an array,
+    exploded (the fan-out that distributes per-frame decode) and counted
+    back per document."""
+    docs = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    meta = decode_media(media_table(docs), decoder="fake")
+    planned = meta.select(
+        "doc_id",
+        "n_frames",
+        F.explode(sample_frame_indexes(F.col("n_frames"), every=24)).alias("frame_idx"),
+    )
+    return planned.groupBy("doc_id", "n_frames").agg(
+        F.count(F.lit(1)).alias("n_sampled")
     )

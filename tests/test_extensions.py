@@ -1,0 +1,158 @@
+"""Tests for the north-star extension surfaces: streaming, multimodal,
+serving, dedup staging. Runs on sf0.001 (~1k-row tables) for speed; the
+value-level correctness gate is tools/oracle_check.py at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from state_economics_end_to_end_data_pipeline_spark.io.readers import read_parquet_table
+from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_table,
+)
+from state_economics_end_to_end_data_pipeline_spark.operators.multimodal import (
+    decode_media,
+    fake_decode_meta,
+    media_table,
+)
+from state_economics_end_to_end_data_pipeline_spark.operators.partitioning import (
+    rebalance_for_cpu,
+)
+from state_economics_end_to_end_data_pipeline_spark.serving import DataService
+from state_economics_end_to_end_data_pipeline_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    session_windows,
+    tumbling_counts,
+)
+
+
+# ------------------------------------------------------------- streaming
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    streamed = run_available_now(tumbling_counts(stream), output_mode="complete")
+    got = {
+        (r["window"]["start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in streamed.collect()
+    }
+    ev = read_parquet_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    )
+    want = {
+        (r["window"]["start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch
+    }
+    assert got == want
+
+
+def test_streaming_sessions_have_valid_bounds(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(session_windows(stream), output_mode="complete").collect()
+    assert len(out) > 0
+    ev_count = read_parquet_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in out) == ev_count
+    for r in out:
+        assert r["session_window"]["start"] < r["session_window"]["end"]
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_fake_decode_is_deterministic_and_bounded():
+    w, h, n, fmt = fake_decode_meta(b"hello world")
+    assert (w, h, n, fmt) == fake_decode_meta(b"hello world")
+    assert 1 <= w <= 4096 and 1 <= h <= 4096 and 1 <= n <= 240
+    assert fmt in ("jpeg", "png", "webp", "gif")
+
+
+def test_decode_media_mapinpandas(spark, sf_dir):
+    docs = read_parquet_table(spark, sf_dir, "documents").limit(50)
+    meta = decode_media(media_table(docs), decoder="fake")
+    rows = meta.collect()
+    assert len(rows) == 50
+    one = docs.select("doc_id", F.col("text").cast("binary").alias("p")).first()
+    expect = fake_decode_meta(bytes(one["p"]))
+    got = [r for r in rows if r["doc_id"] == one["doc_id"]][0]
+    assert (got["width"], got["height"], got["n_frames"], got["format"]) == expect
+
+
+def test_decode_media_pillow_gate(spark, sf_dir):
+    docs = read_parquet_table(spark, sf_dir, "documents").limit(1)
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed; gate not exercisable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_media(media_table(docs), decoder="pillow")
+
+
+# --------------------------------------------------------------- serving
+
+
+def test_data_service_catalog_and_limit(spark, sf_dir):
+    svc = DataService(spark)
+    svc.register_parquet("nation", f"{sf_dir}/nation.parquet")
+    svc.register("region", read_parquet_table(spark, sf_dir, "region"))
+    assert svc.list_tables() == ["nation", "region"]
+    assert "n_name" in svc.columns("nation")
+    out = svc.get_data("nation", limit=5)
+    assert len(out["rows"]) == 5 and out["columns"] == svc.columns("nation")
+
+
+def test_data_service_rejects_bad_input(spark):
+    svc = DataService(spark)
+    with pytest.raises(KeyError):
+        svc.get_data("nation; DROP TABLE students")
+    svc._tables["t"] = None
+    with pytest.raises(ValueError):
+        svc.get_data("t", limit=0)
+    with pytest.raises(ValueError):
+        svc.get_data("t", limit="10")
+    with pytest.raises(ValueError):
+        svc.register("bad-name", None)
+
+
+# ------------------------------------------------------- dedup / rebalance
+
+
+def test_minhash_lsh_finds_exact_duplicates(spark, sf_dir):
+    docs = read_parquet_table(spark, sf_dir, "documents").limit(100)
+    # plant an exact duplicate pair with distinct ids
+    base = docs.limit(1).select(F.lit(900001).alias("doc_id"), "text")
+    dup = docs.limit(1).select(F.lit(900002).alias("doc_id"), "text")
+    aug = docs.select("doc_id", "text").union(base).union(dup)
+    sigs = minhash_signatures(aug)
+    pairs = lsh_candidate_pairs(sigs).collect()
+    assert any(
+        {r["id_a"], r["id_b"]} == {900001, 900002} for r in pairs
+    ), "exact duplicates must share every LSH band"
+
+
+def test_simhash_identical_docs_collide(spark, sf_dir):
+    docs = read_parquet_table(spark, sf_dir, "documents").limit(5)
+    h = simhash_table(docs).collect()
+    h2 = simhash_table(docs).collect()
+    assert {r["doc_id"]: r["simhash"] for r in h} == {
+        r["doc_id"]: r["simhash"] for r in h2
+    }
+    assert all(0 <= r["simhash"] < 2**16 for r in h)
+
+
+def test_rebalance_for_cpu_gating(spark, sf_dir):
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    up = rebalance_for_cpu(docs, target=8)
+    assert up.rdd.getNumPartitions() == 8
+    assert rebalance_for_cpu(up, target=4) is up  # already wide enough: no-op
