@@ -1,0 +1,86 @@
+"""Physical-plan shape assertions: the 100 TB design contract, checked.
+
+A query that is correct but scans all columns, skips pushdown, shuffles a
+fact table into a dimension join, or degenerates into a cartesian product
+would still pass the oracle -- these tests pin the plan properties that
+make the same code viable at 1000-executor scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from state_economics_end_to_end_data_pipeline_spark.plans import load_all
+
+
+def plan_of(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def q(spark, sf_dir, name) -> DataFrame:
+    return load_all()[name].fn(spark, sf_dir)
+
+
+def test_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
+    plan = plan_of(q(spark, sf_dir, "scan_project_filter"))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "LessThan(l_quantity" in plan
+    # parse the scan's output column list (ReadSchema text is truncated)
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    read_cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    # 5 needed columns only -- never the 16-column lineitem schema
+    assert read_cols == {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    }
+
+
+def test_q1_partial_aggregates_before_shuffle(spark, sf_dir):
+    plan = plan_of(q(spark, sf_dir, "q1_pricing_summary"))
+    # partial -> exchange -> final: map-side combine makes the shuffle O(groups)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, sf_dir):
+    for name in ("broadcast_dim_join", "composite_key_join"):
+        plan = plan_of(q(spark, sf_dir, name))
+        assert "BroadcastHashJoin" in plan, name
+        # the fact side must not be exchanged for the join itself
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_semi_anti_joins_use_join_nodes(spark, sf_dir):
+    assert "LeftSemi" in plan_of(q(spark, sf_dir, "join_semi_with_orders"))
+    assert "LeftAnti" in plan_of(q(spark, sf_dir, "join_anti_no_orders"))
+
+
+def test_limit_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(q(spark, sf_dir, "limit_topk"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_lsh_pairs_no_cartesian_product(spark, sf_dir):
+    for name in ("minhash_lsh_pairs", "ngram_jaccard_pairs", "embedding_neardup_lsh"):
+        plan = optimized_of(q(spark, sf_dir, name))
+        assert "CartesianProduct" not in plan and "Cross" not in plan, name
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    # query batch is the tiny side: corpus must stay un-shuffled
+    plan = plan_of(q(spark, sf_dir, "embedding_cosine_topk"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_covers_scalar_queries(spark, sf_dir):
+    plan = plan_of(q(spark, sf_dir, "string_cleaning"))
+    # '*(n)' prefixes mark operators fused into a WholeStageCodegen stage
+    assert re.search(r"\*\(\d+\) Project", plan), plan
