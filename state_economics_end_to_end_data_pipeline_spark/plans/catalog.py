@@ -696,3 +696,293 @@ def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = numeric_profile(t(spark, sf_dir, "customer"), ["c_acctbal"])
     o = numeric_profile(t(spark, sf_dir, "orders"), ["o_totalprice"])
     return c.union(o)
+
+
+# ------------------------------------------------- multidim agg / windows
+
+
+@register(
+    "cube_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys -- Expand node fans each row into 4 grouping
+    combinations before one aggregate; no extra shuffles vs plain groupBy."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "grouping_sets_mix",
+    oracle="""
+    SELECT n_regionkey, n_name, GROUPING(n_regionkey, n_name) AS gid, COUNT(*) AS n
+    FROM nation GROUP BY GROUPING SETS ((n_regionkey), (n_name), ())
+    """,
+)
+def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with the grouping-id bitmask distinguishing
+    which aggregation level each output row came from."""
+    n = t(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("__gs_nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey, n_name, GROUPING_ID(n_regionkey, n_name) AS gid, COUNT(*) AS n
+        FROM __gs_nation GROUP BY GROUPING SETS ((n_regionkey), (n_name), ())
+        """
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rk
+      FROM customer
+    ) WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window (one shuffle on the group key;
+    AQE handles skewed groups). Tie-broken on the unique key so the
+    result is total-order deterministic."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment", "c_custkey", "c_acctbal",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "window_lag_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id, COUNT(gap_us) AS n_gaps,
+           SUM(gap_us) AS total_gap_us, MAX(gap_us) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def window_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gaps per user (microsecond integers: exact),
+    rolled up to per-user gap statistics."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    return (
+        ev.select("user_id", gap.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").alias("total_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+@register(
+    "quantiles_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (percentile, the exact
+    sort-based aggregate -- percentile_approx is the sketch variant for
+    the 100 TB path, checked separately without an oracle)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("q50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+    )
+
+
+@register(
+    "conditional_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+           CAST(SUM(CASE WHEN o_totalprice > 200000
+                         THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS big_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (filtered counts/sums in one pass -- never
+    N passes or self-joins)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice") > 200000,
+                F.col("o_totalprice").cast("decimal(38,6)"),
+            )
+        ).cast("double").alias("big_total"),
+    )
+
+
+@register(
+    "date_parts_agg",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup from timestamp parts (year/quarter extraction is
+    codegen'd; grouping key cardinality is bounded by the calendar)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), exact_sum("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "collect_sorted_list",
+    oracle="""
+    SELECT r_regionkey, list_sort(list(DISTINCT n_name)) AS nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+)
+def collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: collect_set + array_sort (plain
+    collect_list order is partition-dependent -- never publish it)."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_regionkey")
+        .agg(F.array_sort(F.collect_set("n_name")).alias("nations"))
+    )
+
+
+# --------------------------------------------------- non-equi / as-of joins
+
+
+@register(
+    "range_join_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT 0 AS band_id, 0.0 AS lo, 1000.0 AS hi
+      UNION ALL SELECT 1, 1000.0, 1400.0
+      UNION ALL SELECT 2, 1400.0, 2000.0
+    )
+    SELECT band_id, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band_id
+    """,
+)
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: facts against a tiny broadcast interval dim --
+    executes as BroadcastNestedLoopJoin over 3 rows, never a cartesian
+    against another fact. At scale, bucket the fact by floor(value) first
+    if bands proliferate."""
+    p = t(spark, sf_dir, "part")
+    bands = p.sparkSession.createDataFrame(
+        [(0, 0.0, 1000.0), (1, 1000.0, 1400.0), (2, 1400.0, 2000.0)],
+        ["band_id", "lo", "hi"],
+    )
+    cond = (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi"))
+    return (
+        p.join(F.broadcast(bands), cond)
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            exact_sum("p_retailprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, event_type,
+             max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+      FROM events
+    )
+    SELECT event_id, user_id, last_click_us,
+           epoch_us(ts) - last_click_us AS us_since_click
+    FROM u WHERE event_type = 'purchase'
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed Spark-first: instead of a per-row backward
+    probe (the classic kdb/pandas merge_asof), union the two event roles
+    and carry the last 'click' timestamp forward with a running-max window
+    -- one shuffle on user_id, no range join, no skew blowup. Emits, per
+    purchase, the microseconds since that user's previous click."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    ).over(w)
+    return (
+        ev.select(
+            "event_id", "user_id", "event_type", "ts",
+            last_click.alias("last_click_us"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "last_click_us",
+            (F.unix_micros("ts") - F.col("last_click_us")).alias("us_since_click"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ sketches
+
+
+@register("sketch_distinct_approx", oracle=None)
+def sketch_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for the 100 TB path (HLL++ approx distinct,
+    approx percentiles): algorithm-specific results, so no cross-engine
+    oracle -- the driver records a rows-only check; exactness is covered
+    by the paired exact queries (profile_numeric, quantiles_grouped)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+    )

@@ -452,3 +452,28 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planned.groupBy("doc_id", "n_frames").agg(
         F.count(F.lit(1)).alias("n_sampled")
     )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE)
+             / greatest(n_chars, 1) AS tokens_per_char
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex (letter
+    runs | digit runs | single punctuation) -- the cheap proxy for LLM
+    token budgeting; pure JVM regexp_count, no UDF."""
+    d = t(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    n = F.regexp_count("text", F.lit(pat)).cast("bigint")
+    return d.select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        (n.cast("double") / F.greatest("n_chars", F.lit(1))).alias("tokens_per_char"),
+    )
