@@ -32,25 +32,39 @@ def numeric_columns(df: DataFrame) -> list[str]:
 def numeric_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """Long-format numeric stats: one row per column with
     count / nulls / distinct / min / max / mean (decimal-exact mean, so the
-    profile is reproducible across partitionings)."""
+    profile is reproducible across partitionings).
+
+    ONE scan for all columns: every aggregate goes into a single agg()
+    (a per-column agg + union would scan the table len(cols) times --
+    the difference between 1 and 20 passes over 100 TB), then the single
+    wide row is exploded to the long format."""
     cols = list(cols) if cols is not None else numeric_columns(df)
-    parts = []
+    aggs = []
     for c in cols:
-        parts.append(
-            df.agg(
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__n_null"),
+            F.countDistinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            exact_avg(c).alias(f"{c}__mean"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(c).alias("column_name"),
-                F.count(F.lit(1)).alias("n"),
-                F.count(F.when(F.col(c).isNull(), 1)).alias("n_null"),
-                F.countDistinct(F.col(c)).alias("n_distinct"),
-                F.min(c).cast("double").alias("min_value"),
-                F.max(c).cast("double").alias("max_value"),
-                exact_avg(c).alias("mean_value"),
+                F.col(f"{c}__n").alias("n"),
+                F.col(f"{c}__n_null").alias("n_null"),
+                F.col(f"{c}__n_distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+                F.col(f"{c}__mean").alias("mean_value"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("s")).select("s.*")
 
 
 def frequent_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:

@@ -986,3 +986,38 @@ def sketch_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_median"),
     )
+
+
+@register(
+    "profile_freq_values",
+    oracle="""
+    SELECT o_orderpriority AS value, COUNT(*) AS freq
+    FROM orders GROUP BY 1
+    ORDER BY freq DESC, value ASC LIMIT 3
+    """,
+)
+def profile_freq_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section 2.9 -- frequent-values profile (top-k by count with a
+    deterministic tie-break; TakeOrdered, no global sort)."""
+    from ..operators.profile import frequent_values
+
+    out = frequent_values(t(spark, sf_dir, "orders"), "o_orderpriority", k=3)
+    return out.withColumnRenamed("o_orderpriority", "value")
+
+
+@register(
+    "profile_histogram",
+    oracle="""
+    WITH b AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer)
+    SELECT CAST(least(floor((c_acctbal - lo) / ((hi - lo) / 20)), 19) AS INT) AS bucket,
+           COUNT(*) AS n
+    FROM customer, b WHERE c_acctbal IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section 2.9 -- equi-width histogram (min/max pass, then one
+    bucket-index aggregate)."""
+    from ..operators.profile import histogram
+
+    return histogram(t(spark, sf_dir, "customer"), "c_acctbal", n_buckets=20)
