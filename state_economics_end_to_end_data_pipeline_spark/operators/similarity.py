@@ -112,3 +112,74 @@ def neardup_pairs_lsh(
         )
         .filter(F.col("cos_sim") >= min_cosine)
     )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: each vector's ``n_probe`` nearest centroids by
+    cosine (broadcast the centroid table -- one narrow pass over the
+    corpus, shuffle only for the per-vector rank). Returns (id, vec, cell,
+    probe_rank). Deterministic: ties broken on centroid id."""
+    c = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+    )
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "id", "vec", "cell", cosine(F.col("vec"), F.col("c_vec")).alias("c_cos")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("c_cos").desc(), F.col("cell"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("id", "vec", "cell", "probe_rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single nearest
+    cell; each query probes its ``n_probe`` nearest cells and runs exact
+    cosine only inside them. The candidate space shrinks by ~n_cells/n_probe
+    vs brute force; the cell join is an equi-join on cell id (shuffle or
+    broadcast, AQE's choice), never a cartesian.
+
+    ``centroids`` is any (id, vec) table -- production trains it with
+    Spark ML KMeans on a sample; tests use a deterministic fixed subset so
+    the result is oracle-checkable. Recall is approximate by construction
+    (a neighbor whose cell the query does not probe is missed) but the
+    output is exactly determined by (centroids, n_probe, k)."""
+    corpus_cells = assign_cells(corpus, centroids, 1, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "cell"
+    )
+    query_cells = assign_cells(queries, centroids, n_probe, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "cell"
+    )
+    cand = (
+        corpus_cells.join(query_cells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

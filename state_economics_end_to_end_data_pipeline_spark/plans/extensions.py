@@ -477,3 +477,55 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_bpe_tokens"),
         (n.cast("double") / F.greatest("n_chars", F.lit(1))).alias("tokens_per_char"),
     )
+
+
+def _ivf_oracle() -> str:
+    cos_qc = _cos_sql("e.embedding", "c.cvec")
+    cos_pair = _cos_sql("qa.vec", "ca.vec")
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ), ca AS (
+      SELECT neighbor_id, vec, cell FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS vec, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos_qc} DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), qa AS (
+      SELECT query_id, vec, cell FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS vec, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos_qc} DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    ), cand AS (
+      SELECT DISTINCT qa.query_id, ca.neighbor_id, {cos_pair} AS cos_sim
+      FROM qa JOIN ca ON qa.cell = ca.cell AND ca.neighbor_id <> qa.query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """
+
+
+@register("embedding_ivf_topk", oracle=_ivf_oracle())
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors -- the scale path: corpus bucketed
+    into nearest-centroid cells (one broadcast pass), queries probe their 2
+    nearest cells, exact cosine only within probed cells. Deterministic
+    fixed centroid set here (vec_id < 8) so the oracle reproduces it;
+    production trains centroids with Spark ML KMeans."""
+    from ..operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        centroids=emb.filter(F.col("vec_id") < 8),
+        k=5,
+        n_probe=2,
+    )
