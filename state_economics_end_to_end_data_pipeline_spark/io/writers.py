@@ -53,3 +53,22 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.jdbc(url, table)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles ONCE at write time so every
+    later equi-join/aggregation on the bucket key is exchange-free (the
+    co-located-join strategy for repeatedly-joined 100 TB facts; both
+    sides must share bucket count and key). Requires saveAsTable --
+    bucket metadata lives in the catalog, not the files."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(name)

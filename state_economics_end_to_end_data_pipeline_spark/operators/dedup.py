@@ -212,3 +212,63 @@ def simhash_table(
         F.transform(tokens(text_col), lambda t: F.substring(F.md5(t), 1, 4)),
     )
     return staged.select(id_col, simhash16_from_h4(F.col("__h4")).alias("simhash"))
+
+
+def cluster_labels(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over candidate duplicate pairs: min-label
+    propagation to fixpoint. Returns (id, label) where label is the
+    cluster's minimum member id (the canonical survivor).
+
+    Iterative (non-SQL-expressible at scale): each round is one join +
+    min-aggregate, O(cluster diameter) rounds -- near-dup clusters are
+    shallow, so a handful. ``localCheckpoint`` truncates lineage each
+    round (the plan would otherwise grow exponentially); the driver-side
+    convergence check is O(1) per round."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(prop, labels.id == prop.src, "left")
+            .select(
+                labels.id,
+                F.least(
+                    labels.label, F.coalesce(prop.nlabel, labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fuzzy-dedup resolution: collapse each near-duplicate cluster to its
+    minimum-id member; rows not in any pair survive untouched."""
+    labels = cluster_labels(pairs)
+    dropped = labels.filter(F.col("id") != F.col("label")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(dropped, id_col, "left_anti")

@@ -1021,3 +1021,71 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import histogram
 
     return histogram(t(spark, sf_dir, "customer"), "c_acctbal", n_buckets=20)
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: phase 1 aggregates on
+    (key, salt) -- hot keys split across 16 reducers -- phase 2 merges the
+    partials per key. Result is provably identical to the direct groupBy
+    (the oracle) because count/decimal-sum are associative. AQE's skew
+    handling covers joins; this is the explicit pattern for aggregations
+    when one key dominates."""
+    li = t(spark, sf_dir, "lineitem")
+    salted = li.withColumn("__salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_suppkey", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("psum"),
+    )
+    return partial.groupBy("l_suppkey").agg(
+        F.sum("pn").alias("n"), F.sum("psum").cast("double").alias("total")
+    )
+
+
+@register(
+    "grouped_minmax_norm",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN mx = mn THEN 0.5 ELSE (l_quantity - mn) / (mx - mn) END AS qty_norm
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             MIN(l_quantity) OVER (PARTITION BY l_orderkey) AS mn,
+             MAX(l_quantity) OVER (PARTITION BY l_orderkey) AS mx
+      FROM lineitem WHERE l_orderkey <= 600
+    )
+    """,
+)
+def grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Python boundary (applyInPandas, the batch twin of the
+    streaming stateful operator): per-order min-max normalization in
+    pandas. Min-max (not z-score) so the arithmetic is reproducible in
+    any engine -- one subtraction and one division per value."""
+    import pandas as pd
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 600)
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["l_quantity"].min(), pdf["l_quantity"].max()
+        qn = (
+            pd.Series(0.5, index=pdf.index)
+            if mx == mn
+            else (pdf["l_quantity"] - mn) / (mx - mn)
+        )
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "qty_norm": qn,
+            }
+        )
+
+    return li.select("l_orderkey", "l_linenumber", "l_quantity").groupBy(
+        "l_orderkey"
+    ).applyInPandas(norm, schema="l_orderkey long, l_linenumber int, qty_norm double")

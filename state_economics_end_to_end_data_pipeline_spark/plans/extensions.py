@@ -529,3 +529,46 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_probe=2,
     )
+
+
+@register(
+    "dedup_cluster_survivors",
+    oracle=_minhash_sig_cte()
+    + """
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND (
+           (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR
+           (a.mh2 = b.mh2 AND a.mh3 = b.mh3) OR
+           (a.mh4 = b.mh4 AND a.mh5 = b.mh5) OR
+           (a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      ) SELECT * FROM r
+    ), labels AS (
+      SELECT src AS id, least(src, MIN(dst)) AS label FROM reach GROUP BY src
+    )
+    SELECT label AS cluster_label, COUNT(*) AS n_members
+    FROM labels GROUP BY label
+    """,
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup resolution end-to-end: MinHash-LSH candidate pairs ->
+    connected components (iterative min-label propagation; the oracle
+    states the same fixpoint as a recursive transitive closure) -> cluster
+    label = canonical survivor id, with member counts."""
+    from ..operators.dedup import cluster_labels
+
+    docs = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    labels = cluster_labels(pairs)
+    return labels.groupBy(F.col("label").alias("cluster_label")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

@@ -1,0 +1,55 @@
+"""Scale-pattern tests: bucketed co-located joins, salted aggregation
+equivalence, connected-components dedup resolution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from state_economics_end_to_end_data_pipeline_spark.io.readers import read_parquet_table
+from state_economics_end_to_end_data_pipeline_spark.io.writers import write_bucketed_table
+from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
+    cluster_labels,
+    dedup_survivors,
+)
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    # managed tables land in the session's default warehouse dir; DROP
+    # TABLE below removes the files (warehouse.dir is a static conf)
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    lineitem = read_parquet_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(orders, "b_orders", ["o_orderkey"], 8)
+    write_bucketed_table(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", ["o_orderkey"], 8,
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # both sides read pre-bucketed: the join needs NO shuffle at all
+        assert "Exchange" not in plan, plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_cluster_labels_transitive(spark):
+    # 1-2, 2-3 chain and an isolated 8-9 pair: {1,2,3} -> 1, {8,9} -> 8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["label"] for r in cluster_labels(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
+def test_dedup_survivors_keeps_min_and_untouched(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
+    assert kept == [0, 1, 2, 4]  # 3 and 5 collapse into 0; 1,2,4 untouched
