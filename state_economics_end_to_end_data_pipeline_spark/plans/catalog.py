@@ -1089,3 +1089,181 @@ def grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_orderkey", "l_linenumber", "l_quantity").groupBy(
         "l_orderkey"
     ).applyInPandas(norm, schema="l_orderkey long, l_linenumber int, qty_norm double")
+
+
+# ------------------------------------------------ multi-join workloads (TPC-H)
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15'
+      AND l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> 3-way join -> agg -> top-k.
+    customer(filtered) broadcasts into orders, orders-side result joins
+    lineitem on the shuffle key both already share; top-k is
+    TakeOrdered, never a global sort."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with two tiny dims (region/nation
+    broadcast), supplier broadcast, and the co-located orders-lineitem
+    join on orderkey -- exactly one fact-sized shuffle pair."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------- quality / upsert patterns
+
+
+@register(
+    "quality_expectations",
+    oracle="""
+    SELECT 'l_quantity_positive' AS rule,
+           COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS n_violations FROM lineitem
+    UNION ALL
+    SELECT 'l_orderkey_not_null',
+           COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) FROM lineitem
+    UNION ALL
+    SELECT 'l_discount_in_range',
+           COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag_in_set',
+           COUNT(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END) FROM lineitem
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite in ONE scan: every rule is a
+    conditional count folded into a single aggregate, then reshaped to
+    long (rule, n_violations) -- N rules never cost N passes."""
+    li = t(spark, sf_dir, "lineitem")
+    rules = {
+        "l_quantity_positive": F.col("l_quantity") <= 0,
+        "l_orderkey_not_null": F.col("l_orderkey").isNull(),
+        "l_discount_in_range": (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        "l_returnflag_in_set": ~F.col("l_returnflag").isin("A", "N", "R"),
+    }
+    wide = li.agg(
+        *[F.count(F.when(cond, 1)).alias(name) for name, cond in rules.items()]
+    )
+    rows = F.array(
+        *[
+            F.struct(F.lit(name).alias("rule"), F.col(name).alias("n_violations"))
+            for name in rules
+        ]
+    )
+    return wide.select(F.explode(rows).alias("s")).select("s.*")
+
+
+@register(
+    "upsert_scd1",
+    oracle="""
+    WITH updates AS (
+      SELECT s_suppkey, s_name, CAST(s_acctbal + 1000 AS DOUBLE) AS s_acctbal
+      FROM supplier WHERE s_suppkey % 10 = 0
+    ), inserts AS (
+      SELECT s_suppkey + 1000000 AS s_suppkey, s_name, s_acctbal
+      FROM supplier WHERE s_suppkey % 25 = 0
+    ), changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+    SELECT COALESCE(c.s_suppkey, t.s_suppkey) AS s_suppkey,
+           COALESCE(c.s_name, t.s_name) AS s_name,
+           COALESCE(c.s_acctbal, t.s_acctbal) AS s_acctbal
+    FROM (SELECT s_suppkey, s_name, s_acctbal FROM supplier) t
+    FULL OUTER JOIN changes c ON t.s_suppkey = c.s_suppkey
+    """,
+)
+def upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (SCD type 1) without a table format: full outer join
+    of target and changes, change side wins per column. On Delta/Iceberg
+    this is MERGE INTO; the join shape (and its cost) is identical."""
+    tgt = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    updates = (
+        tgt.filter(F.col("s_suppkey") % 10 == 0)
+        .withColumn("s_acctbal", (F.col("s_acctbal") + 1000).cast("double"))
+    )
+    inserts = tgt.filter(F.col("s_suppkey") % 25 == 0).withColumn(
+        "s_suppkey", F.col("s_suppkey") + 1000000
+    )
+    chg = updates.union(inserts)
+    joined = tgt.alias("t").join(
+        chg.alias("c"), F.col("t.s_suppkey") == F.col("c.s_suppkey"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce("c.s_suppkey", "t.s_suppkey").alias("s_suppkey"),
+        F.coalesce("c.s_name", "t.s_name").alias("s_name"),
+        F.coalesce("c.s_acctbal", "t.s_acctbal").alias("s_acctbal"),
+    )

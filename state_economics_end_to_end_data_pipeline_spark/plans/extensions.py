@@ -9,6 +9,7 @@ right in double on both engines -- bit-identical cosines.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via func globals
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -572,3 +573,38 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("cluster_label")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+@register(
+    "embedding_l2_normalize",
+    oracle=f"""
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(x AS DOUBLE) / sqrt({_dot_sql('embedding', 'embedding')})) AS unit_vec
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas_udf (the Arrow-batched Python boundary for
+    row-wise math the built-ins cover awkwardly): L2-normalize embeddings.
+    The norm is a sequential left-fold, matching the JVM aggregate() and
+    the DuckDB list_reduce bit-for-bit (numpy pairwise summation would
+    drift in the last ulp)."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def l2_normalize(vecs: pd.Series) -> pd.Series:
+        def norm_one(v):
+            acc = 0.0
+            for x in v:
+                xd = float(x)
+                acc += xd * xd
+            n = math.sqrt(acc)
+            return [float(x) / n for x in v]
+
+        return vecs.map(norm_one)
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return emb.select("vec_id", l2_normalize("embedding").alias("unit_vec"))
