@@ -93,3 +93,33 @@ def char_ngram_fingerprint(c: Column | str, n: int = 8) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
     return F.array_min(F.transform(idx, lambda i: F.md5(F.substring(c, i, n))))
+
+
+PII_PATTERNS = {
+    # deliberately simple, deterministic patterns -- reproducible in any
+    # regex dialect (no lookarounds, no unicode classes)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def redact_pii(c: Column | str, patterns: dict[str, str] | None = None) -> Column:
+    """PII redaction for training corpora: each pattern family replaced by
+    its [TYPE] tag, applied in deterministic (sorted) order. Pure
+    regexp_replace chain -- JVM codegen, no UDF."""
+    col = F.col(c) if isinstance(c, str) else c
+    for name in sorted(patterns or PII_PATTERNS):
+        pat = (patterns or PII_PATTERNS)[name]
+        col = F.regexp_replace(col, pat, f"[{name.upper()}]")
+    return col
+
+
+def pii_counts(c: Column | str, patterns: dict[str, str] | None = None) -> list[Column]:
+    """Per-family PII match counts (one column per pattern)."""
+    col = F.col(c) if isinstance(c, str) else c
+    pats = patterns or PII_PATTERNS
+    return [
+        F.regexp_count(col, F.lit(pats[name])).cast("bigint").alias(f"n_{name}")
+        for name in sorted(pats)
+    ]

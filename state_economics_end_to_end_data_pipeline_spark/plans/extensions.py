@@ -608,3 +608,48 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     return emb.select("vec_id", l2_normalize("embedding").alias("unit_vec"))
+
+
+@register(
+    "text_pii_redact",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact: user' || doc_id || '@example.com or 555-123-4567' AS text
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phone,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '[PHONE]', 'g') AS redacted
+    FROM synth
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (email/phone) over text -- the standard
+    pre-training scrub. PII is synthesized onto the docs so both engines
+    see identical input; counts and the redacted text are both checked."""
+    from ..operators.text import pii_counts, redact_pii
+
+    pats = {
+        "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    }
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    synth = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" contact: user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567"),
+        ),
+    )
+    return synth.select(
+        "doc_id",
+        *pii_counts("text", pats),
+        redact_pii("text", pats).alias("redacted"),
+    )

@@ -53,3 +53,47 @@ def test_dedup_survivors_keeps_min_and_untouched(spark):
     pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id_a", "id_b"])
     kept = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
     assert kept == [0, 1, 2, 4]  # 3 and 5 collapse into 0; 1,2,4 untouched
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    from state_economics_end_to_end_data_pipeline_spark.io.writers import write_parquet
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_by_status")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the status filter must prune directories, not scan-and-filter
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan
+    want = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == want
+
+
+def test_streaming_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
+    from state_economics_end_to_end_data_pipeline_spark.streaming import (
+        read_events_stream,
+        tumbling_counts,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = read_events_stream(spark, sf_dir)
+        q = (
+            tumbling_counts(stream)
+            .select("window.start", "event_type", "n_events")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+    run_once()  # same checkpoint, no new input: must not duplicate output
+    assert spark.read.parquet(out).count() == n_first
