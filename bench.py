@@ -32,16 +32,23 @@ def main() -> int:
     spark = get_spark(app_name="bench")
 
     qs = load_all()
-    # Warm-up: JVM codegen + parquet footer reads, not counted.
+    # Warm-up, not counted: parquet footers + JVM codegen, and one tiny
+    # mapInPandas so the Python worker pool is already spawned when the
+    # first Arrow-boundary query is timed.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(32).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
-        t0 = time.perf_counter()
+        best = None
         try:
-            rows = qs[name].fn(spark, sf_dir).collect()
-            _ = len(rows)
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(2):  # min-of-2: JIT/GC noise dominates at this scale
+                t0 = time.perf_counter()
+                rows = qs[name].fn(spark, sf_dir).collect()
+                _ = len(rows)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as e:  # keep benching; a failed query reports -1
             print(f"# bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0

@@ -224,15 +224,22 @@ def cluster_labels(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     shallow, so a handful. ``localCheckpoint`` truncates lineage each
     round (the plan would otherwise grow exponentially); the driver-side
     convergence check is O(1) per round."""
+    # materialize the edge list ONCE -- every iteration joins against it,
+    # and without this the whole upstream pipeline (e.g. MinHash -> LSH)
+    # would re-execute per round.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
+    # star-collapse initialization: label = min(id, direct neighbors).
+    # Resolves star/clique shapes immediately; chains converge in
+    # O(log diameter)-ish rounds instead of O(diameter).
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("min_nb"))
+        .select("id", F.least("id", "min_nb").alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
