@@ -24,3 +24,33 @@ def rebalance_for_cpu(df: DataFrame, target: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join when AQE's skew splitting is unavailable or a
+    single key dominates: the big side gets a random-free deterministic
+    salt (hash of its row via pmod on a second column is caller's choice;
+    here round-robin by key hash spread), the small side is replicated
+    ``n_salts`` times, and the join key becomes (key, salt) -- a hot key's
+    rows land on n_salts reducers instead of one.
+
+    Result is row-identical to ``big.join(small, key, how)``: salting
+    only re-buckets the shuffle. Cost: small side x n_salts (keep it for
+    dim-sized or pre-aggregated small sides)."""
+    from pyspark.sql import functions as F
+
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts))
+    )
+    salts = big.sparkSession.range(n_salts).select(
+        F.col("id").cast("long").alias("__salt")
+    )
+    salted_small = small.crossJoin(F.broadcast(salts))
+    out = salted_big.join(salted_small, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -653,3 +653,74 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         *pii_counts("text", pats),
         redact_pii("text", pats).alias("redacted"),
     )
+
+def _brute_topk_sql() -> str:
+    """Exact brute-force top-5 CTE (same shape as embedding_cosine_topk)."""
+    return f"""
+    exact_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cos_sql('q.embedding', 'c.embedding')} AS cos_sim
+      FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+      WHERE c.vec_id <> q.vec_id
+    ), exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM exact_scored
+      ) WHERE rk <= 5
+    )
+    """
+
+
+@register(
+    "ivf_recall_at_5",
+    oracle=_ivf_oracle().rstrip()
+    .replace("WITH cents AS (", "WITH " + _brute_topk_sql().strip().rstrip() + ", cents AS (", 1)
+    .replace(
+        """SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM cand
+    ) WHERE rank <= 5""",
+        """SELECT t.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM exact_top t
+    LEFT JOIN (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM cand
+      ) WHERE rk <= 5
+    ) i ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id""",
+        1,
+    ),
+)
+def ivf_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: recall@5 of the IVF index against the
+    exact brute-force top-5, per query. Both sides are deterministic, so
+    even the quality metric is oracle-checkable -- the discipline for
+    tuning (n_cells, n_probe) on real corpora."""
+    from ..operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        corpus=emb, queries=queries,
+        centroids=emb.filter(F.col("vec_id") < 8), k=5, n_probe=2,
+    ).select("query_id", F.col("neighbor_id").alias("ivf_neighbor"))
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.ivf_neighbor),
+        "left",
+    ).select(exact.query_id, approx.ivf_neighbor)
+    return hits.groupBy("query_id").agg(
+        F.count("ivf_neighbor").alias("n_hits"),
+        (F.count("ivf_neighbor").cast("double") / 5.0).alias("recall_at_5"),
+    )

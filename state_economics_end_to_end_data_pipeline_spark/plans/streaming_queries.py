@@ -132,3 +132,36 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("event_type").agg(
         F.countDistinct("event_id").alias("n_distinct")
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(c.event_id) AS n_clicks_before,
+           SUM(epoch_us(p.ts) - epoch_us(c.ts)) AS total_lead_us
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+    GROUP BY 1, 2
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase <- preceding clicks within 30
+    min per user), replayed to completion and rolled up; must equal the
+    batch interval join. Join state is bounded by the watermark horizon."""
+    from ..streaming.events import interval_join_clicks_to_purchases
+
+    ev = read_events_stream(spark, sf_dir)
+    joined = interval_join_clicks_to_purchases(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    out = run_available_now(joined, output_mode="append")
+    return out.groupBy(
+        F.col("purchase_id"), F.col("p_user").alias("user_id")
+    ).agg(
+        F.count("click_id").alias("n_clicks_before"),
+        F.sum(F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("total_lead_us"),
+    )

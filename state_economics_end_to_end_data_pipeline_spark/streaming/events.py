@@ -150,3 +150,29 @@ def run_available_now(
     if q.exception() is not None:
         raise q.exception()
     return result.sparkSession.table(name)
+
+
+def interval_join_clicks_to_purchases(
+    purchases: DataFrame, clicks: DataFrame, lookback: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding ``lookback`` window. Both sides carry
+    watermarks so the join state store retains only the lookback horizon
+    per user -- bounded state, the canonical streaming attribution shape."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "1 hour")
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "1 hour")
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    )

@@ -97,3 +97,18 @@ def test_streaming_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
     assert n_first > 0
     run_once()  # same checkpoint, no new input: must not duplicate output
     assert spark.read.parquet(out).count() == n_first
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from state_economics_end_to_end_data_pipeline_spark.operators.partitioning import (
+        salted_join,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    p = read_parquet_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    small = p.withColumnRenamed("p_partkey", "l_partkey")
+    plain = li.join(small, "l_partkey").groupBy("p_brand").count()
+    salted = salted_join(li, small, "l_partkey").groupBy("p_brand").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
