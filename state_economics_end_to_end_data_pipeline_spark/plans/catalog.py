@@ -1267,3 +1267,48 @@ def upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c.s_name", "t.s_name").alias("s_name"),
         F.coalesce("c.s_acctbal", "t.s_acctbal").alias("s_acctbal"),
     )
+
+
+@register(
+    "profile_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem
+    )
+    SELECT 'l_quantity~l_extendedprice' AS pair,
+           (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r,
+           (n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n) AS covar_pop
+    FROM s
+    """,
+)
+def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section 2.9 -- correlation via decimal-exact sufficient statistics
+    (n, Σx, Σy, Σx², Σy², Σxy) folded in ONE pass, then the Pearson
+    formula in identical double arithmetic on both engines. Built-in
+    corr()/covar differ across engines in the last ulps; sufficient
+    statistics are associative, shuffle O(1), and engine-portable."""
+    li = t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(x).alias("sx"),
+        exact_sum(y).alias("sy"),
+        exact_sum(x * x).alias("sxx"),
+        exact_sum(y * y).alias("syy"),
+        exact_sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        F.lit("l_quantity~l_extendedprice").alias("pair"),
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "pearson_r"
+        ),
+        ((n * sxy - sx * sy) / (n.cast("double") * n)).alias("covar_pop"),
+    )

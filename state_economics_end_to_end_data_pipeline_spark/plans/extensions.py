@@ -724,3 +724,28 @@ def ivf_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ivf_neighbor").alias("n_hits"),
         (F.count("ivf_neighbor").cast("double") / 5.0).alias("recall_at_5"),
     )
+
+
+def _simhash_blocking_oracle() -> str:
+    inner = _simhash_oracle().strip()
+    return f"""
+    WITH sh AS ({inner})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash
+    FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """
+
+
+@register("simhash_blocking_pairs", oracle=_simhash_blocking_oracle())
+def simhash_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-4 near-dup blocking: docs sharing an identical 16-bit SimHash
+    become candidate pairs via an equi-join on the hash -- the O(docs)
+    shuffle alternative to hamming-distance search (wider radii: split
+    the hash into bands like MinHash-LSH)."""
+    sh = simhash_table(rebalance_for_cpu(t(spark, sf_dir, "documents")))
+    a = sh.select(F.col("doc_id").alias("id_a"), "simhash")
+    b = sh.select(F.col("doc_id").alias("id_b"), "simhash")
+    return (
+        a.join(b, "simhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash")
+    )
