@@ -1312,3 +1312,79 @@ def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((n * sxy - sx * sy) / (n.cast("double") * n)).alias("covar_pop"),
     )
+
+
+@register(
+    "sql_correlated_scalar",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) * 1.8
+      FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface parity: correlated scalar subquery (Catalyst decorrelates
+    it into an aggregate + join -- never a per-row re-execution). Issued
+    through spark.sql to exercise the SQL front end, not the DataFrame DSL."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("__sq_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM __sq_customer c
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) * 1.8
+          FROM __sq_customer c2 WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity-aware difference -- the
+    exceptAll counterpart to the set-semantics subtract)."""
+    o = t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    right = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return left.exceptAll(right)
+
+
+@register(
+    "window_ntile_deciles",
+    oracle="""
+    SELECT decile, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    ) GROUP BY decile
+    """,
+)
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile assignment over a total order (unique-key tie-break),
+    rolled up to per-decile bounds. The un-partitioned window is the one
+    shape that single-threads -- acceptable here because the rollup keeps
+    it out of hot paths; at scale, percentile cutpoints + a bucket join
+    replace it (see profile_histogram)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
