@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) for operator invariants the oracle
+can't state: idempotence, reshape identities, hash stability. Data is
+generated tiny and the session is reused, so the whole file stays fast."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+)
+from state_economics_end_to_end_data_pipeline_spark.operators.reshape import (
+    surrogate_key,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(st.integers(0, 5), st.sampled_from(["a", "b", "c"])),
+    min_size=1, max_size=30,
+)
+
+
+@given(data=rows)
+@settings(**_SETTINGS)
+def test_dedup_idempotent_and_bounded(spark, data):
+    df = spark.createDataFrame(data, ["k", "v"])
+    once = exact_dedup(df)
+    twice = exact_dedup(once)
+    n_once, n_twice = once.count(), twice.count()
+    assert n_once == n_twice  # idempotent
+    assert n_once <= df.count()
+    assert n_once == len(set(data))  # exactly the distinct rows
+
+
+@given(data=rows)
+@settings(**_SETTINGS)
+def test_unpivot_row_count_identity(spark, data):
+    df = spark.createDataFrame(
+        [(k, float(k * 2), float(k * 3)) for k, _ in data], ["id", "m1", "m2"]
+    )
+    long = df.unpivot(["id"], ["m1", "m2"], "measure", "value")
+    assert long.count() == df.count() * 2  # rows_long = rows_wide x n_measures
+
+
+@given(data=rows)
+@settings(**_SETTINGS)
+def test_surrogate_key_deterministic_dense(spark, data):
+    df = spark.createDataFrame(data, ["k", "v"])
+    a = {(r["k"], r["v"]): r["sk"] for r in surrogate_key(df, ["k", "v"], "sk").collect()}
+    b = {(r["k"], r["v"]): r["sk"] for r in surrogate_key(df, ["k", "v"], "sk").collect()}
+    assert a == b  # reproducible across runs
+    keys = sorted(a.values())
+    assert keys == list(range(len(keys)))  # dense 0..n-1
+
+
+@given(texts=st.lists(st.text(alphabet="abc xyz", min_size=10, max_size=40), min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_minhash_signature_stable_and_duplicate_safe(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    sigs1 = {r["doc_id"]: r["sig_hash"] for r in minhash_signatures(df).collect()}
+    sigs2 = {r["doc_id"]: r["sig_hash"] for r in minhash_signatures(df).collect()}
+    assert sigs1 == sigs2  # deterministic
+    # identical text => identical signature
+    dup = df.union(df.limit(1).select(F.lit(999).alias("doc_id"), "text"))
+    s = {r["doc_id"]: r["sig_hash"] for r in minhash_signatures(dup).collect()}
+    if 0 in s:  # doc 0 long enough to have shingles
+        assert s[999] == s[0]
