@@ -131,6 +131,8 @@ def jaccard_pairs(
     they share a gram), count intersections, derive union from set sizes.
     ``block_col`` restricts pairs to the same block (e.g. a source or an
     LSH bucket) -- the scale lever."""
+    # persist: the inverted index feeds BOTH self-join sides and the
+    # per-doc size aggregate -- without it the explode+dedup runs 3x.
     sh = (
         df.withColumn("__toks", tokens(text_col))
         .select(
@@ -141,6 +143,7 @@ def jaccard_pairs(
             ).alias("gram"),
         )
         .dropDuplicates()
+        .persist()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     join_keys = ["block", "gram"] if block_col else ["gram"]

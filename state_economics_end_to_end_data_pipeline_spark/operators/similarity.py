@@ -122,21 +122,37 @@ def assign_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF cell assignment: each vector's ``n_probe`` nearest centroids by
-    cosine (broadcast the centroid table -- one narrow pass over the
-    corpus, shuffle only for the per-vector rank). Returns (id, vec, cell,
-    probe_rank). Deterministic: ties broken on centroid id."""
-    c = centroids.select(
+    cosine. Returns (id, vec, cell, probe_rank); ties broken on cell id.
+
+    Centroids are driver-sized by definition (a KMeans model lives on the
+    driver), so they are collected into literal expressions and the
+    assignment is a fully NARROW per-row computation -- zero shuffle of
+    the corpus. (A crossJoin + per-id rank window would shuffle the whole
+    corpus by id; at 100 TB that shuffle dominates the index build.)
+    Sorting key is (-cos, cell): cos desc, cell asc on ties."""
+    cents = centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
-    )
+    ).collect()
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    scored = v.crossJoin(F.broadcast(c)).select(
-        "id", "vec", "cell", cosine(F.col("vec"), F.col("c_vec")).alias("c_cos")
+    scored = F.array(
+        *[
+            F.struct(
+                (-cosine(F.col("vec"), F.lit(list(map(float, r["c_vec"]))))).alias(
+                    "neg_cos"
+                ),
+                F.lit(r["cell"]).cast("long").alias("cell"),
+            )
+            for r in cents
+        ]
     )
-    w = Window.partitionBy("id").orderBy(F.col("c_cos").desc(), F.col("cell"))
-    return (
-        scored.withColumn("probe_rank", F.row_number().over(w))
-        .filter(F.col("probe_rank") <= n_probe)
-        .select("id", "vec", "cell", "probe_rank")
+    probes = F.slice(F.sort_array(scored), 1, n_probe)
+    exploded = v.select(
+        "id", "vec", F.posexplode(probes).alias("pos", "probe")
+    )
+    return exploded.select(
+        "id", "vec",
+        F.col("probe.cell").alias("cell"),
+        (F.col("pos") + 1).alias("probe_rank"),
     )
 
 
