@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.aggregates import exact_avg
 from ..functions.cleaning import (
     coalesce_first,
     currency_to_double,
@@ -256,8 +257,10 @@ class EconomicsETL:
             )
             .dropDuplicates()
         )
+        # decimal-exact mean: partition-order-independent, so re-runs on any
+        # cluster layout publish bit-identical multipliers
         inflation = df.groupBy("Year").agg(
-            F.avg("Inflation_Multiplier_2020").alias("Inflation_Multiplier_2020")
+            exact_avg("Inflation_Multiplier_2020").alias("Inflation_Multiplier_2020")
         )
         cpi = (
             df.select("Year", lenient_double("CPI_Average").alias("CPI_Average"))
