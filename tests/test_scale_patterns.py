@@ -112,3 +112,42 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     plain = li.join(small, "l_partkey").groupBy("p_brand").count()
     salted = salted_join(li, small, "l_partkey").groupBy("p_brand").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_ivf_with_kmeans_centroids(spark, sf_dir):
+    """The production IVF path: centroids trained with Spark ML KMeans
+    (not the fixed test subset), then the same assign/probe/verify
+    machinery. Checks structure + self-consistency, not fixed values
+    (KMeans seeds are deterministic but model-internal)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from state_economics_end_to_end_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    feat = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=4, seed=42, maxIter=5).fit(feat)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["vec_id", "embedding"],
+    )
+    out = ivf_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 5),
+        centroids=centroids,
+        k=3,
+        n_probe=2,
+    ).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == {0, 1, 2, 3, 4}
+    for qid, rows in by_query.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))  # dense ranks from 1
+        sims = [r["cos_sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)  # descending similarity
+        assert all(r["neighbor_id"] != qid for r in rows)
