@@ -133,23 +133,40 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
 
 
 def run_available_now(
-    result: DataFrame, output_mode: str = "complete", timeout_s: int = 300
+    result: DataFrame,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion on the data available
     now (memory sink) and return the result table. Finite, deterministic
-    replay of the unbounded plan -- this is what the oracle checks."""
+    replay of the unbounded plan -- this is what the oracle checks.
+
+    ``shuffle_partitions`` sizes the state-store count for the replay:
+    each stateful operator maintains one store PER shuffle partition, so
+    a small bounded replay wants few stores (fixed per-store cost
+    dominates), while an unbounded production run wants many. The session
+    conf is restored after the query starts (it is captured at start)."""
+    spark = result.sparkSession
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination(timeout_s)
     if q.exception() is not None:
         raise q.exception()
-    return result.sparkSession.table(name)
+    return spark.table(name)
 
 
 def interval_join_clicks_to_purchases(
