@@ -1422,3 +1422,93 @@ def rollup_hierarchy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dec_value").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "null_handling_fillna",
+    oracle="""
+    WITH holes AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_acctbal END AS bal,
+             CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_name END AS name
+      FROM supplier
+    )
+    SELECT COUNT(*) AS n_total,
+           COUNT(CASE WHEN bal IS NULL THEN 1 END) AS n_null_bal,
+           COUNT(CASE WHEN name IS NULL THEN 1 END) AS n_null_name,
+           CAST(SUM(CAST(COALESCE(bal, 0.0) AS DECIMAL(38,6))) AS DOUBLE) AS sum_filled,
+           COUNT(CASE WHEN bal IS NOT NULL AND name IS NOT NULL THEN 1 END) AS n_complete
+    FROM holes
+    """,
+)
+def null_handling_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fillna/dropna family over synthesized holes: null counts, a
+    fill-with-default aggregate, and the dropna('any') survivor count --
+    all in one scan."""
+    s = t(spark, sf_dir, "supplier")
+    holes = s.select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 7 == 0, None).otherwise(F.col("s_acctbal")).alias("bal"),
+        F.when(F.col("s_suppkey") % 5 == 0, None).otherwise(F.col("s_name")).alias("name"),
+    )
+    filled = holes.fillna({"bal": 0.0})
+    complete = holes.dropna(how="any", subset=["bal", "name"])
+    return (
+        holes.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("bal").isNull(), 1)).alias("n_null_bal"),
+            F.count(F.when(F.col("name").isNull(), 1)).alias("n_null_name"),
+        )
+        .crossJoin(filled.agg(exact_sum("bal").alias("sum_filled")))
+        .crossJoin(complete.agg(F.count(F.lit(1)).alias("n_complete")))
+    )
+
+
+@register(
+    "fuzzy_name_match",
+    oracle="""
+    WITH typo AS (
+      SELECT s_suppkey AS typo_key,
+             substr(s_name, 1, 4) || substr(s_name, 6) AS typo_name,
+             substr(s_name, 1, 1) AS blk
+      FROM supplier WHERE s_suppkey % 3 = 0
+    ), cand AS (
+      SELECT t.typo_key, s.s_suppkey AS match_key,
+             levenshtein(t.typo_name, s.s_name) AS dist
+      FROM typo t JOIN supplier s ON substr(s.s_name, 1, 1) = t.blk
+    )
+    SELECT typo_key, match_key, CAST(dist AS INT) AS dist FROM (
+      SELECT typo_key, match_key, dist,
+             ROW_NUMBER() OVER (PARTITION BY typo_key ORDER BY dist, match_key) AS rk
+      FROM cand
+    ) WHERE rk = 1
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy name resolution (the scale-ready form of the reference's
+    name->key joins, DAG1:139,157): names with a synthesized one-char
+    deletion matched back by Levenshtein distance, candidates blocked on
+    the first character so the pair space is O(n^2 / blocks), best match
+    per name by ranked window. levenshtein() is the same DP in every
+    engine -- integer-exact."""
+    s = t(spark, sf_dir, "supplier")
+    typo = s.filter(F.col("s_suppkey") % 3 == 0).select(
+        F.col("s_suppkey").alias("typo_key"),
+        F.concat(
+            F.substring("s_name", 1, 4), F.expr("substr(s_name, 6)")
+        ).alias("typo_name"),
+        F.substring("s_name", 1, 1).alias("blk"),
+    )
+    cand = typo.join(
+        s.withColumn("blk", F.substring("s_name", 1, 1)), "blk"
+    ).select(
+        "typo_key",
+        F.col("s_suppkey").alias("match_key"),
+        F.levenshtein("typo_name", "s_name").alias("dist"),
+    )
+    w = Window.partitionBy("typo_key").orderBy("dist", "match_key")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("typo_key", "match_key", F.col("dist").cast("int").alias("dist"))
+    )
