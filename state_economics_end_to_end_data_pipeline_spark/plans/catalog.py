@@ -1512,3 +1512,92 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("typo_key", "match_key", F.col("dist").cast("int").alias("dist"))
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+    FROM orders WHERE o_custkey <= 100
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): per customer, the
+    rolling 90-day spend -- every order inside the time interval
+    contributes regardless of row position (ties included, unlike ROWS)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    epoch = F.unix_timestamp("o_orderdate").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-90 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_90d"),
+    )
+
+
+@register(
+    "union_by_name",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n, CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM (
+      SELECT c_nationkey AS nationkey, c_acctbal AS bal FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey, s_acctbal AS bal FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: schema-aligned-by-NAME concatenation (positional union
+    silently mismatches when column orders differ -- never use it across
+    independently-produced frames)."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_acctbal").alias("bal"), F.col("c_nationkey").alias("nationkey")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal").alias("bal")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("bal").alias("total"))
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+           CAST(list_max(embedding) AS DOUBLE) AS max_dim,
+           CAST(list_reduce(list_transform(embedding[1:8],
+             x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS DOUBLE) AS head8_sum,
+           CAST(embedding[1] AS DOUBLE) * 2 AS first_doubled
+    FROM embeddings WHERE vec_id < 300
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter/transform/aggregate/slice/
+    element_at) over embedding vectors -- all JVM expressions, the
+    building blocks every vector op here composes from."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    head8 = F.slice("embedding", 1, 8)
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_positive"),
+        F.array_max("embedding").cast("double").alias("max_dim"),
+        F.aggregate(
+            F.transform(head8, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("head8_sum"),
+        (F.element_at("embedding", 1).cast("double") * 2).alias("first_doubled"),
+    )
