@@ -151,3 +151,19 @@ def test_ivf_with_kmeans_centroids(spark, sf_dir):
         sims = [r["cos_sim"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert sims == sorted(sims, reverse=True)  # descending similarity
         assert all(r["neighbor_id"] != qid for r in rows)
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    from pathlib import Path
+    from state_economics_end_to_end_data_pipeline_spark.io.writers import compact_parquet
+
+    # simulate a streaming sink's many tiny files
+    src = str(tmp_path / "fragmented")
+    read_parquet_table(spark, sf_dir, "orders").repartition(64).write.parquet(src)
+    assert len(list(Path(src).rglob("*.parquet"))) >= 64
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_bytes=16 * 1024 * 1024,
+                        sort_within_by=["o_orderdate"])
+    files = list(Path(dst).rglob("*.parquet"))
+    assert len(files) == n < 8
+    assert spark.read.parquet(dst).count() == spark.read.parquet(src).count()
