@@ -1601,3 +1601,190 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head8_sum"),
         (F.element_at("embedding", 1).cast("double") * 2).alias("first_doubled"),
     )
+
+
+# ------------------------------------------------- multi-join workloads (cont)
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT CAST(
+             100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END)
+             / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+           AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate <  TIMESTAMP '1995-10-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact filtered to one month, broadcast-joined to the
+    part dim, conditional-aggregate ratio in one pass. The date filter must
+    reach the parquet scan; part broadcasts (no fact shuffle at all -- the
+    final single-group agg moves one partial row per task)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), net).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (100.0 * F.sum(promo) / F.sum(net)).cast("double").alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 180
+    )
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate-then-join. The
+    HAVING collapses the fact to a tiny key set *before* any join, so both
+    joins run against the reduced side (AQE converts them to broadcast at
+    runtime). Joining first and filtering later would shuffle the whole
+    fact table -- the classic order-of-operations win at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+@register(
+    "sessionize_events_batch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands, 30-min inactivity gap): the
+    batch twin of stream_session_windows. One shuffle on user_id serves
+    both window passes and the final per-session aggregate -- Spark keeps
+    the partitioning across the lag, the running sum, and the groupBy, so
+    the whole pipeline is a single exchange regardless of input size."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        exact_sum("value").alias("session_value"),
+    )
+
+
+@register(
+    "sample_stratified_systematic",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_custkey) AS rn
+      FROM customer)
+    WHERE rn % 20 = 1
+    """,
+)
+def sample_stratified_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: every 20th row per stratum in key
+    order -- reproducible across runs and cluster layouts, unlike
+    ``sampleBy`` (which stays the right tool when statistical randomness
+    matters more than replayability; this variant is what you audit with).
+    One shuffle on the stratum key; no global sort."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % 20 == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "distinct_count_exact",
+    oracle="""
+    SELECT p_brand,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand
+    """,
+)
+def distinct_count_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) alongside a plain count in one grouped pass
+    (Catalyst plans the distinct via Expand + two-stage aggregate -- no
+    per-group set materialization). The exact twin of
+    sketch_distinct_approx: use this when the answer must be exact, the
+    sketch when 2% error buys a 10x smaller shuffle at 100 TB."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

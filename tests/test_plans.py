@@ -84,3 +84,33 @@ def test_whole_stage_codegen_covers_scalar_queries(spark, sf_dir):
     plan = plan_of(q(spark, sf_dir, "string_cleaning"))
     # '*(n)' prefixes mark operators fused into a WholeStageCodegen stage
     assert re.search(r"\*\(\d+\) Project", plan), plan
+
+
+def test_q14_broadcasts_part_and_pushes_date_filter(spark, sf_dir):
+    plan = plan_of(q(spark, sf_dir, "tpch_q14_promo_revenue"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the month filter reaches the lineitem scan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:300]
+
+
+def test_q18_aggregates_fact_before_joining(spark, sf_dir):
+    # HAVING must collapse lineitem to keys BEFORE the orders join: in the
+    # optimized plan the aggregate sits below both joins.
+    opt = optimized_of(q(spark, sf_dir, "tpch_q18_large_orders"))
+    agg_pos = opt.index("Aggregate [l_orderkey")
+    join_pos = opt.index("Join")
+    assert join_pos < agg_pos  # tree prints top-down: joins above the agg
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    # lag + running sum + per-session agg all reuse one hashpartitioning
+    # on user_id: exactly one shuffle regardless of input size.
+    plan = plan_of(q(spark, sf_dir, "sessionize_events_batch"))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_stratified_sample_no_global_sort(spark, sf_dir):
+    plan = plan_of(q(spark, sf_dir, "sample_stratified_systematic"))
+    assert "Exchange rangepartitioning" not in plan  # per-stratum sort only
+    assert plan.count("Exchange hashpartitioning") == 1
