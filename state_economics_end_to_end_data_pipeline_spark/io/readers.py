@@ -147,6 +147,26 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     return df
 
 
+def read_json_lines(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Newline-delimited JSON scan with explicit schema (no production
+    inference -- same discipline as read_csv). JSON is the interchange
+    format the reference pushes through XCom (DAG1:42,65); at rest we treat
+    it as a first-class splittable source instead of a serialization hop."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar scan -- same pushdown/pruning properties as parquet via
+    the native vectorized ORC source; exists so published tables can be
+    consumed from either columnar format."""
+    return spark.read.orc(path)
+
+
 def load_testdata(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     """Convenience: load the driver testdata tables and register temp views."""
     names = names or [

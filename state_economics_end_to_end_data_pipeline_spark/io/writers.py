@@ -55,6 +55,26 @@ def write_jdbc(
     writer.jdbc(url, table)
 
 
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Newline-delimited JSON sink (interchange with non-columnar
+    consumers; schema travels in the data, so prefer parquet at rest)."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink -- columnar alternative to parquet with the same
+    partitioning discipline."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

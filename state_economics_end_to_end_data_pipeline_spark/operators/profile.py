@@ -136,3 +136,44 @@ def write_profile_json(profile: dict, path: str) -> None:
     DAG2:52-54; JSON keeps it machine-checkable)."""
     with open(path, "w") as f:
         json.dump(profile, f, indent=2, default=str)
+
+
+def write_profile_html(profile: dict, path: str) -> None:
+    """Render the profile dict to a standalone HTML report -- direct parity
+    with the reference's per-table ProfileReport HTML files (DAG2:50-54,
+    ``<table>_report.html``). Pure driver-side string rendering over the
+    already-aggregated dict; no extra Spark work and no template deps."""
+    import html as _html
+
+    def esc(v) -> str:
+        return _html.escape(f"{v:.6g}" if isinstance(v, float) else str(v))
+
+    cols = profile.get("columns", {})
+    stat_keys: list[str] = []
+    for stats in cols.values():
+        for k in stats:
+            if k not in stat_keys and k not in ("column_name", "quantiles"):
+                stat_keys.append(k)
+    rows = []
+    for name, stats in cols.items():
+        cells = "".join(f"<td>{esc(stats.get(k, ''))}</td>" for k in stat_keys)
+        q = stats.get("quantiles", {})
+        qtxt = ", ".join(f"p{float(k) * 100:g}={esc(v)}" for k, v in q.items())
+        rows.append(f"<tr><th>{esc(name)}</th>{cells}<td>{qtxt}</td></tr>")
+    doc = (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{esc(profile['table'])} profile</title>"
+        "<style>body{font-family:sans-serif;margin:2em}"
+        "table{border-collapse:collapse}td,th{border:1px solid #999;"
+        "padding:4px 8px;text-align:right}th{text-align:left}</style></head>"
+        f"<body><h1>{esc(profile['table'])}</h1>"
+        f"<p>{esc(profile['n_rows'])} rows &times; "
+        f"{esc(profile['n_columns'])} columns</p>"
+        "<table><tr><th>column</th>"
+        + "".join(f"<th>{esc(k)}</th>" for k in stat_keys)
+        + "<th>quantiles</th></tr>"
+        + "".join(rows)
+        + "</table></body></html>"
+    )
+    with open(path, "w") as f:
+        f.write(doc)

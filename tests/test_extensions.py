@@ -156,3 +156,49 @@ def test_rebalance_for_cpu_gating(spark, sf_dir):
     up = rebalance_for_cpu(docs, target=8)
     assert up.rdd.getNumPartitions() == 8
     assert rebalance_for_cpu(up, target=4) is up  # already wide enough: no-op
+
+
+def test_profile_html_report(spark, sf_dir, tmp_path):
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import read_parquet_table
+    from state_economics_end_to_end_data_pipeline_spark.operators.profile import (
+        profile_report,
+        write_profile_html,
+        write_profile_json,
+    )
+
+    df = read_parquet_table(spark, sf_dir, "customer")
+    prof = profile_report(df, "customer")
+    html_path = str(tmp_path / "customer_report.html")
+    write_profile_html(prof, html_path)
+    write_profile_json(prof, str(tmp_path / "customer_report.json"))
+    html = open(html_path).read()
+    assert html.startswith("<!doctype html>")
+    assert "<h1>customer</h1>" in html
+    # every profiled column appears as a row
+    for col in prof["columns"]:
+        assert f"<th>{col}</th>" in html
+    assert str(prof["n_rows"]) in html
+
+
+def test_json_and_orc_round_trip(spark, sf_dir, tmp_path):
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_json_lines,
+        read_orc_table,
+        read_parquet_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.io.writers import (
+        write_json_lines,
+        write_orc,
+    )
+
+    src = read_parquet_table(spark, sf_dir, "nation")
+    jdir, odir = str(tmp_path / "j"), str(tmp_path / "o")
+    write_json_lines(src, jdir)
+    write_orc(src, odir, partition_by=["n_regionkey"])
+    back_j = read_json_lines(spark, jdir, schema=src.schema)
+    back_o = read_orc_table(spark, odir)
+    assert back_j.count() == back_o.count() == src.count()
+    assert set(back_o.columns) == set(src.columns)
+    # partitioned-orc scan prunes: one region's filter reads a subset
+    pruned = back_o.filter("n_regionkey = 1")
+    assert pruned.count() == src.filter("n_regionkey = 1").count()
