@@ -1788,3 +1788,63 @@ def distinct_count_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "upsert_scd2",
+    oracle="""
+    WITH tgt AS (
+      SELECT s_suppkey, s_acctbal, TIMESTAMP '2024-01-01' AS valid_from
+      FROM supplier
+    ), changes AS (
+      SELECT s_suppkey, CAST(s_acctbal + 1000 AS DOUBLE) AS s_acctbal,
+             TIMESTAMP '2024-06-01' AS valid_from
+      FROM supplier WHERE s_suppkey % 10 = 0
+    )
+    SELECT t.s_suppkey, t.s_acctbal, t.valid_from,
+           c.valid_from AS valid_to,
+           (c.s_suppkey IS NULL) AS is_current
+    FROM tgt t LEFT JOIN changes c ON t.s_suppkey = c.s_suppkey
+    UNION ALL
+    SELECT s_suppkey, s_acctbal, valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM changes
+    """,
+)
+def upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type 2 (history-tracking upsert): changed keys get their current
+    row closed (valid_to = effective date, is_current = false) plus a new
+    open row; unchanged keys pass through untouched. One left join on the
+    business key + a union -- the exact join shape Delta/Iceberg MERGE
+    plans for this pattern; history grows append-only, so at 100 TB the
+    target stays partitioned by valid_from and only the current slice
+    joins against changes."""
+    eff_old = F.lit("2024-01-01").cast("timestamp")
+    eff_new = F.lit("2024-06-01").cast("timestamp")
+    sup = t(spark, sf_dir, "supplier")
+    tgt = sup.select("s_suppkey", "s_acctbal", eff_old.alias("valid_from"))
+    changes = (
+        sup.filter(F.col("s_suppkey") % 10 == 0)
+        .select(
+            "s_suppkey",
+            (F.col("s_acctbal") + 1000).cast("double").alias("s_acctbal"),
+            eff_new.alias("valid_from"),
+        )
+    )
+    closed_or_kept = tgt.alias("t").join(
+        changes.alias("c"), F.col("t.s_suppkey") == F.col("c.s_suppkey"), "left"
+    ).select(
+        F.col("t.s_suppkey").alias("s_suppkey"),
+        F.col("t.s_acctbal").alias("s_acctbal"),
+        F.col("t.valid_from").alias("valid_from"),
+        F.col("c.valid_from").alias("valid_to"),
+        F.col("c.s_suppkey").isNull().alias("is_current"),
+    )
+    new_rows = changes.select(
+        "s_suppkey",
+        "s_acctbal",
+        "valid_from",
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed_or_kept.unionByName(new_rows)
