@@ -65,3 +65,32 @@ def surrogate_key(
     dim = df.select(*key_cols).dropDuplicates()
     w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in key_cols])
     return dim.withColumn(id_col, (F.row_number().over(w) - 1 + start).cast("int"))
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Gaps-and-islands sessionization: adds a ``session_no`` column (1-based
+    per key) where a new session starts whenever the gap since the previous
+    event exceeds ``gap_seconds``. ``tiebreak_cols`` make the ordering total
+    so the labeling is deterministic at any parallelism.
+
+    One hash exchange on ``key_col`` serves the lag, the running sum, and
+    any downstream per-session aggregate -- Spark reuses the partitioning,
+    so this is a single shuffle regardless of input size (asserted in
+    tests/test_plans.py)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, *tiebreak_cols)
+    prev = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.unix_timestamp(ts_col) - F.unix_timestamp(prev) > gap_seconds),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        "session_no",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )

@@ -1710,23 +1710,10 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     both window passes and the final per-session aggregate -- Spark keeps
     the partitioning across the lag, the running sum, and the groupBy, so
     the whole pipeline is a single exchange regardless of input size."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    from ..operators.reshape import sessionize
+
     ev = t(spark, sf_dir, "events")
-    marked = ev.withColumn(
-        "is_new",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-                > 1800
-            ),
-            1,
-        ).otherwise(0),
-    )
-    sess = marked.withColumn(
-        "session_no",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = sessionize(ev, "user_id", "ts", 1800, tiebreak_cols=["event_id"])
     return sess.groupBy("user_id", "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),

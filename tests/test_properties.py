@@ -75,3 +75,35 @@ def test_minhash_signature_stable_and_duplicate_safe(spark, texts):
     s = {r["doc_id"]: r["sig_hash"] for r in minhash_signatures(dup).collect()}
     if 0 in s:  # doc 0 long enough to have shingles
         assert s[999] == s[0]
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)),  # (user, seconds offset)
+        min_size=1, max_size=40,
+    ),
+    gap=st.sampled_from([60, 600, 1800]),
+)
+@settings(**_SETTINGS)
+def test_sessionize_invariants(spark, events, gap):
+    from state_economics_end_to_end_data_pipeline_spark.operators.reshape import (
+        sessionize,
+    )
+
+    df = spark.createDataFrame(
+        [(u, s) for u, s in events], ["user_id", "off"]
+    ).select("user_id", F.timestamp_seconds(F.col("off") + 1_700_000_000).alias("ts"))
+    rows = sessionize(df, "user_id", "ts", gap).collect()
+    assert len(rows) == len(events)  # sessions partition the events, none lost
+    by_user: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for seq in by_user.values():
+        assert seq[0]["session_no"] == 1  # sessions are 1-based per key
+        for a, b in zip(seq, seq[1:]):
+            delta = (b["ts"] - a["ts"]).total_seconds()
+            if b["session_no"] == a["session_no"]:
+                assert delta <= gap  # intra-session gaps bounded
+            else:
+                assert b["session_no"] == a["session_no"] + 1  # dense labels
+                assert delta > gap  # sessions split only on real gaps
