@@ -147,6 +147,46 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     return df
 
 
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    encoding: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-row quarantine: scan in PERMISSIVE mode, split into
+    (good, quarantined). Good rows carry the declared schema; quarantined
+    rows keep the raw line for replay/debugging. At 100 TB a single bad
+    row must neither kill the job (FAILFAST) nor vanish silently
+    (DROPMALFORMED) -- this is the third option the reference lacks: keep
+    going AND keep the evidence.
+
+    The corrupt-record column must be materialized before it can be
+    filtered on its own (Spark disallows pruning a scan down to only the
+    internal corrupt column), hence the cache() -- one scan feeds both
+    halves of the split."""
+    corrupt_col = "_corrupt_record"
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+    )
+    if encoding:
+        reader = reader.option("encoding", encoding)
+    df = reader.csv(path).cache()
+    from pyspark.sql import functions as F
+
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, quarantined
+
+
 def read_json_lines(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:

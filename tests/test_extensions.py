@@ -202,3 +202,36 @@ def test_json_and_orc_round_trip(spark, sf_dir, tmp_path):
     # partitioned-orc scan prunes: one region's filter reads a subset
     pruned = back_o.filter("n_regionkey = 1")
     assert pruned.count() == src.filter("n_regionkey = 1").count()
+
+
+def test_csv_quarantine_split(spark, tmp_path):
+    from pyspark.sql import types as T
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_csv_with_quarantine,
+    )
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "id,amount,label\n"
+        "1,10.5,ok\n"
+        "2,not_a_number,bad-cast\n"
+        "3,30.25,ok\n"
+        '4,"unclosed quote,broken\n'
+        "5,50.0,ok\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    good, bad = read_csv_with_quarantine(spark, str(p), schema)
+    good_rows = {r["id"]: r for r in good.collect()}
+    bad_rows = [r["raw_line"] for r in bad.collect()]
+    assert set(good_rows) == {1, 3, 5}  # clean rows survive with typed schema
+    assert good_rows[3]["amount"] == 30.25
+    assert len(bad_rows) == 2  # uncastable + structurally-broken both kept
+    assert any("not_a_number" in r for r in bad_rows)
+    # nothing silently dropped: good + bad covers every data line
+    assert good.count() + len(bad_rows) == 5
