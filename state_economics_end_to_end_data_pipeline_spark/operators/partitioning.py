@@ -54,3 +54,70 @@ def salted_join(
     salted_small = small.crossJoin(F.broadcast(salts))
     out = salted_big.join(salted_small, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def zorder_column(
+    df: DataFrame,
+    cols: list[str],
+    bits_per_col: int = 8,
+    out_col: str = "__zvalue",
+) -> DataFrame:
+    """Z-order (Morton) key over 2+ numeric columns: each column is binned
+    to ``bits_per_col`` bits between its min and max, then the bits are
+    interleaved. Rows close in z-value are close in EVERY keyed dimension,
+    so after clustering files by z-value, parquet min/max stats prune
+    file reads for filters on ANY of the columns -- the multi-dimensional
+    answer to "sorted by one column helps only that column".
+
+    All JVM expressions (width_bucket + shift/mask interleave); the only
+    driver work is one min/max aggregate row. Uniform bins are used here;
+    equi-depth boundaries from approxQuantile slot in unchanged when the
+    distribution is heavily skewed."""
+    from pyspark.sql import functions as F
+
+    n_bins = 2 ** bits_per_col
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+    bounds = df.agg(*aggs).first()
+
+    binned = []
+    for c in cols:
+        lo, hi = float(bounds[f"{c}__min"]), float(bounds[f"{c}__max"])
+        hi = hi if hi > lo else lo + 1.0
+        b = F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_bins)) - 1
+        binned.append(F.greatest(F.lit(0), F.least(b, F.lit(n_bins - 1))))
+
+    z = F.lit(0).cast("long")
+    for bit in range(bits_per_col):
+        for j, b in enumerate(binned):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b.cast("long"), bit).bitwiseAND(F.lit(1)),
+                    bit * len(cols) + j,
+                )
+            )
+    return df.withColumn(out_col, z)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits_per_col: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster a dataset by z-value across ``cols`` and write ``n_files``
+    parquet files: range-partition on the z-key (sampled exchange, no
+    global sort), sort within each file, drop the key. Filters on any of
+    ``cols`` then skip most files via footer min/max stats -- measured in
+    tests/test_scale_patterns.py against a single-column-sorted layout."""
+    zdf = zorder_column(df, cols, bits_per_col=bits_per_col)
+    (
+        zdf.repartitionByRange(n_files, "__zvalue")
+        .sortWithinPartitions("__zvalue")
+        .drop("__zvalue")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -167,3 +167,49 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     files = list(Path(dst).rglob("*.parquet"))
     assert len(files) == n < 8
     assert spark.read.parquet(dst).count() == spark.read.parquet(src).count()
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering must let footer min/max stats skip most files for
+    filters on EITHER keyed column; a single-column sort only prunes its
+    own column. Measured on real parquet footers, not asserted by faith."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from state_economics_end_to_end_data_pipeline_spark.operators.partitioning import (
+        write_zordered,
+    )
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    n_files = 16
+    zdir, sdir = str(tmp_path / "zorder"), str(tmp_path / "single")
+    write_zordered(orders, zdir, ["o_custkey", "o_totalprice"], n_files=n_files)
+    (
+        orders.repartitionByRange(n_files, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(sdir)
+    )
+
+    def overlap_fraction(d: str, col: str, probe: float) -> float:
+        files = sorted(Path(d).rglob("*.parquet"))
+        hit = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            hit += lo <= probe <= hi
+        return hit / len(files)
+
+    stats = orders.selectExpr(
+        "avg(o_custkey) ac", "avg(o_totalprice) at"
+    ).first()
+    # z-order: point probes on either dimension touch a minority of files
+    assert overlap_fraction(zdir, "o_custkey", stats["ac"]) <= 0.5
+    assert overlap_fraction(zdir, "o_totalprice", stats["at"]) <= 0.5
+    # single-column sort: prunes its own column but not the other one
+    assert overlap_fraction(sdir, "o_custkey", stats["ac"]) <= 0.25
+    assert overlap_fraction(sdir, "o_totalprice", stats["at"]) >= 0.9
+    # row preservation
+    assert spark.read.parquet(zdir).count() == orders.count()
