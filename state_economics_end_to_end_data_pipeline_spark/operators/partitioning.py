@@ -12,6 +12,8 @@ corpus-wide shuffle where the file layout is already parallel.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 
@@ -121,3 +123,37 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+@contextmanager
+def runtime_bloom_filters(spark, application_side_min_bytes: int = 0):
+    """Enable Catalyst's runtime bloom-filter join pruning for the scope:
+    a selective filter on one join side materializes a bloom filter that
+    is pushed into the other side's scan as ``might_contain`` -- rows that
+    cannot join are dropped BEFORE the shuffle, often the single biggest
+    shuffle reduction available on selective fact-fact joins at 100 TB.
+
+    Spark gates injection on estimated scan size
+    (``applicationSideScanSizeThreshold``, default 10GB -- correct in
+    production, never met in local tests); ``application_side_min_bytes``
+    overrides it for the scope. Prior conf values are restored on exit."""
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            str(application_side_min_bytes),
+    }
+    old: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

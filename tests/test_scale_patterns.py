@@ -213,3 +213,41 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert overlap_fraction(sdir, "o_totalprice", stats["at"]) >= 0.9
     # row preservation
     assert spark.read.parquet(zdir).count() == orders.count()
+
+
+def test_runtime_bloom_filter_prunes_before_shuffle(spark, sf_dir):
+    """A selective order-side filter must inject a bloom filter into the
+    lineitem side under sort-merge join: non-joining fact rows die at the
+    scan, not after the shuffle."""
+    from pyspark.sql import functions as F
+
+    from state_economics_end_to_end_data_pipeline_spark.operators.partitioning import (
+        runtime_bloom_filters,
+    )
+
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        with runtime_bloom_filters(spark):
+            li = read_parquet_table(spark, sf_dir, "lineitem")
+            o = read_parquet_table(spark, sf_dir, "orders").filter(
+                F.col("o_totalprice") > 400000
+            )
+            j = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+            opt = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "might_contain" in opt  # filter applied to the fact side
+            assert "bloom_filter_agg" in opt  # built from the selective side
+            assert j.count() > 0  # and the query still answers correctly
+        # scope exit restores the production threshold
+        assert (
+            spark.conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+            )
+            != "0"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
