@@ -165,3 +165,44 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("click_id").alias("n_clicks_before"),
         F.sum(F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("total_lead_us"),
     )
+
+
+@register(
+    "stream_foreach_batch_merge",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental merge replayed to completion: per-user
+    totals accumulated batch-by-batch into a versioned parquet target
+    (exactly-once via the batch_id guard) must equal the one-shot batch
+    aggregate. Decimal accumulation keeps the multi-batch sum exact."""
+    import tempfile
+
+    from ..streaming.events import (
+        merge_stream_into_parquet,
+        read_events_stream,
+        read_merged_parquet,
+    )
+
+    d = tempfile.mkdtemp(prefix="fbmerge_")
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        F.lit(1).alias("n_events"),
+        F.col("value").cast("decimal(38,6)").alias("total_value"),
+    )
+    merge_stream_into_parquet(
+        stream,
+        f"{d}/target",
+        keys=["user_id"],
+        sum_cols=["n_events", "total_value"],
+        checkpoint_dir=f"{d}/ckpt",
+    )
+    return read_merged_parquet(spark, f"{d}/target").select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )

@@ -193,3 +193,92 @@ def interval_join_clicks_to_purchases(
         & (F.col("c_ts") < F.col("p_ts")),
         "inner",
     )
+
+
+def merge_stream_into_parquet(
+    counts_per_key: DataFrame,
+    target_dir: str,
+    keys: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+):
+    """foreachBatch incremental merge: maintain a cumulative per-key table
+    in parquet from a stream, exactly-once.
+
+    Each micro-batch's per-key partials are merged into the target (full
+    outer join on ``keys``, sums added), written to a NEW versioned
+    directory, and committed by atomically rewriting a pointer file that
+    names the current version and the last applied batch_id. Replayed
+    batches (failure/restart hands foreachBatch the same batch_id again)
+    are skipped by the batch_id guard -- that is the idempotence that
+    upgrades the sink's at-least-once delivery to exactly-once table
+    state. On a table format (Delta/Iceberg) the version+pointer dance is
+    a MERGE INTO; the join shape and the guard are identical.
+
+    Returns the finished StreamingQuery (already terminated)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    pointer = os.path.join(target_dir, "_CURRENT")
+
+    def _read_pointer() -> dict:
+        if not os.path.exists(pointer):
+            return {"version": None, "last_batch_id": -1}
+        with open(pointer) as f:
+            return json.load(f)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = _read_pointer()
+        if batch_id <= state["last_batch_id"]:
+            return  # replayed batch: already applied, exactly-once guard
+        partial = batch_df.groupBy(*keys).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
+        if state["version"] is not None:
+            current = spark.read.parquet(os.path.join(target_dir, state["version"]))
+            t, p = current.alias("t"), partial.alias("p")
+            cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"p.{k}")) for k in keys]
+            merged = t.join(p, cond, "full_outer").select(
+                *[F.coalesce(f"t.{k}", f"p.{k}").alias(k) for k in keys],
+                *[
+                    (
+                        F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"p.{c}"), F.lit(0))
+                    ).alias(c)
+                    for c in sum_cols
+                ],
+            )
+        else:
+            merged = partial
+        version = f"v{batch_id:012d}"
+        merged.write.mode("overwrite").parquet(os.path.join(target_dir, version))
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "last_batch_id": batch_id}, f)
+        os.replace(tmp, pointer)  # atomic commit
+
+    q = (
+        counts_per_key.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.exception() is not None:
+        raise q.exception()
+    return q
+
+
+def read_merged_parquet(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Read the current committed version of a merge_stream_into_parquet
+    target (snapshot isolation: readers never see a half-written version)."""
+    import json
+    import os
+
+    with open(os.path.join(target_dir, "_CURRENT")) as f:
+        state = json.load(f)
+    return spark.read.parquet(os.path.join(target_dir, state["version"]))

@@ -235,3 +235,63 @@ def test_csv_quarantine_split(spark, tmp_path):
     assert any("not_a_number" in r for r in bad_rows)
     # nothing silently dropped: good + bad covers every data line
     assert good.count() + len(bad_rows) == 5
+
+
+def test_foreach_batch_merge_exactly_once(spark, sf_dir, tmp_path):
+    """Multi-batch stream merged into a versioned parquet target must equal
+    the batch answer, and a replayed batch_id must be a no-op."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.streaming.events import (
+        merge_stream_into_parquet,
+        read_merged_parquet,
+    )
+
+    # split events into 4 files so availableNow + maxFilesPerTrigger=1
+    # yields multiple micro-batches
+    src = str(tmp_path / "events_src")
+    ev = read_parquet_table(spark, sf_dir, "events")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    target = str(tmp_path / "user_totals")
+    merge_stream_into_parquet(
+        stream.select("user_id", "value", F.lit(1).alias("n")),
+        target, keys=["user_id"], sum_cols=["n", "value"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    got = {r["user_id"]: (r["n"], round(r["value"], 6))
+           for r in read_merged_parquet(spark, target).collect()}
+    want = {r["user_id"]: (r["n"], round(r["value"], 6))
+            for r in ev.groupBy("user_id")
+                       .agg(F.count("*").alias("n"), F.sum("value").alias("value"))
+                       .collect()}
+    assert got == want  # cumulative merge equals the batch aggregate
+
+    state = json.load(open(f"{target}/_CURRENT"))
+    assert state["last_batch_id"] >= 1  # really was multi-batch
+
+    # replay safety: rerunning the whole stream with the SAME checkpoint
+    # must apply nothing (all batch_ids already committed)
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    merge_stream_into_parquet(
+        stream2.select("user_id", "value", F.lit(1).alias("n")),
+        target, keys=["user_id"], sum_cols=["n", "value"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got2 = {r["user_id"]: (r["n"], round(r["value"], 6))
+            for r in read_merged_parquet(spark, target).collect()}
+    assert got2 == want  # nothing double-counted
