@@ -1835,3 +1835,40 @@ def upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return closed_or_kept.unionByName(new_rows)
+
+
+@register(
+    "json_map_explode",
+    oracle="""
+    WITH kv AS (
+      SELECT unnest(json_keys(props)) AS prop_key,
+             CAST(json_extract(props, '$."' || unnest(json_keys(props)) || '"')
+                  AS BIGINT) AS prop_value
+      FROM events
+    )
+    SELECT prop_key,
+           COUNT(*) AS n_events,
+           SUM(prop_value) AS value_total,
+           MIN(prop_value) AS value_min,
+           MAX(prop_value) AS value_max
+    FROM kv GROUP BY prop_key
+    """,
+)
+def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured metadata: parse the JSON props column into a typed
+    map, explode entries, aggregate per key -- the schema-on-read path for
+    ragged metadata (from_json + explode stay JVM-side; no UDF). At scale
+    prefer promoting hot keys to real columns at ingest; this operator is
+    for the long tail that stays ragged."""
+    ev = t(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias(
+            "prop_key", "prop_value"
+        )
+    )
+    return kv.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("prop_value").alias("value_total"),
+        F.min("prop_value").alias("value_min"),
+        F.max("prop_value").alias("value_max"),
+    )
