@@ -114,3 +114,47 @@ def test_stratified_sample_no_global_sort(spark, sf_dir):
     plan = plan_of(q(spark, sf_dir, "sample_stratified_systematic"))
     assert "Exchange rangepartitioning" not in plan  # per-stratum sort only
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    # EXISTS must stay a semi join (stop at first match, no fan-out) and
+    # the order-date window must reach the orders scan.
+    plan = plan_of(q(spark, sf_dir, "tpch_q4_priority_exists"))
+    assert "LeftSemi" in plan
+    assert "o_orderdate" in plan.split("PushedFilters:")[1][:300]
+
+
+def test_q13_left_outer_keeps_zero_bucket(spark, sf_dir):
+    # An inner join would silently drop zero-order customers; pin LeftOuter
+    # plus the two-level aggregate (per-customer, then histogram).
+    plan = plan_of(q(spark, sf_dir, "tpch_q13_order_histogram"))
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+
+
+def test_q16_denylist_is_broadcast_anti_join(spark, sf_dir):
+    # NOT IN over a tiny denylist must not shuffle the fact table.
+    plan = plan_of(q(spark, sf_dir, "tpch_q16_supplier_variety"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q19_disjunction_derives_scan_filters(spark, sf_dir):
+    # CNF conversion should derive single-table filter prefixes from the
+    # OR'd branches: the part scan gets a brand/size filter, and there is
+    # no cartesian product anywhere.
+    plan = plan_of(q(spark, sf_dir, "tpch_q19_disjunctive_bands"))
+    assert "CartesianProduct" not in plan
+    part_scan = [s for s in plan.split("FileScan parquet") if "part.parquet" in s]
+    assert part_scan and "p_brand" in part_scan[0].split("PushedFilters:")[1][:400]
+
+
+def test_q22_scalar_avg_is_broadcast_not_collect(spark, sf_dir):
+    # The global-average threshold rides a one-row broadcast join; the
+    # no-recent-orders check is an anti join on a 2-column orders scan.
+    plan = plan_of(q(spark, sf_dir, "tpch_q22_anti_prospects"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+    orders_scan = [s for s in plan.split("FileScan parquet") if "orders.parquet" in s]
+    assert orders_scan
+    cols = {c.split("#")[0].strip() for c in orders_scan[0].split("]")[0].strip(" [").split(",")}
+    assert cols <= {"o_custkey", "o_orderdate"}, cols
