@@ -1,0 +1,163 @@
+"""Event-analytics workloads over the `events` stream table (batch side).
+
+The reference has no event data at all -- its closest surface is the
+profiling DAG's per-table stats (finalprojectpandasprofiling.py:41-55).
+These queries add the canonical product-analytics shapes every
+large-scale event pipeline needs: cohort retention, strict ordered
+funnels, and market-basket co-occurrence -- each expressed so the heavy
+shuffles key on `user_id` / `l_orderkey` (the natural partitioning) and
+each checked against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.readers import read_parquet_table as t
+from . import register
+
+# ------------------------------------------------------------------ cohorts
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_day,
+           CAST(FLOOR(date_diff('day', cohort_day, CAST(ts AS DATE)) / 7)
+                AS INT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen day, activity
+    counted per week offset. The first-seen aggregate and the join back
+    both hash on user_id -- one partitioning reused across stages; the
+    cohort matrix output is O(days x weeks), never O(events)."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    return (
+        e.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("cohort_day")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# ------------------------------------------------------------------ funnels
+
+
+@register(
+    "funnel_strict_order",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 'step1_view' AS step, COUNT(*) AS users FROM v
+    UNION ALL SELECT 'step2_click', COUNT(*) FROM c
+    UNION ALL SELECT 'step3_purchase', COUNT(*) FROM p
+    """,
+)
+def funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel (view -> click AFTER the first view ->
+    purchase AFTER that click). Each step is a conditional-min aggregate
+    joined back on user_id: three stages sharing one hash partitioning,
+    no window over the full event stream, no per-user collect."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    count_of = lambda df, label: df.agg(  # noqa: E731
+        F.lit(label).alias("step"), F.count(F.lit(1)).alias("users")
+    )
+    return (
+        count_of(v, "step1_view")
+        .unionByName(count_of(c, "step2_click"))
+        .unionByName(count_of(p, "step3_purchase"))
+    )
+
+
+# ------------------------------------------------------------- market basket
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in >=3
+    orders. Baskets are DISTINCT'd first so the self-join fan-out is
+    C(distinct_parts, 2) per order, not C(lines, 2); the a<b ordering
+    halves the pair space. At 100 TB the guard is basket-size capping
+    (drop orders with pathological line counts before the self-join) --
+    basket sizes here are bounded by construction."""
+    basket = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = basket.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, (a.k == b.k) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )

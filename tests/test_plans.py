@@ -158,3 +158,12 @@ def test_q22_scalar_avg_is_broadcast_not_collect(spark, sf_dir):
     assert orders_scan
     cols = {c.split("#")[0].strip() for c in orders_scan[0].split("]")[0].strip(" [").split(",")}
     assert cols <= {"o_custkey", "o_orderdate"}, cols
+
+
+def test_event_analytics_join_shapes(spark, sf_dir):
+    # cohort join-back of the per-user firsts is a hash join (broadcast at
+    # this scale), never a cartesian; basket self-join is equi on orderkey.
+    for name in ("cohort_retention", "market_basket_pairs"):
+        plan = plan_of(q(spark, sf_dir, name))
+        assert "CartesianProduct" not in plan, name
+        assert "Join" in plan, name
