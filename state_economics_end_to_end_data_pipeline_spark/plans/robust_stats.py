@@ -1,0 +1,180 @@
+"""Robust statistics / data-quality diagnostics.
+
+Extends the reference's profiling surface (finalprojectpandasprofiling.py
+:41-55 renders per-table stats for human review) with the operational
+checks a pipeline runs automatically at scale: per-group outlier
+detection, hot-key skew reporting (the thing that kills shuffles at
+100 TB), and winsorized aggregates. Variance goes through decimal-exact
+sufficient statistics (sum, sum-of-squares) so every number is
+partition-order-independent and matches the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.readers import read_parquet_table as t
+from . import register
+
+# ------------------------------------------------------------- outliers
+
+
+@register(
+    "outlier_zscore_per_group",
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag,
+             COUNT(l_extendedprice) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS s1,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS s2
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    bounds AS (
+      SELECT l_returnflag, n, s1 / n AS mean,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
+      FROM stats
+    )
+    SELECT b.l_returnflag, b.n, b.mean, b.std,
+           COUNT(CASE WHEN abs(l.l_extendedprice - b.mean) > 3 * b.std
+                 THEN 1 END) AS n_outliers
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    GROUP BY b.l_returnflag, b.n, b.mean, b.std
+    """,
+)
+def outlier_zscore_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3-sigma outlier count. Mean/std come from decimal-exact
+    sufficient statistics (one aggregate pass), broadcast back onto the
+    fact for the flagging pass -- two scans, zero fact-sized shuffles,
+    and the output is O(groups) regardless of input size."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    # prices sit exactly on the cent grid: DECIMAL(18,2) is a lossless
+    # lift, so the square and both sums are computed fully in decimal --
+    # no double->decimal rounding anywhere (that rounding is
+    # engine-dependent: Java shortest-repr vs exact binary expansion).
+    xd = x.cast("decimal(18,2)")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count("l_extendedprice").alias("n"),
+        F.sum(x.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum(xd * xd).cast("double").alias("s2"),
+    )
+    bounds = stats.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag", "n", "mean", "std")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("l_extendedprice") - F.col("mean"))
+                    > 3 * F.col("std"),
+                    F.lit(1),
+                )
+            ).alias("n_outliers")
+        )
+    )
+
+
+# ------------------------------------------------------------ key skew
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    total AS (SELECT COUNT(*) AS n_total FROM orders)
+    SELECT o_custkey, n_orders,
+           CAST(n_orders AS DOUBLE) / n_total AS share
+    FROM counts, total
+    ORDER BY n_orders DESC, o_custkey ASC
+    LIMIT 20
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnosis: top-20 join/shuffle keys by row count with
+    share-of-total -- the report that decides whether a key needs
+    salting or AQE skew-join before a run at full scale. Deterministic
+    top-k (count desc, key asc tie-break) via TakeOrdered, no global
+    sort; the total rides a one-row broadcast."""
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = o.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "o_custkey",
+            "n_orders",
+            (F.col("n_orders").cast("double") / F.col("n_total")).alias("share"),
+        )
+        .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------- winsorizing
+
+
+@register(
+    "winsorized_mean_per_group",
+    oracle="""
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS p01,
+             quantile_cont(l_extendedprice, 0.99) AS p99
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(CASE WHEN l_extendedprice < p01 THEN 1 END) AS n_low,
+           COUNT(CASE WHEN l_extendedprice > p99 THEN 1 END) AS n_high,
+           CAST(SUM(CAST(
+             CASE WHEN l_extendedprice < p01 THEN p01
+                  WHEN l_extendedprice > p99 THEN p99
+                  ELSE l_extendedprice END AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(l_extendedprice) AS winsorized_mean
+    FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def winsorized_mean_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean: clamp each group's tails at its own exact
+    p01/p99 before averaging -- the outlier-robust aggregate for noisy
+    measures. The exact-percentile pass is the expensive part (sort-based
+    per group); its O(groups) output broadcasts back for a single
+    clamping aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+    )
+    x = F.col("l_extendedprice")
+    clamped = (
+        F.when(x < F.col("p01"), F.col("p01"))
+        .when(x > F.col("p99"), F.col("p99"))
+        .otherwise(x)
+    )
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(x < F.col("p01"), F.lit(1))).alias("n_low"),
+            F.count(F.when(x > F.col("p99"), F.lit(1))).alias("n_high"),
+            (
+                F.sum(clamped.cast("decimal(38,6)")).cast("double")
+                / F.count("l_extendedprice")
+            ).alias("winsorized_mean"),
+        )
+    )

@@ -167,3 +167,11 @@ def test_event_analytics_join_shapes(spark, sf_dir):
         plan = plan_of(q(spark, sf_dir, name))
         assert "CartesianProduct" not in plan, name
         assert "Join" in plan, name
+
+
+def test_outlier_bounds_broadcast_back(spark, sf_dir):
+    # O(groups) bounds must broadcast onto the fact: flagging pass adds
+    # no fact-sized shuffle beyond the two stats aggregates.
+    plan = plan_of(q(spark, sf_dir, "outlier_zscore_per_group"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
