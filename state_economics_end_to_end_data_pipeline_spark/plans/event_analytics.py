@@ -161,3 +161,77 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 3)
     )
+
+
+# ------------------------------------------------------------- gap filling
+
+
+@register(
+    "timeseries_gapfill_ffill",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS h0,
+             max(date_trunc('hour', ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds, (SELECT DISTINCT event_type FROM events)
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM events WHERE value > 30 GROUP BY 1, 2
+    )
+    SELECT s.event_type,
+           strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           h.total IS NULL AS was_gap,
+           last_value(h.total IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_ffill
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hour = h.hour
+    """,
+)
+def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly calendar spine per series
+    (sequence + explode -- generated distributed, never driver-side),
+    left-joined to the hourly aggregate, missing hours forward-filled
+    with last(ignorenulls). The spine is O(series x hours) and the fill
+    window partitions by series -- no global sort, no driver loop."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        e.select("event_type").distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    hourly = (
+        e.filter(F.col("value") > 30)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left_outer")
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("total").isNull().alias("was_gap"),
+            F.last("total", ignorenulls=True).over(w).alias("total_ffill"),
+        )
+    )

@@ -749,3 +749,86 @@ def simhash_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "simhash")
     )
+
+
+@register(
+    "udtf_term_doc_freq",
+    oracle="""
+    SELECT term,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    )
+    GROUP BY term
+    HAVING COUNT(*) >= 100
+    """,
+)
+def udtf_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: LATERAL term_explode(text) expands each doc
+    into (term, pos) rows inside the Python runner (streaming out, no
+    per-row list materialization), then a plain JVM-side aggregate builds
+    the document-frequency table. The UDTF is the pattern for custom
+    parsers; for a plain whitespace split prefer explode(split(...)) --
+    kept Python-side here precisely to exercise the table-function API."""
+    from ..functions.tables import register_udtfs
+
+    register_udtfs(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT t.term,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM docs_udtf, LATERAL term_explode(text) t
+        GROUP BY t.term
+        HAVING COUNT(*) >= 100
+        """
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           list_max(list_transform(v,
+             x -> abs(x - greatest(least(floor(x / scale + 0.5), 127), -127)
+                          * scale))) AS max_abs_err,
+           len(list_filter(v,
+             x -> abs(floor(x / scale + 0.5)) >= 127)) AS n_saturated
+    FROM q
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (per-vector absmax scale), reported as
+    reconstruction error + saturation count per vector -- the storage
+    path that cuts an embedding corpus 4x before ANN indexing. All math
+    in double with explicit floor(x+0.5) rounding so the result is
+    bit-identical across engines (round() half-even vs half-up differs);
+    everything stays JVM-side in array higher-order functions."""
+    e = t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))) / 127
+    q = e.select("vec_id", scale.alias("scale"), v.alias("v"))
+    qcode = lambda x: F.greatest(  # noqa: E731
+        F.least(F.floor(x / F.col("scale") + 0.5), F.lit(127.0)), F.lit(-127.0)
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_max(
+            F.transform("v", lambda x: F.abs(x - qcode(x) * F.col("scale")))
+        ).alias("max_abs_err"),
+        F.size(
+            F.filter("v", lambda x: F.abs(F.floor(x / F.col("scale") + 0.5)) >= 127)
+        ).cast("long").alias("n_saturated"),
+    )

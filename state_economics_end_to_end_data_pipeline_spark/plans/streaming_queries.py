@@ -17,6 +17,7 @@ from ..streaming.events import (
     read_events_stream,
     run_available_now,
     session_windows,
+    sliding_counts,
     stateful_user_totals,
     stream_dedup,
     tumbling_counts,
@@ -205,4 +206,32 @@ def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("n_events").cast("long").alias("n_events"),
         F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "stream_sliding_windows",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts) - (k * INTERVAL 1 HOUR),
+                    '{_TS_FMT_DUCK}') AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (2h length, 1h slide): every event
+    belongs to exactly 2 overlapping windows. The oracle states the same
+    assignment in batch SQL -- each event re-keyed to both hour-aligned
+    window starts that contain it."""
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        sliding_counts(stream, "2 hours", "1 hour"), output_mode="complete"
+    )
+    return out.select(
+        F.date_format("window.start", _TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
     )

@@ -86,6 +86,29 @@ def session_windows(
     )
 
 
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding event-time windows: each event lands in window/slide
+    overlapping windows (2 here). State cost scales with that overlap
+    factor times the tumbling equivalent -- the reason production
+    pipelines prefer tumbling + downstream re-aggregation when the
+    consumer tolerates it."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def stream_dedup(stream: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: drops repeats of ``keys`` arriving within the
     watermark horizon -- state is bounded by the watermark, unlike a plain
