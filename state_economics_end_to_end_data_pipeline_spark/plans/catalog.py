@@ -1872,3 +1872,58 @@ def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("prop_value").alias("value_min"),
         F.max("prop_value").alias("value_max"),
     )
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH log AS (
+      SELECT user_id AS key, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    )
+    SELECT l.key AS user_id, l.value AS last_value, c.n_changes
+    FROM latest l
+    JOIN (SELECT key, COUNT(*) AS n_changes FROM log GROUP BY key) c
+      ON l.key = c.key
+    WHERE l.op <> 'D'
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: collapse an insert/update/delete changelog to the
+    current snapshot -- latest op per key wins (ordered by ts with
+    event_id as the total-order tie-break; a partial order here silently
+    corrupts the snapshot), keys whose last op is a delete disappear.
+    This is the incremental replacement for the reference's full-refresh
+    DELETE+COPY loads (DAG1:272-290): one shuffle on the key, state
+    O(keys). The change-count join reuses the same hash partitioning."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    log = e.select(
+        F.col("user_id").alias("key"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    changes = log.groupBy("key").agg(F.count(F.lit(1)).alias("n_changes"))
+    return (
+        latest.filter(F.col("op") != "D")
+        .join(changes, "key")
+        .select(
+            F.col("key").alias("user_id"),
+            F.col("value").alias("last_value"),
+            "n_changes",
+        )
+    )

@@ -832,3 +832,97 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter("v", lambda x: F.abs(F.floor(x / F.col("scale") + 0.5)) >= 127)
         ).cast("long").alias("n_saturated"),
     )
+
+
+_CURATION_FILLER = ("row", "value", "table", "data")
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, text,
+             string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, source, text,
+             len(toks) AS n_tokens,
+             CAST(len(list_filter(toks,
+                  t -> t IN {_CURATION_FILLER!r})) AS DOUBLE)
+               / len(toks) AS filler_ratio
+      FROM toks
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE lang IN ('en', 'de', 'fr', 'es')
+        AND n_tokens >= 30
+        AND filler_ratio <= 0.35
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(CAST(n_tokens AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*) AS avg_tokens,
+           CAST(SUM(CAST(filler_ratio AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*) AS avg_filler_ratio
+    FROM deduped GROUP BY lang
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus curation shape, composed from the
+    catalog's individual operators in ONE lineage: language filter ->
+    token/quality scoring (JVM-side array functions, no Python) -> exact
+    content dedup (md5 keep-first) -> per-language survivor stats. At
+    100 TB each stage stays narrow until the dedup shuffle on the content
+    hash; the final stats are O(langs). Near-dup removal (MinHash) chains
+    after the exact pass in production -- checked separately
+    (minhash_lsh_pairs, dedup_cluster_survivors)."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*_CURATION_FILLER))).cast("double")
+            / F.size(toks)
+        ).alias("filler_ratio"),
+    )
+    kept = scored.filter(
+        F.col("lang").isin("en", "de", "fr", "es")
+        & (F.col("n_tokens") >= 30)
+        & (F.col("filler_ratio") <= 0.35)
+    )
+    deduped = (
+        kept.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        (
+            F.sum(F.col("n_tokens").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_tokens"),
+        (
+            F.sum(F.col("filler_ratio").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_filler_ratio"),
+    )
