@@ -120,3 +120,23 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_within_by)
     out.write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Incremental publish: overwrite ONLY the partitions present in
+    ``df``, leaving all others untouched -- the scale path that replaces
+    the reference's full-refresh DELETE+COPY (DAG1:272-290) when a
+    monthly run touches one month of a years-deep table. Static overwrite
+    (the default) would drop the entire root first; dynamic mode diffs at
+    the partition-directory level. The session conf is scoped and
+    restored so batch jobs sharing the session keep static semantics."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)

@@ -251,3 +251,46 @@ def test_runtime_bloom_filter_prunes_before_shuffle(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
+def test_dynamic_partition_overwrite_touches_only_present_partitions(
+    spark, sf_dir, tmp_path
+):
+    from state_economics_end_to_end_data_pipeline_spark.io.writers import (
+        overwrite_partitions_dynamic,
+        write_parquet,
+    )
+
+    path = str(tmp_path / "orders_by_status")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    write_parquet(o, path, partition_by=["o_orderstatus"])
+    before = {
+        r["o_orderstatus"]: r["n"]
+        for r in spark.read.parquet(path).groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert len(before) >= 2
+
+    # incremental run: rewrite ONE partition with halved data
+    some_status = sorted(before)[0]
+    patch = o.filter(F.col("o_orderstatus") == some_status).limit(
+        before[some_status] // 2
+    )
+    overwrite_partitions_dynamic(patch, path, ["o_orderstatus"])
+
+    after = {
+        r["o_orderstatus"]: r["n"]
+        for r in spark.read.parquet(path).groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert after[some_status] == before[some_status] // 2  # patched
+    for s in before:
+        if s != some_status:
+            assert after[s] == before[s]  # untouched partitions intact
+    # scoped conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+        == "STATIC"
+    )
