@@ -520,3 +520,331 @@ def tpch_q22_anti_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------- Q6 shape
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= CAST(0.05 AS DOUBLE)
+      AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table scan-filter-aggregate, the purest pushdown
+    probe in the suite. All three predicates are parquet-pushable
+    (min/max row-group pruning on l_shipdate); no shuffle at all --
+    partial sums combine into one final row. Replaces the reference's
+    full-load-then-carve pattern (DAG1:45) with scan-time filtering."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------- Q2 shape
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    eur AS (
+      SELECT s_suppkey, s_acctbal, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p_partkey, p_brand, s_suppkey, s_acctbal, s_name, n_name
+      FROM part
+      JOIN supply ON l_partkey = p_partkey
+      JOIN eur ON l_suppkey = s_suppkey
+      WHERE p_size = 9 AND p_type = 'ECONOMY'
+    ),
+    best AS (
+      SELECT p_partkey AS bk, MIN(s_acctbal) AS min_bal
+      FROM cand GROUP BY p_partkey
+    )
+    SELECT p_partkey, p_brand, s_suppkey, s_name, n_name, s_acctbal
+    FROM cand JOIN best ON p_partkey = bk AND s_acctbal = min_bal
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part argmin over qualified suppliers. The
+    driver schema has no partsupp, so the supply relation is derived as
+    DISTINCT (l_partkey, l_suppkey) -- one fact-sized shuffle -- and
+    s_acctbal stands in for ps_supplycost. The correlated MIN subquery is
+    decorrelated into a per-part aggregate joined back on value equality
+    (exact: both sides compare the identical stored double). Supplier /
+    nation / region qualify via broadcast; ties on the min balance keep
+    every winning supplier, so no nondeterministic LIMIT is needed."""
+    supply = (
+        t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 9) & (F.col("p_type") == "ECONOMY")
+    )
+    cand = (
+        supply.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("bk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            F.broadcast(best),
+            (cand.p_partkey == F.col("bk"))
+            & (cand.s_acctbal == F.col("min_bal")),
+        )
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+
+
+# --------------------------------------------------------------- Q9 shape
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - CAST(0.5 AS DOUBLE) * p_retailprice * l_quantity
+                    AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN part     ON p_partkey  = l_partkey
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier-nation and order year for parts
+    matching a name pattern. ps_supplycost does not exist in the driver
+    schema, so cost is modeled as half the part's retail price per unit.
+    The p_name LIKE filter prunes part BEFORE the join (Catalyst pushes
+    it into the scan), and part/supplier/nation broadcast -- the only
+    fact-sized shuffle is lineitem-orders on orderkey, then the group-by
+    reshuffles O(nations x years) partials."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(exact_sum(profit).alias("sum_profit"))
+    )
+
+
+# -------------------------------------------------------------- Q11 shape
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS part_value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM val
+    WHERE part_value >
+      (SELECT CAST(0.001 AS DOUBLE)
+              * CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE)
+       FROM val)
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stocked value in one nation exceeds a
+    fraction of that nation's total. The global-total scalar subquery
+    becomes a 1-row broadcast cross join against the per-part aggregate
+    (computed once, reused for both sides). The rollup of per-part
+    doubles goes back through decimal so the grand total is identical on
+    any partition layout -- a plain double re-sum would make the
+    threshold itself nondeterministic."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    li = t(spark, sf_dir, "lineitem")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(exact_sum("l_extendedprice").alias("part_value"))
+    )
+    total = val.agg(
+        (F.lit(0.001) * exact_sum("part_value")).alias("threshold")
+    )
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+# -------------------------------------------------------------- Q20 shape
+
+
+@register(
+    "tpch_q20_promotable_suppliers",
+    oracle="""
+    WITH perss AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    perp AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(supp_qty AS DECIMAL(38,6))) AS DOUBLE) AS part_qty
+      FROM perss GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name, n_name
+    FROM perss
+    JOIN perp ON l_partkey = pk
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE 'small%'
+      AND supp_qty > CAST(0.5 AS DOUBLE) * part_qty
+    """,
+)
+def tpch_q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominated (>50%% share of) a
+    promoted part's annual volume. availqty has no driver-schema analog,
+    so the excess-stock predicate becomes a share-of-part comparison
+    between two stacked aggregates: per-(supplier,part) quantity, then
+    per-part totals rolled up FROM the first aggregate (no second scan
+    of the fact). The DISTINCT at the end is the semi-join: a supplier
+    qualifies once no matter how many parts it dominates."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    perss = li.groupBy("l_suppkey", "l_partkey").agg(
+        exact_sum("l_quantity").alias("supp_qty")
+    )
+    perp = perss.groupBy(F.col("l_partkey").alias("pk")).agg(
+        exact_sum("supp_qty").alias("part_qty")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        perss.join(perp, perss.l_partkey == perp.pk)
+        .join(F.broadcast(p), perss.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), perss.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .filter(F.col("supp_qty") > F.lit(0.5) * F.col("part_qty"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
+
+
+# -------------------------------------------------------------- Q21 shape
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey  = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole late supplier in multi-supplier finished
+    orders (lateness = shipped >60 days after order date, standing in for
+    receipt-after-commit). The classic EXISTS / NOT EXISTS double
+    self-join is decorrelated into ONE per-order aggregate -- distinct
+    suppliers and distinct LATE suppliers per order -- then late lines
+    keep rows where n_supp > 1 and the late set is exactly themselves.
+    One shuffle of the fact instead of three self-join shuffles; at
+    100 TB the self-join formulation is strictly dominated."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    ord_agg = lines.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    return (
+        lines.filter(F.col("is_late"))
+        .join(ord_agg, F.col("l_orderkey") == F.col("agg_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
