@@ -120,7 +120,7 @@ def lsh_candidate_pairs(
 
 def jaccard_pairs(
     df: DataFrame,
-    text_col: str = "doc_id",
+    text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
@@ -130,7 +130,12 @@ def jaccard_pairs(
     explode distinct shingles, self-join on shingle (pairs meet only where
     they share a gram), count intersections, derive union from set sizes.
     ``block_col`` restricts pairs to the same block (e.g. a source or an
-    LSH bucket) -- the scale lever."""
+    LSH bucket) -- the scale lever.
+
+    The persisted shingle index lives until the returned frame has been
+    materialized; callers running inside a long session should call
+    ``spark.catalog.clearCache()`` (or unpersist via the returned plan's
+    lineage) after consuming the result."""
     # persist: the inverted index feeds BOTH self-join sides and the
     # per-doc size aggregate -- without it the explode+dedup runs 3x.
     sh = (

@@ -39,6 +39,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit vector (array<double>) -- pure JVM transform/aggregate; the
+    production path for normalization (the pandas_udf variant in
+    plans/extensions.py exists to exercise the Arrow boundary). The norm
+    is the same sequential left-fold as ``dot``, so components are
+    bit-identical to the Python and DuckDB forms."""
+    nrm = F.sqrt(norm2(a))
+    return F.transform(a, lambda x: x.cast("double") / nrm)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

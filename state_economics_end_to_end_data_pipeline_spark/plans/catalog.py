@@ -777,7 +777,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, COUNT(gap_us) AS n_gaps,
-           SUM(gap_us) AS total_gap_us, MAX(gap_us) AS max_gap_us
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us, MAX(gap_us) AS max_gap_us
     FROM g GROUP BY user_id
     """,
 )
@@ -810,14 +810,72 @@ def window_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles per group (percentile, the exact
-    sort-based aggregate -- percentile_approx is the sketch variant for
-    the 100 TB path, checked separately without an oracle)."""
+    """ORACLE-PARITY VARIANT: exact interpolated quantiles (percentile
+    buffers every group value in executor memory -- an OOM at 100 TB).
+    It exists so the cross-engine check is bit-exact; the production
+    default is quantiles_grouped_approx (GK sketch, bounded memory),
+    property-tested against this one in tests/test_robust_stats.py."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
         F.percentile("l_quantity", F.lit(0.5)).alias("q50"),
         F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+    )
+
+
+@register(
+    "quantiles_grouped_approx",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantiles_grouped_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION quantiles: percentile_approx (Greenwald-Khanna sketch,
+    bounded memory per group -- the only shape that survives 100 TB).
+    The sketch guarantees rank error <= n/accuracy, and that property is
+    itself exactly checkable at any scale with two COUNTs per cut -- no
+    exact percentile anywhere, even in the verification: each returned
+    cut q must satisfy count(x < q)/n <= p + eps and
+    count(x <= q)/n >= p - eps (two-sided to be tie-safe). The oracle
+    asserts the booleans."""
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_quantity",
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.lit(10000),
+        ).alias("qs")
+    )
+    q25, q50, q75 = (F.col("qs")[i] for i in range(3))
+    joined = li.join(
+        F.broadcast(cuts.select("l_returnflag", q25.alias("q25"),
+                                q50.alias("q50"), q75.alias("q75"))),
+        "l_returnflag",
+    )
+    x = F.col("l_quantity")
+    agg = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            c
+            for p, qc in (("25", "q25"), ("50", "q50"), ("75", "q75"))
+            for c in (
+                F.count(F.when(x < F.col(qc), 1)).alias(f"lt{p}"),
+                F.count(F.when(x <= F.col(qc), 1)).alias(f"le{p}"),
+            )
+        ],
+    )
+    eps = 0.005
+    def ok(p: float, tag: str):  # noqa: E306
+        n = F.col("n").cast("double")
+        return (
+            (F.col(f"lt{tag}") / n <= F.lit(p + eps))
+            & (F.col(f"le{tag}") / n >= F.lit(p - eps))
+        ).alias(f"q{tag}_ok")
+
+    return agg.select(
+        "l_returnflag", "n", ok(0.25, "25"), ok(0.5, "50"), ok(0.75, "75")
     )
 
 
@@ -874,20 +932,28 @@ def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "collect_sorted_list",
     oracle="""
-    SELECT r_regionkey, list_sort(list(DISTINCT n_name)) AS nations
+    SELECT r_regionkey,
+           array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nations
     FROM region JOIN nation ON n_regionkey = r_regionkey
     GROUP BY r_regionkey
     """,
 )
 def collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic array aggregation: collect_set + array_sort (plain
-    collect_list order is partition-dependent -- never publish it)."""
+    collect_list order is partition-dependent -- never publish it).
+    Emitted as a '|'-joined string: the harness canonicalizes results via
+    pandas sort+hash, which cannot hash raw list cells -- the array-typed
+    variant of this plan is exercised in tests/test_catalog_golden.py."""
     r = t(spark, sf_dir, "region")
     n = t(spark, sf_dir, "nation")
     return (
         r.join(n, n.n_regionkey == r.r_regionkey)
         .groupBy("r_regionkey")
-        .agg(F.array_sort(F.collect_set("n_name")).alias("nations"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("n_name")), "|"
+            ).alias("nations")
+        )
     )
 
 
@@ -975,16 +1041,46 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ sketches
 
 
-@register("sketch_distinct_approx", oracle=None)
+@register(
+    "sketch_distinct_approx",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS distinct_within_5pct,
+           TRUE AS median_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def sketch_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for the 100 TB path (HLL++ approx distinct,
-    approx percentiles): algorithm-specific results, so no cross-engine
-    oracle -- the driver records a rows-only check; exactness is covered
-    by the paired exact queries (profile_numeric, quantiles_grouped)."""
+    approx percentiles). Sketch outputs are algorithm-specific, so the
+    cross-engine check is a BOUNDS check: emit the exact value plus
+    booleans asserting the sketch landed within 5% of it; the oracle
+    states the exact value and TRUE. (The exact aggregates here exist to
+    judge the sketches -- the production path at scale is the sketch
+    alone.)"""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        # rsd=0.01: the 5% assertion below sits at ~5 sigma -- the default
+        # rsd=0.05 sketch genuinely misses 5% at 1 sigma (observed at sf0.01).
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("exact_median"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        ),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("distinct_within_5pct"),
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            <= 0.05 * F.col("exact_median")
+        ).alias("median_within_5pct"),
     )
 
 
@@ -1089,6 +1185,36 @@ def grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_orderkey", "l_linenumber", "l_quantity").groupBy(
         "l_orderkey"
     ).applyInPandas(norm, schema="l_orderkey long, l_linenumber int, qty_norm double")
+
+
+@register(
+    "grouped_minmax_norm_window",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN mx = mn THEN 0.5 ELSE (l_quantity - mn) / (mx - mn) END AS qty_norm
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             MIN(l_quantity) OVER (PARTITION BY l_orderkey) AS mn,
+             MAX(l_quantity) OVER (PARTITION BY l_orderkey) AS mx
+      FROM lineitem WHERE l_orderkey <= 600
+    )
+    """,
+)
+def grouped_minmax_norm_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION twin of grouped_minmax_norm: per-group min-max via
+    window functions -- pure JVM, whole-stage-codegen'd, one shuffle on
+    the group key, no Arrow boundary, no Python workers. Same answer as
+    the applyInPandas variant (which exists to exercise the grouped-map
+    API); this is the plan to run at 100 TB."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 600)
+    w = Window.partitionBy("l_orderkey")
+    mn, mx = F.min("l_quantity").over(w), F.max("l_quantity").over(w)
+    qty_norm = F.when(mx == mn, F.lit(0.5)).otherwise(
+        (F.col("l_quantity") - mn) / (mx - mn)
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", qty_norm.cast("double").alias("qty_norm")
+    )
 
 
 # ------------------------------------------------ multi-join workloads (TPC-H)
@@ -1848,7 +1974,7 @@ def upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT prop_key,
            COUNT(*) AS n_events,
-           SUM(prop_value) AS value_total,
+           CAST(SUM(prop_value) AS BIGINT) AS value_total,
            MIN(prop_value) AS value_min,
            MAX(prop_value) AS value_max
     FROM kv GROUP BY prop_key

@@ -27,7 +27,7 @@ from . import register
       SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
       FROM events GROUP BY user_id
     )
-    SELECT cohort_day,
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
            CAST(FLOOR(date_diff('day', cohort_day, CAST(ts AS DATE)) / 7)
                 AS INT) AS week_offset,
            COUNT(DISTINCT e.user_id) AS active_users
@@ -39,7 +39,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by first-seen day, activity
     counted per week offset. The first-seen aggregate and the join back
     both hash on user_id -- one partitioning reused across stages; the
-    cohort matrix output is O(days x weeks), never O(events)."""
+    cohort matrix output is O(days x weeks), never O(events). The cohort
+    day is published as a yyyy-MM-dd string: Spark dates surface in
+    pandas as object cells while DuckDB dates arrive as datetime64, and
+    the harness hashes those differently even when equal."""
     e = t(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("cohort_day")
@@ -55,6 +58,11 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"),
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "week_offset",
+            "active_users",
+        )
     )
 
 

@@ -578,10 +578,18 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_l2_normalize",
     oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings WHERE vec_id < 200
+    )
     SELECT vec_id,
-           list_transform(embedding,
-             x -> CAST(x AS DOUBLE) / sqrt({_dot_sql('embedding', 'embedding')})) AS unit_vec
-    FROM embeddings WHERE vec_id < 200
+           array_to_string(list_transform(embedding,
+             x -> CAST(CAST(floor(CAST(x AS DOUBLE) / nrm
+                                  * CAST(1e9 AS DOUBLE)
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                       AS VARCHAR)), '|') AS unit_vec_nano
+    FROM n
     """,
 )
 def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,25 +597,63 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-wise math the built-ins cover awkwardly): L2-normalize embeddings.
     The norm is a sequential left-fold, matching the JVM aggregate() and
     the DuckDB list_reduce bit-for-bit (numpy pairwise summation would
-    drift in the last ulp)."""
+    drift in the last ulp). Components are published as '|'-joined
+    nano-unit integers (floor(x*1e9+0.5) -- identical IEEE double ops in
+    Python/JVM/DuckDB) because the harness canonicalizer cannot hash raw
+    list cells; the array<double> form is covered by
+    embedding_l2_normalize_jvm's pytest golden."""
     import math
 
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<double>")
-    def l2_normalize(vecs: pd.Series) -> pd.Series:
+    @pandas_udf("string")
+    def l2_normalize_nano(vecs: pd.Series) -> pd.Series:
         def norm_one(v):
             acc = 0.0
             for x in v:
                 xd = float(x)
                 acc += xd * xd
             n = math.sqrt(acc)
-            return [float(x) / n for x in v]
+            return "|".join(
+                str(math.floor(float(x) / n * 1e9 + 0.5)) for x in v
+            )
 
         return vecs.map(norm_one)
 
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return emb.select("vec_id", l2_normalize("embedding").alias("unit_vec"))
+    return emb.select("vec_id", l2_normalize_nano("embedding").alias("unit_vec_nano"))
+
+
+@register(
+    "embedding_l2_normalize_jvm",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings WHERE vec_id < 200
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(embedding,
+             x -> CAST(CAST(floor(CAST(x AS DOUBLE) / nrm
+                                  * CAST(1e9 AS DOUBLE)
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                       AS VARCHAR)), '|') AS unit_vec_nano
+    FROM n
+    """,
+)
+def embedding_l2_normalize_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production L2-normalize: pure JVM transform/aggregate (zero
+    Python boundary, stays inside whole-stage codegen) -- the plan to run
+    at 100 TB. Same nano-unit string output as the pandas_udf variant so
+    the two are directly comparable in the harness and the bench."""
+    from ..operators.similarity import l2_normalize
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    nano = F.transform(
+        l2_normalize(F.col("embedding")),
+        lambda u: F.floor(u * F.lit(1e9) + F.lit(0.5)).cast("long").cast("string"),
+    )
+    return emb.select("vec_id", F.array_join(nano, "|").alias("unit_vec_nano"))
 
 
 @register(

@@ -150,11 +150,13 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def winsorized_mean_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winsorized mean: clamp each group's tails at its own exact
-    p01/p99 before averaging -- the outlier-robust aggregate for noisy
-    measures. The exact-percentile pass is the expensive part (sort-based
-    per group); its O(groups) output broadcasts back for a single
-    clamping aggregate."""
+    """ORACLE-PARITY VARIANT: winsorized mean with exact p01/p99 cuts.
+    Exact percentile buffers all group values in executor memory -- the
+    classic OOM at 100 TB -- so this entry exists only for the bit-exact
+    cross-engine check. The production default is
+    winsorized_mean_per_group_approx (sketch cuts, bounded memory),
+    bounds-checked against this one both in its own oracle and in
+    tests/test_robust_stats.py."""
     li = t(spark, sf_dir, "lineitem")
     cuts = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
@@ -177,4 +179,60 @@ def winsorized_mean_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("l_extendedprice")
             ).alias("winsorized_mean"),
         )
+    )
+
+
+@register(
+    "winsorized_mean_per_group_approx",
+    oracle="""
+    SELECT l_returnflag, COUNT(l_extendedprice) AS n,
+           TRUE AS wmean_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def winsorized_mean_per_group_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION winsorized mean: clamp tails at percentile_approx
+    p01/p99 (Greenwald-Khanna sketch, bounded executor memory -- the
+    shape that survives 100 TB, unlike the exact-percentile parity
+    variant). Sketch cuts are engine-specific, so the cross-engine check
+    is a BOUNDS check like sketch_distinct_approx: the query also runs
+    the exact path and emits a boolean asserting the approx mean landed
+    within 1% of it; the oracle states the group count and TRUE. (The
+    exact branch exists only to judge the sketch -- production runs the
+    approx branch alone.)"""
+    li = t(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.01), F.lit(10000)).alias("a01"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("a99"),
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+    )
+    x = F.col("l_extendedprice")
+
+    def wmean(lo: str, hi: str):
+        clamped = (
+            F.when(x < F.col(lo), F.col(lo))
+            .when(x > F.col(hi), F.col(hi))
+            .otherwise(x)
+        )
+        return F.sum(clamped.cast("decimal(38,6)")).cast("double") / F.count(
+            "l_extendedprice"
+        )
+
+    agg = (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("l_extendedprice").alias("n"),
+            wmean("a01", "a99").alias("approx_wmean"),
+            wmean("p01", "p99").alias("exact_wmean"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (
+            F.abs(F.col("approx_wmean") - F.col("exact_wmean"))
+            <= 0.01 * F.abs(F.col("exact_wmean"))
+        ).alias("wmean_within_1pct"),
     )

@@ -95,7 +95,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stateful_user_totals",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events GROUP BY user_id
     """,
 )
@@ -140,7 +140,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id,
            COUNT(c.event_id) AS n_clicks_before,
-           SUM(epoch_us(p.ts) - epoch_us(c.ts)) AS total_lead_us
+           CAST(SUM(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS total_lead_us
     FROM events p JOIN events c
       ON p.event_type = 'purchase' AND c.event_type = 'click'
      AND c.user_id = p.user_id

@@ -1,0 +1,85 @@
+"""Approx-vs-exact property tests for the sketch production paths, and
+JVM-twin equivalence for the deliberate Python-boundary demos.
+
+The catalog's oracle-parity entries (exact percentile, pandas_udf
+normalize, applyInPandas min-max) pin cross-engine values; these tests
+pin the PRODUCTION variants to them, so the scale path is checked
+against the exact path on every run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from state_economics_end_to_end_data_pipeline_spark.io.readers import read_parquet_table
+from state_economics_end_to_end_data_pipeline_spark.operators.similarity import (
+    l2_normalize,
+    norm2,
+)
+from state_economics_end_to_end_data_pipeline_spark.plans import load_all
+
+QUERIES = load_all()
+
+
+def test_approx_quantiles_within_rank_tolerance(spark, sf_dir):
+    """percentile_approx cuts must satisfy the GK rank guarantee against
+    the exact data: count(x < q)/n <= p + eps and count(x <= q)/n >= p - eps."""
+    out = {
+        r["l_returnflag"]: r
+        for r in QUERIES["quantiles_grouped_approx"].fn(spark, sf_dir).collect()
+    }
+    assert out, "no groups returned"
+    for flag, row in out.items():
+        assert row["q25_ok"] and row["q50_ok"] and row["q75_ok"], (flag, row)
+
+
+def test_winsorized_approx_tracks_exact(spark, sf_dir):
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["winsorized_mean_per_group_approx"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["winsorized_mean"]
+        for r in QUERIES["winsorized_mean_per_group"].fn(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, row in approx.items():
+        assert row["wmean_within_1pct"], (flag, row)
+
+
+def test_minmax_norm_window_equals_pandas_variant(spark, sf_dir):
+    """The window-function production plan and the applyInPandas demo must
+    produce identical doubles (same subtraction/division per value)."""
+    jvm = QUERIES["grouped_minmax_norm_window"].fn(spark, sf_dir)
+    py = QUERIES["grouped_minmax_norm"].fn(spark, sf_dir)
+    # (l_orderkey, l_linenumber) is not unique in the synthetic lineitem,
+    # so compare as multisets (exact double equality), not via a key join
+    assert jvm.exceptAll(py).count() == 0
+    assert py.exceptAll(jvm).count() == 0
+
+
+def test_l2_normalize_jvm_equals_pandas_udf(spark, sf_dir):
+    """Bit-identical nano-unit strings from the codegen'd transform and
+    the Arrow-batched pandas_udf (same IEEE fold order end to end)."""
+    jvm = QUERIES["embedding_l2_normalize_jvm"].fn(spark, sf_dir)
+    py = QUERIES["embedding_l2_normalize"].fn(spark, sf_dir)
+    diff = (
+        jvm.withColumnRenamed("unit_vec_nano", "a")
+        .join(py.withColumnRenamed("unit_vec_nano", "b"), "vec_id", "full")
+        .filter(
+            F.col("a").isNull() | F.col("b").isNull() | (F.col("a") != F.col("b"))
+        )
+    )
+    assert diff.count() == 0
+
+
+def test_l2_normalize_produces_unit_vectors(spark, sf_dir):
+    """The array<double> form of the production normalizer: ||unit||^2 == 1
+    to double precision for every non-zero vector."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings").limit(500)
+    bad = (
+        emb.select(norm2(l2_normalize(F.col("embedding"))).alias("sq"))
+        .filter(F.abs(F.col("sq") - 1.0) > 1e-12)
+        .count()
+    )
+    assert bad == 0

@@ -294,3 +294,68 @@ def test_dynamic_partition_overwrite_touches_only_present_partitions(
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
         == "STATIC"
     )
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """End-to-end proof of the 100 TB skew story: a deliberately skewed
+    join key (one key holding ~95% of rows) must trigger AQE's skew-join
+    split -- the executed SortMergeJoin carries skew=true -- and still
+    return exact results. Thresholds are lowered so the local fixture
+    exhibits what a hot key does at cluster scale."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in [
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        ]
+    }
+    try:
+        # force a sort-merge join and make the skew detector sensitive
+        # enough to fire on fixture-sized data
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        n_hot, n_cold_keys, n_right_per_key = 200_000, 50, 20
+        left = spark.range(n_hot + n_cold_keys).select(
+            F.when(F.col("id") < n_hot, F.lit(0))
+            .otherwise((F.col("id") - n_hot + 1))
+            .alias("k"),
+            (F.col("id") % 1000).alias("payload"),
+        )
+        right = spark.range((n_cold_keys + 1) * n_right_per_key).select(
+            (F.col("id") % (n_cold_keys + 1)).alias("k"),
+            F.col("id").alias("rid"),
+        )
+        # NOTE: grouping on the join key itself would let the join's hash
+        # partitioning be reused downstream, and AQE then declines to
+        # split the skewed partition (the split would cost an extra
+        # shuffle). Grouping on a different expression keeps the join
+        # output free, which is the common shape (join -> project/other
+        # agg) where the skew split actually fires.
+        joined = (
+            left.join(right, "k")
+            .groupBy((F.col("k") == 0).alias("hot"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = {r["hot"]: r["n"] for r in joined.collect()}
+
+        # correctness: hot-key fan-out is exact despite the split
+        assert rows[True] == n_hot * n_right_per_key
+        assert rows[False] == n_cold_keys * n_right_per_key
+
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -40,12 +40,73 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def driver_compat(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    """Replicate what the DRIVER's canonicalizer is sensitive to, beyond
+    plain value equality (CORRECTNESS_r01 showed it pandas-sorts then
+    value-hashes, so it crashes on unhashable cells and flags equal values
+    held in different dtypes, e.g. Spark int64 vs DuckDB HUGEINT/object):
+
+    1. unhashable cells (list/ndarray/dict/set) crash its sort+hash;
+    2. dtype divergence between engines (int64 vs object, float64 vs
+       object-Decimal) hashes differently even when values are equal;
+    3. within object columns, differing element Python types.
+    """
+    problems: list[str] = []
+    for side, df in (("spark", spark_df), ("oracle", oracle_df)):
+        for c in df.columns:
+            if df[c].dtype == object:
+                bad = df[c].map(
+                    lambda v: isinstance(v, (list, np.ndarray, dict, set))
+                )
+                if bad.any():
+                    problems.append(
+                        f"DRIVER-CRASH col {c} ({side}): {int(bad.sum())} unhashable "
+                        f"cells (type {type(df[c][bad.idxmax()]).__name__}) -- "
+                        "driver's pandas sort/hash raises on these"
+                    )
+    for c in set(spark_df.columns) & set(oracle_df.columns):
+        a, b = spark_df[c], oracle_df[c]
+        if a.dtype.kind != b.dtype.kind and not (
+            a.dtype.kind in "iu" and b.dtype.kind in "iu"
+        ):
+            problems.append(
+                f"DRIVER-HASH col {c}: dtype kind differs "
+                f"(spark={a.dtype} oracle={b.dtype}) -- equal values will "
+                "hash differently in the driver gate"
+            )
+        elif a.dtype.kind == "f" and b.dtype.kind == "f" and a.dtype != b.dtype:
+            problems.append(
+                f"DRIVER-HASH col {c}: float widths differ "
+                f"(spark={a.dtype} oracle={b.dtype}) -- float32 reprs hash "
+                "differently from float64"
+            )
+        elif (
+            a.dtype.kind in "iu" and b.dtype.kind in "iu"
+            and a.dtype.itemsize != b.dtype.itemsize
+            and ((a < 0).any() or (b < 0).any())
+        ):
+            problems.append(
+                f"DRIVER-HASH col {c}: negative ints at differing widths "
+                f"(spark={a.dtype} oracle={b.dtype}) hash differently"
+            )
+        elif a.dtype == object and b.dtype == object and len(a) and len(b):
+            ta = {type(v).__name__ for v in a.dropna().head(50)}
+            tb = {type(v).__name__ for v in b.dropna().head(50)}
+            if ta and tb and ta != tb:
+                problems.append(
+                    f"DRIVER-HASH col {c}: object element types differ "
+                    f"(spark={sorted(ta)} oracle={sorted(tb)})"
+                )
+    return problems
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
         return [f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"]
     if len(spark_df) != len(oracle_df):
         problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
+    problems.extend(driver_compat(name, spark_df, oracle_df))
     a, b = normalize(spark_df), normalize(oracle_df)
     if len(a) == len(b):
         for c in a.columns:
