@@ -972,3 +972,279 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_filler_ratio"),
     )
+
+
+# ------------------------------------------- corpus splitting & packing
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1, 2
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split by content-independent id hash
+    (md5 -> bucket 0..99): every engine, every run, every shard assigns
+    the same doc to the same split -- no RNG, no global sort, no driver
+    state. The split is a narrow per-row expression, so it composes with
+    any downstream op without a shuffle; summarized per (split, lang)."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "sequence_packing_chunks",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT lang,
+           CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT)
+             AS chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def sequence_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches (concat-and-chunk): docs
+    are concatenated in deterministic id order per language and cut every
+    2048 tokens; a doc's chunk is where its first token lands. One window
+    cumsum per language partition -- a single shuffle on lang, O(docs)
+    state, no RNG. (First-fit bin packing needs sequential state; the
+    concat-and-chunk form is what large-scale trainers actually use, and
+    it is exactly expressible as a prefix sum.)"""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    chunk = F.floor((cum - F.col("n_tokens")).cast("double") / 2048).cast("bigint")
+    return (
+        d.select("lang", "n_tokens", chunk.alias("chunk_id"))
+        .groupBy("lang", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("chunk_tokens"),
+        )
+    )
+
+
+# ------------------------------------------- quality & contamination
+
+
+@register(
+    "doc_repetition_ratio",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+                  THEN list_transform(
+                         range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+                         i -> concat_ws(' ',
+                                regexp_split_to_array(trim(text), '\\s+')[i],
+                                regexp_split_to_array(trim(text), '\\s+')[i + 1],
+                                regexp_split_to_array(trim(text), '\\s+')[i + 2]))
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / len(grams) END AS repetition_ratio,
+           CASE WHEN len(grams) = 0 THEN FALSE
+                ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / len(grams) > 0.2 END AS flagged
+    FROM g
+    """,
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: the fraction of word 3-gram
+    occurrences that are repeats of an earlier gram in the same document.
+    Boilerplate and low-quality spam score high; docs over 0.2 are
+    flagged. Entirely narrow (per-row array expressions, no shuffle, no
+    UDF) -- at 100 TB this runs at scan speed."""
+    from ..operators.text import word_ngrams
+
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    grams = word_ngrams(toks, n=3, distinct=False)
+    n_grams = F.size(grams).cast("bigint")
+    n_distinct = F.size(F.array_distinct(grams)).cast("bigint")
+    ratio = F.when(n_grams == 0, F.lit(0.0)).otherwise(
+        1.0 - n_distinct.cast("double") / n_grams
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        ratio.alias("repetition_ratio"),
+        F.when(n_grams == 0, F.lit(False))
+        .otherwise(ratio > 0.2)
+        .alias("flagged"),
+    )
+
+
+@register(
+    "benchmark_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(tk) >= 5
+                    THEN list_transform(range(1, len(tk) - 3),
+                           i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2],
+                                          tk[i + 3], tk[i + 4]))
+                    ELSE CAST([] AS VARCHAR[]) END)) AS gram
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id < 20
+    )
+    SELECT g.doc_id, COUNT(*) AS n_shared_grams
+    FROM g JOIN bench USING (gram)
+    WHERE g.doc_id >= 20
+    GROUP BY g.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: count distinct word 5-grams each
+    corpus doc shares with a held-out benchmark set (here docs 0..19
+    stand in for the eval suite). The benchmark gram set is dim-sized by
+    construction -- broadcast it and the scan stays one narrow pass over
+    the corpus; at real scale with a large benchmark, the same plan runs
+    as a bucket equi-join on the gram hash. A doc with many shared grams
+    is leaked eval data and must be quarantined before training."""
+    from ..operators.text import word_ngrams
+
+    d = t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(word_ngrams(tokens("text"), n=5, distinct=True)).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") < 20).select("gram").distinct()
+    return (
+        grams.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), aug AS (
+      SELECT id, vec FROM base
+      UNION ALL
+      SELECT id + 100000,
+             list_transform(vec, x -> x * CAST(1.05 AS DOUBLE))
+      FROM base WHERE id < 30
+    ), v AS (
+      SELECT id, vec,
+             (CASE WHEN vec[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN vec[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN vec[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN vec[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM aug
+    ), pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.id AS id_a, b.id AS id_b,
+               {_cos_sql('a.vec', 'b.vec')} AS cos_sim
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
+      ) WHERE cos_sim >= 0.92
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      ) SELECT * FROM r
+    ), labels AS (
+      SELECT src AS id, least(src, MIN(dst)) AS label FROM reach GROUP BY src
+    )
+    SELECT label AS cluster_label, COUNT(*) AS n_members
+    FROM labels GROUP BY label
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup, SemDeDup-style: sign-LSH buckets
+    restrict the pair space, exact cosine >= 0.92 confirms near-duplicates,
+    connected components collapse duplicate groups to one surviving
+    representative (min id). The oracle restates the fixpoint as a
+    recursive transitive closure. Same shuffle discipline as the MinHash
+    path: every pair-generating step is a bucket equi-join, never
+    all-pairs; components converge in O(log diameter) label rounds.
+
+    The synthetic embeddings are random (near-orthogonal -- no natural
+    near-dups), so duplicates are synthesized in-query: scaled copies of
+    the first 30 vectors (positive scaling preserves both the cosine and
+    the sign buckets), making the cluster path non-vacuous in any engine."""
+    from ..operators.dedup import cluster_labels
+
+    base = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    dup = base.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.05)).alias("embedding"),
+    )
+    pairs = neardup_pairs_lsh(
+        base.unionByName(dup), bits=4, min_cosine=0.92
+    ).select("id_a", "id_b")
+    labels = cluster_labels(pairs)
+    return labels.groupBy(F.col("label").alias("cluster_label")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

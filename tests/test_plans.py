@@ -175,3 +175,28 @@ def test_outlier_bounds_broadcast_back(spark, sf_dir):
     plan = plan_of(q(spark, sf_dir, "outlier_zscore_per_group"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
+    plan = plan_of(q(spark, sf_dir, "benchmark_contamination"))
+    # the benchmark gram set is dim-sized: it must broadcast, and the
+    # corpus-side explode must stay narrow (no cartesian anywhere)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pairs_are_bucket_joined(spark, sf_dir):
+    plan = plan_of(q(spark, sf_dir, "dedup_semantic_clusters"))
+    # pair generation must be the sign-LSH bucket equi-join, never all-pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_and_packing_are_single_shuffle(spark, sf_dir):
+    # hash split: narrow expression + one aggregate exchange
+    plan = plan_of(q(spark, sf_dir, "train_val_test_split"))
+    assert plan.count("Exchange") <= 2, plan  # partial agg + final agg exchange
+    # packing: one window shuffle on lang feeding the chunk aggregate
+    plan = plan_of(q(spark, sf_dir, "sequence_packing_chunks"))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
