@@ -1106,10 +1106,13 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences that are repeats of an earlier gram in the same document.
     Boilerplate and low-quality spam score high; docs over 0.2 are
     flagged. Entirely narrow (per-row array expressions, no shuffle, no
-    UDF) -- at 100 TB this runs at scan speed."""
+    UDF) -- at 100 TB this runs at scan speed. (Locally the one small
+    parquet file is a single input split, so rebalance_for_cpu spreads
+    the per-row work across cores; at scale file count provides the
+    parallelism and the rebalance is a no-op round-robin.)"""
     from ..operators.text import word_ngrams
 
-    d = t(spark, sf_dir, "documents")
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
     toks = tokens("text")
     grams = word_ngrams(toks, n=3, distinct=False)
     n_grams = F.size(grams).cast("bigint")
@@ -1162,7 +1165,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     is leaked eval data and must be quarantined before training."""
     from ..operators.text import word_ngrams
 
-    d = t(spark, sf_dir, "documents")
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
     grams = d.select(
         "doc_id",
         F.explode(word_ngrams(tokens("text"), n=5, distinct=True)).alias("gram"),
@@ -1247,4 +1250,64 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = cluster_labels(pairs)
     return labels.groupBy(F.col("label").alias("cluster_label")).agg(
         F.count(F.lit(1)).alias("n_members")
+    )
+
+
+@register(
+    "corpus_mixing_sample",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+               % 100 AS bucket,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 100
+                  WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
+                  ELSE 25 END AS keep_pct,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2
+                  ELSE 1 END AS epochs
+      FROM documents
+    )
+    SELECT source, CAST(MAX(keep_pct) AS INT) AS keep_pct,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN bucket < keep_pct THEN 1 END) AS n_kept,
+           CAST(SUM(CASE WHEN bucket < keep_pct THEN epochs ELSE 0 END)
+                AS BIGINT) AS n_weighted
+    FROM d GROUP BY source
+    """,
+)
+def corpus_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing for pretraining: per-source sampling rates (keep 100%
+    of the high-quality tier, 50% / 25% of the rest) plus epoch
+    upweighting (tier-1 sources seen twice per pass). Selection is the
+    same content-independent id hash as train_val_test_split, so the mix
+    is reproducible shard-by-shard with no RNG and composes with the
+    split without correlation (different hash bytes would decorrelate
+    further at scale). Narrow per-row expressions + one O(sources)
+    aggregate."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    tier1 = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    tier2 = F.col("source").isin("src5", "src6", "src7", "src8", "src9")
+    keep_pct = F.when(tier1, 100).when(tier2, 50).otherwise(25)
+    epochs = F.when(tier1, 2).otherwise(1)
+    kept = bucket < keep_pct
+    return (
+        d.select(
+            "source",
+            keep_pct.alias("keep_pct"),
+            kept.alias("kept"),
+            epochs.alias("epochs"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("keep_pct").cast("int").alias("keep_pct"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("epochs")).otherwise(0))
+            .cast("bigint")
+            .alias("n_weighted"),
+        )
     )

@@ -116,6 +116,65 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over a
+    protobuf protocol; the pyspark distribution does not vendor protobuf,
+    so the API only works where the package is installed. Gate the
+    catalog entry (this image lacks it) -- the operator itself lives in
+    streaming/events.py::tws_user_peaks and registers wherever protobuf
+    exists."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _stream_tws_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via transformWithStateInPandas (the
+    Spark 4 successor to applyInPandasWithState: typed ValueState handles,
+    timers, state TTL). Cumulative per-user count + peak cents; the final
+    emission per user must equal the batch aggregate. The API requires the
+    RocksDB state store, so the provider is set for this query and
+    restored after (production would set it session-wide -- RocksDB is
+    also the provider you want at scale: state spills to disk instead of
+    executor heap)."""
+    from ..streaming.events import tws_user_peaks
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        out = run_available_now(tws_user_peaks(stream), output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    # update mode re-emits per micro-batch; count and peak are both
+    # cumulative (non-decreasing), so the final state is the max of each.
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("peak_cents").alias("peak_cents"),
+    )
+
+
+if _has_protobuf():
+    register(
+        "stream_tws_user_peaks",
+        oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS peak_cents
+        FROM events GROUP BY user_id
+        """,
+    )(_stream_tws_user_peaks)
+
+
 @register(
     "stream_dedup_watermark",
     oracle="""

@@ -155,6 +155,62 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+class _UserPeakProcessor:
+    """StatefulProcessor for transformWithStateInPandas: cumulative
+    per-user event count + integer-cent peak in a ValueState. Defined
+    lazily (the base class import requires a live pyspark >= 4.0)."""
+
+    def __new__(cls, *a, **kw):  # pragma: no cover - thin dispatch
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class _Impl(StatefulProcessor):
+            def init(self, handle) -> None:
+                self._state = handle.getValueState(
+                    "agg", "n BIGINT, peak BIGINT"
+                )
+
+            def handleInputRows(self, key, rows, timer_values):
+                if self._state.exists():
+                    n, peak = self._state.get()
+                    n, peak = int(n), int(peak)
+                else:
+                    n, peak = 0, None
+                for pdf in rows:
+                    n += len(pdf)
+                    m = int(pdf["cents"].max())
+                    peak = m if peak is None else max(peak, m)
+                self._state.update((n, peak))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(key[0])],
+                        "n_events": [n],
+                        "peak_cents": [peak],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return _Impl()
+
+
+def tws_user_peaks(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``transformWithStateInPandas`` (the
+    Spark 4 arbitrary-state API: typed state handles, timers, TTL --
+    the successor to applyInPandasWithState). Cumulative per-user count +
+    peak value in integer cents, emitted each micro-batch. Requires the
+    RocksDB state-store provider (set by the caller for the query)."""
+    cents = stream.withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    return cents.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserPeakProcessor(),
+        outputStructType="user_id bigint, n_events bigint, peak_cents bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_available_now(
     result: DataFrame,
     output_mode: str = "complete",

@@ -83,3 +83,34 @@ def test_l2_normalize_produces_unit_vectors(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_transform_with_state_user_peaks(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) must
+    reproduce the batch per-user count/peak aggregate on a bounded
+    replay. Requires protobuf (the state-server wire protocol), absent
+    from some images -- skipped there."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F2
+
+    from state_economics_end_to_end_data_pipeline_spark.plans.streaming_queries import (
+        _stream_tws_user_peaks,
+    )
+
+    got = {
+        r["user_id"]: (r["n_events"], r["peak_cents"])
+        for r in _stream_tws_user_peaks(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r["user_id"]: (r["n"], r["peak"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F2.count(F2.lit(1)).alias("n"),
+            F2.max(F2.round(F2.col("value") * 100).cast("bigint")).alias("peak"),
+        )
+        .collect()
+    }
+    assert got == want
