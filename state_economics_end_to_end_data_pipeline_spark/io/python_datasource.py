@@ -1,0 +1,80 @@
+"""Custom Python Data Source (Spark 4 DataSource API, SPARK-44076).
+
+The reference reads fixed files; a Spark-first engine also wants
+programmatic sources (backfill generators, API paginators, fixture
+synthesizers) that parallelize like any other scan. The DataSource API
+is the supported way to write one in pure Python: the driver plans
+``partitions()``, each executor materializes its split in ``read()``,
+and the scan composes with Catalyst like a parquet read (column pruning
+and filters apply on top).
+
+``SyntheticEventsDataSource`` generates a deterministic ledger: every
+row is a pure function of its global index, so any engine can re-derive
+the same table and the source is oracle-checkable end-to-end (DuckDB
+re-derives it from ``range()``).
+
+Usage::
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (spark.read.format("synthetic_events")
+          .option("rows", 5000).option("partitions", 8).load())
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# Deterministic row derivation (documented contract, mirrored by oracles):
+#   user_id      = (i * KNUTH) % N_USERS      -- multiplicative hash spread
+#   amount_cents = (i * i) % 10_000 + 100     -- bounded, index-derived
+#   day          = i % 30
+KNUTH = 2654435761
+N_USERS = 97
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+
+    def partitions(self):
+        # contiguous index ranges: split count is the parallelism the
+        # scan presents to Spark, independent of row count
+        step = -(-self.n_rows // self.n_parts)
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield (i, (i * KNUTH) % N_USERS, (i * i) % 10_000 + 100, i % 30)
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, amount_cents bigint, day int"
+
+    def reader(self, schema) -> SyntheticEventsReader:
+        return SyntheticEventsReader(self.options)
+
+
+def read_synthetic_events(spark, n_rows: int = 5000, n_parts: int = 8):
+    """Register (idempotent) and read the synthetic source."""
+    spark.dataSource.register(SyntheticEventsDataSource)
+    return (
+        spark.read.format("synthetic_events")
+        .option("rows", str(n_rows))
+        .option("partitions", str(n_parts))
+        .load()
+    )

@@ -2099,3 +2099,89 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("prnk"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+# ---------------------------------------------- Python-native API surfaces
+
+
+@register(
+    "pyds_synthetic_events",
+    oracle="""
+    WITH e AS (
+      SELECT range AS i,
+             (range * 2654435761) % 97 AS user_id,
+             (range * range) % 10000 + 100 AS amount_cents,
+             CAST(range % 30 AS INT) AS day
+      FROM range(0, 5000)
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+           CAST(MIN(day) AS INT) AS first_day
+    FROM e GROUP BY user_id
+    """,
+)
+def pyds_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 DataSource API): a programmatic
+    source that plans index-range partitions on the driver and generates
+    rows on executors -- the supported pure-Python extension point for
+    backfill generators and API readers. Every row is a pure function of
+    its global index, so the whole source re-derives in SQL and the scan
+    is oracle-checked end-to-end. Parallelism is the partition count the
+    reader plans, independent of data volume."""
+    from ..io.python_datasource import read_synthetic_events
+
+    ev = read_synthetic_events(spark, n_rows=5000, n_parts=8)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("amount_cents").cast("bigint").alias("total_cents"),
+        F.min("day").cast("int").alias("first_day"),
+    )
+
+
+@register(
+    "grouped_minmax_norm_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN mx = mn THEN 0.5 ELSE (l_quantity - mn) / (mx - mn) END AS qty_norm
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             MIN(l_quantity) OVER (PARTITION BY l_orderkey) AS mn,
+             MAX(l_quantity) OVER (PARTITION BY l_orderkey) AS mx
+      FROM lineitem WHERE l_orderkey <= 600
+    )
+    """,
+)
+def grouped_minmax_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native grouped map (applyInArrow): the third variant of the
+    per-group min-max norm, completing the boundary set -- window
+    functions (pure JVM, the production plan), applyInPandas (pandas
+    conversion both ways), applyInArrow (zero-copy pyarrow batches, no
+    pandas materialization -- the cheaper Python boundary when the logic
+    is expressible in Arrow compute kernels). Same doubles from all
+    three: (x - mn) / (mx - mn) in IEEE double end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 600)
+
+    def norm(tbl: pa.Table) -> pa.Table:
+        q = tbl.column("l_quantity")
+        mn = pc.min(q).as_py()
+        mx = pc.max(q).as_py()
+        if mx == mn:
+            normed = pa.array([0.5] * len(tbl), type=pa.float64())
+        else:
+            normed = pc.divide(pc.subtract(q, mn), mx - mn)
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey"),
+                "l_linenumber": tbl.column("l_linenumber"),
+                "qty_norm": normed,
+            }
+        )
+
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity")
+        .groupBy("l_orderkey")
+        .applyInArrow(norm, schema="l_orderkey long, l_linenumber int, qty_norm double")
+    )

@@ -114,3 +114,30 @@ def test_transform_with_state_user_peaks(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_python_datasource_plans_partitions_and_derives_rows(spark):
+    """The custom DataSource must honor its planned parallelism and the
+    documented row-derivation contract."""
+    from state_economics_end_to_end_data_pipeline_spark.io.python_datasource import (
+        KNUTH,
+        N_USERS,
+        read_synthetic_events,
+    )
+
+    df = read_synthetic_events(spark, n_rows=1000, n_parts=4)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000
+    rows = {r["event_id"]: r for r in df.filter(F.col("event_id") < 3).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    assert rows[2]["user_id"] == (2 * KNUTH) % N_USERS
+    assert rows[2]["amount_cents"] == 4 % 10_000 + 100
+
+
+def test_minmax_norm_arrow_equals_window_variant(spark, sf_dir):
+    """applyInArrow must produce the same doubles as the JVM window plan
+    (multiset compare -- the group key is not unique in this data)."""
+    arrow = QUERIES["grouped_minmax_norm_arrow"].fn(spark, sf_dir)
+    jvm = QUERIES["grouped_minmax_norm_window"].fn(spark, sf_dir)
+    assert arrow.exceptAll(jvm).count() == 0
+    assert jvm.exceptAll(arrow).count() == 0
