@@ -1743,12 +1743,12 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14_promo_revenue",
     oracle="""
-    SELECT CAST(
-             100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+    SELECT CAST(100 AS DOUBLE)
+             * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
-                 ELSE CAST(0 AS DECIMAL(38,6)) END)
-             / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
-           AS DOUBLE) AS promo_revenue_pct
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS promo_revenue_pct
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1995-09-01'
       AND l_shipdate <  TIMESTAMP '1995-10-01'
@@ -1771,9 +1771,15 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            (100.0 * F.sum(promo) / F.sum(net)).cast("double").alias(
-                "promo_revenue_pct"
-            )
+            # each decimal sum casts to double on its own (exact under
+            # 2^53 at oracle scale), then one double multiply + divide --
+            # the same op sequence the oracle states. A decimal-domain
+            # ratio would round differently per engine.
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(net).cast("double")
+            ).alias("promo_revenue_pct")
         )
     )
 
@@ -2184,4 +2190,137 @@ def grouped_minmax_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey", "l_linenumber", "l_quantity")
         .groupBy("l_orderkey")
         .applyInArrow(norm, schema="l_orderkey long, l_linenumber int, qty_norm double")
+    )
+
+
+@register(
+    "string_functions_suite",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           CAST(length(c_name) AS INT) AS name_len,
+           substr(c_name, 10, 6) AS name_tail,
+           CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_devowel,
+           reverse(c_mktsegment) AS seg_rev,
+           left(c_name, 8) AS name_left,
+           right(c_name, 3) AS name_right,
+           split_part(c_name, '#', 2) AS name_num_part,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev_building,
+           contains(c_name, '00') AS has_00,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits
+    FROM customer WHERE c_custkey <= 500
+    """,
+)
+def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar string-function family (SURVEY 2.4 breadth): case,
+    length, substring, search, padding, translate, reverse, left/right,
+    split_part, edit distance, containment, regex extract -- all JVM
+    expressions inside whole-stage codegen, verified cell-for-cell
+    against the same functions in the oracle engine."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    name, seg = F.col("c_name"), F.col("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.upper(seg).alias("seg_upper"),
+        F.length(name).cast("int").alias("name_len"),
+        F.substring(name, 10, 6).alias("name_tail"),
+        F.instr(name, "#").cast("int").alias("hash_pos"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.translate(seg, "AEIOU", "aeiou").alias("seg_devowel"),
+        F.reverse(seg).alias("seg_rev"),
+        F.substring(name, 1, 8).alias("name_left"),
+        F.substring(name, -3, 3).alias("name_right"),
+        F.split_part(name, F.lit("#"), F.lit(2)).alias("name_num_part"),
+        F.levenshtein(seg, F.lit("BUILDING")).cast("int").alias("lev_building"),
+        name.contains("00").alias("has_00"),
+        F.regexp_extract(name, r"([0-9]+)", 1).alias("digits"),
+    )
+
+
+@register(
+    "datetime_functions_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_start,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS INT) AS days_since_95,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus_30d,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def datetime_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calendar/date-arithmetic family: part extraction (year ..
+    dayofweek -- Spark's 1=Sunday convention vs the oracle's 0=Sunday is
+    reconciled in the oracle), ISO week, month boundaries, day diffs,
+    date shifts, formatting, epoch seconds (UTC session so both engines
+    agree). Date-typed results are published as strings -- harness
+    canonicalizers hash date objects and datetime64 differently."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("y"),
+        F.quarter(d).cast("int").alias("q"),
+        F.month(d).cast("int").alias("m"),
+        F.dayofmonth(d).cast("int").alias("d"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias(
+            "days_since_95"
+        ),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.unix_timestamp(d).cast("bigint").alias("epoch_s"),
+    )
+
+
+@register(
+    "map_struct_functions_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(cardinality(MAP {'status': o_orderstatus,
+                                 'priority': o_orderpriority}) AS INT) AS n_keys,
+           array_to_string(list_sort(map_keys(
+             MAP {'status': o_orderstatus, 'priority': o_orderpriority})), ',')
+             AS keys_sorted,
+           (MAP {'status': o_orderstatus,
+                 'priority': o_orderpriority}['status'])[1] AS status_val,
+           {'k': o_orderkey, 'p': o_orderpriority}.k AS struct_key,
+           {'k': o_orderkey, 'p': o_orderpriority}.p AS struct_priority
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def map_struct_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type construction and access: map build / cardinality /
+    key listing / value lookup, struct build / field access. Map keys are
+    published as a sorted joined string (map iteration order is
+    engine-specific; raw maps are unhashable in harness canonicalizers,
+    same rule as arrays)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    s = F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("p"))
+    return o.select(
+        "o_orderkey",
+        F.size(m).cast("int").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "status").alias("status_val"),
+        s.getField("k").alias("struct_key"),
+        s.getField("p").alias("struct_priority"),
     )

@@ -26,17 +26,25 @@ from . import register
     WITH stats AS (
       SELECT l_returnflag,
              COUNT(l_extendedprice) AS n,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
-               AS s1,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS HUGEINT) AS s1i,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2)))
-                  AS DOUBLE) AS s2
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000
+                  AS HUGEINT) AS s2i
       FROM lineitem GROUP BY l_returnflag
+    ),
+    split AS (
+      SELECT l_returnflag, n,
+             (CAST(s1i // 16777216 AS DOUBLE) * CAST(16777216 AS DOUBLE)
+              + CAST(s1i % 16777216 AS DOUBLE)) / CAST(100 AS DOUBLE) AS s1,
+             (CAST(s2i // 16777216 AS DOUBLE) * CAST(16777216 AS DOUBLE)
+              + CAST(s2i % 16777216 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS s2
+      FROM stats
     ),
     bounds AS (
       SELECT l_returnflag, n, s1 / n AS mean,
              sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
-      FROM stats
+      FROM split
     )
     SELECT b.l_returnflag, b.n, b.mean, b.std,
            COUNT(CASE WHEN abs(l.l_extendedprice - b.mean) > 3 * b.std
@@ -49,7 +57,15 @@ def outlier_zscore_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group 3-sigma outlier count. Mean/std come from decimal-exact
     sufficient statistics (one aggregate pass), broadcast back onto the
     fact for the flagging pass -- two scans, zero fact-sized shuffles,
-    and the output is O(groups) regardless of input size."""
+    and the output is O(groups) regardless of input size.
+
+    The sums are carried as exact integers (cent / cent-squared grid) and
+    converted to double via a hi/lo split at 2^24: a squared sum exceeds
+    2^53, and a direct int128->double cast is correctly rounded on the
+    JVM but double-rounded in some engines (observed 1-ulp divergence).
+    Each split half converts exactly; the reconstruction is the same
+    three correctly-rounded IEEE ops everywhere -- bit-identical inputs
+    to the downstream mean/std arithmetic."""
     li = t(spark, sf_dir, "lineitem")
     x = F.col("l_extendedprice")
     # prices sit exactly on the cent grid: DECIMAL(18,2) is a lossless
@@ -59,10 +75,18 @@ def outlier_zscore_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     xd = x.cast("decimal(18,2)")
     stats = li.groupBy("l_returnflag").agg(
         F.count("l_extendedprice").alias("n"),
-        F.sum(x.cast("decimal(38,6)")).cast("double").alias("s1"),
-        F.sum(xd * xd).cast("double").alias("s2"),
+        (F.sum(xd) * 100).cast("decimal(38,0)").alias("s1i"),
+        (F.sum(xd * xd) * 10000).cast("decimal(38,0)").alias("s2i"),
     )
-    bounds = stats.select(
+    split = stats.selectExpr(
+        "l_returnflag",
+        "n",
+        "(CAST(s1i div 16777216 AS DOUBLE) * CAST(16777216 AS DOUBLE)"
+        " + CAST(s1i % 16777216 AS DOUBLE)) / CAST(100 AS DOUBLE) AS s1",
+        "(CAST(s2i div 16777216 AS DOUBLE) * CAST(16777216 AS DOUBLE)"
+        " + CAST(s2i % 16777216 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS s2",
+    )
+    bounds = split.select(
         "l_returnflag",
         "n",
         (F.col("s1") / F.col("n")).alias("mean"),
