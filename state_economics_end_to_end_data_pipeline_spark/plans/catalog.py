@@ -2324,3 +2324,40 @@ def map_struct_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("k").alias("struct_key"),
         s.getField("p").alias("struct_priority"),
     )
+
+
+@register(
+    "window_range_frame_trailing",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_trailing_1h,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS cents_trailing_1h
+    FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+          FROM events WHERE user_id < 20)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user trailing-1-hour event count and cent
+    sum at every event -- the sliding aggregate WITHOUT a self-join. The
+    frame is value-based (microseconds PRECEDING), so ties share a frame
+    and the state is one sorted pass per user partition; the interval
+    self-join shape (stream_interval_join's batch oracle) is O(events x
+    matches) where this is O(events log events). Money in integer cents:
+    the windowed sum stays exact under any partition order."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    us = F.unix_micros("ts")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.alias("ts_us"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(cents).over(w).cast("bigint").alias("cents_trailing_1h"),
+    )
