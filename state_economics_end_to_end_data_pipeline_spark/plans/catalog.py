@@ -2361,3 +2361,70 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
         F.sum(cents).over(w).cast("bigint").alias("cents_trailing_1h"),
     )
+
+
+@register(
+    "rolling_zscore_anomalies",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 20
+    ), w AS (
+      SELECT event_id, user_id, cents,
+             COUNT(*) OVER win AS n,
+             CAST(SUM(cents) OVER win AS BIGINT) AS s1,
+             CAST(SUM(cents * cents) OVER win AS BIGINT) AS s2
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, n,
+           CASE WHEN n > 1 AND (s2 * n - s1 * s1) > 0
+                THEN (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                     / sqrt(CAST(s2 * n - s1 * s1 AS DOUBLE) / (n * (n - 1)))
+                END AS zscore,
+           CASE WHEN n > 1 AND (s2 * n - s1 * s1) > 0
+                THEN abs((CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                     / sqrt(CAST(s2 * n - s1 * s1 AS DOUBLE) / (n * (n - 1)))) > 3
+                ELSE FALSE END AS is_anomaly
+    FROM w
+    """,
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: each event's z-score against its own
+    trailing 20-event window (per user, event-time ordered with an id
+    tie-break). The sufficient statistics (count, sum, sum-of-squares)
+    stay EXACT integers in cent space inside the window frame -- windowed
+    double summation would be frame-order-dependent -- and only the final
+    mean/std/z arithmetic runs in double, as the same op sequence in both
+    engines. One shuffle on user_id; state is the 20-row frame. The
+    streaming twin of this shape is stateful_user_totals with a deque."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    base = ev.select("event_id", "user_id", "ts", cents.alias("cents"))
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    w = base.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("cents").over(win).cast("bigint").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).cast("bigint").alias("s2"),
+    )
+    var_num = F.col("s2") * F.col("n") - F.col("s1") * F.col("s1")
+    z = (
+        F.col("cents").cast("double") - F.col("s1").cast("double") / F.col("n")
+    ) / F.sqrt(var_num.cast("double") / (F.col("n") * (F.col("n") - 1)))
+    ok = (F.col("n") > 1) & (var_num > 0)
+    return w.select(
+        "event_id",
+        "user_id",
+        "n",
+        F.when(ok, z).alias("zscore"),
+        F.when(ok, F.abs(z) > 3).otherwise(F.lit(False)).alias("is_anomaly"),
+    )
