@@ -11,7 +11,7 @@ partition-order-independent and matches the DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io.readers import read_parquet_table as t
@@ -259,4 +259,74 @@ def winsorized_mean_per_group_approx(spark: SparkSession, sf_dir: str) -> DataFr
             F.abs(F.col("approx_wmean") - F.col("exact_wmean"))
             <= 0.01 * F.abs(F.col("exact_wmean"))
         ).alias("wmean_within_1pct"),
+    )
+
+
+@register(
+    "mad_per_group",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS m
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, m AS median_qty,
+           quantile_cont(abs(l.l_quantity - m), 0.5) AS mad_qty
+    FROM lineitem l JOIN med USING (l_returnflag)
+    GROUP BY l.l_returnflag, m
+    """,
+)
+def mad_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group -- the robust spread measure
+    (insensitive to the outliers a std inflates on). Two percentile
+    passes: the O(groups) medians broadcast back onto the fact for the
+    deviation pass. ORACLE-PARITY exact percentiles; the production path
+    at 100 TB swaps both for percentile_approx exactly as
+    winsorized_mean_per_group_approx does."""
+    li = t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "median_qty")
+        .agg(
+            F.percentile(
+                F.abs(F.col("l_quantity") - F.col("median_qty")), F.lit(0.5)
+            ).alias("mad_qty")
+        )
+    )
+
+
+@register(
+    "mode_per_group",
+    oracle="""
+    SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_count
+    FROM (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_quantity ASC) AS rk
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rk = 1
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode per group: value-count aggregate then a
+    row_number pick with an explicit value tie-break (the built-in
+    mode() aggregate is tie-nondeterministic -- never publish it). Two
+    shuffles, both O(distinct values), map-side combined."""
+    li = t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+        )
     )
