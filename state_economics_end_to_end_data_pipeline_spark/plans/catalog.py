@@ -2428,3 +2428,89 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, z).alias("zscore"),
         F.when(ok, F.abs(z) > 3).otherwise(F.lit(False)).alias("is_anomaly"),
     )
+
+
+@register(
+    "profile_nulls_all_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority) FROM orders
+    """,
+)
+def profile_nulls_all_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table completeness profile (SURVEY 2.9): row count, null
+    count, and distinct count for every profiled column in ONE scan --
+    the per-column aggregates all ride the same pass (the oracle states
+    it as N scans because SQL must; the engine plan is a single
+    aggregate). This is the first diagnostic a pipeline runs on a new
+    drop at any scale: output is O(columns), never O(rows)."""
+    o = t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    wide = o.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS (col, n_rows, n_null, n_distinct)"
+    )
+
+
+@register(
+    "profile_histogram_2d",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(l_quantity) AS qlo, MAX(l_quantity) AS qhi,
+             MIN(l_discount) AS dlo, MAX(l_discount) AS dhi
+      FROM lineitem
+    )
+    SELECT CAST(least(floor((l_quantity - qlo) / ((qhi - qlo) / 8)), 7) AS INT)
+             AS qty_bucket,
+           CAST(least(floor((l_discount - dlo) / ((dhi - dlo) / 8)), 7) AS INT)
+             AS disc_bucket,
+           COUNT(*) AS n
+    FROM lineitem, b
+    GROUP BY 1, 2
+    """,
+)
+def profile_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate equi-width histogram (8x8): the joint-distribution
+    profile behind correlation heatmaps and drift checks. One min/max
+    pass (O(1) rows, broadcast) then one bucket-pair aggregate --
+    O(buckets^2) output regardless of input size, same discipline as the
+    1-D histogram operator."""
+    li = t(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_quantity").alias("qlo"), F.max("l_quantity").alias("qhi"),
+        F.min("l_discount").alias("dlo"), F.max("l_discount").alias("dhi"),
+    )
+    j = li.join(F.broadcast(b))
+    qb = F.least(
+        F.floor((F.col("l_quantity") - F.col("qlo"))
+                / ((F.col("qhi") - F.col("qlo")) / 8)), F.lit(7)
+    ).cast("int")
+    db = F.least(
+        F.floor((F.col("l_discount") - F.col("dlo"))
+                / ((F.col("dhi") - F.col("dlo")) / 8)), F.lit(7)
+    ).cast("int")
+    return (
+        j.select(qb.alias("qty_bucket"), db.alias("disc_bucket"))
+        .groupBy("qty_bucket", "disc_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
