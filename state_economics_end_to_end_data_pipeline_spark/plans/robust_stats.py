@@ -206,60 +206,81 @@ def winsorized_mean_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _approx_wmean_cuts(li: DataFrame):
+    """Sketch-only p01/p99 tail cuts (Greenwald-Khanna, bounded memory)."""
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.01), F.lit(10000)).alias("a01"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("a99"),
+    )
+
+
+def winsorized_mean_approx_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw production output (l_returnflag, n, approx_wmean): clamp
+    tails at the sketch cuts and average. The value is sketch-dependent
+    (engine-specific), so it is not oracle-registered directly;
+    tests/test_robust_stats.py pins it to within 1% of the exact-parity
+    winsorized_mean_per_group."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    clamped = (
+        F.when(x < F.col("a01"), F.col("a01"))
+        .when(x > F.col("a99"), F.col("a99"))
+        .otherwise(x)
+    )
+    return (
+        li.join(F.broadcast(_approx_wmean_cuts(li)), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("l_extendedprice").alias("n"),
+            (
+                F.sum(clamped.cast("decimal(38,6)")).cast("double")
+                / F.count("l_extendedprice")
+            ).alias("approx_wmean"),
+        )
+    )
+
+
 @register(
     "winsorized_mean_per_group_approx",
     oracle="""
     SELECT l_returnflag, COUNT(l_extendedprice) AS n,
-           TRUE AS wmean_within_1pct
+           TRUE AS cut01_ok, TRUE AS cut99_ok
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def winsorized_mean_per_group_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION winsorized mean: clamp tails at percentile_approx
     p01/p99 (Greenwald-Khanna sketch, bounded executor memory -- the
-    shape that survives 100 TB, unlike the exact-percentile parity
-    variant). Sketch cuts are engine-specific, so the cross-engine check
-    is a BOUNDS check like sketch_distinct_approx: the query also runs
-    the exact path and emits a boolean asserting the approx mean landed
-    within 1% of it; the oracle states the group count and TRUE. (The
-    exact branch exists only to judge the sketch -- production runs the
-    approx branch alone.)"""
-    li = t(spark, sf_dir, "lineitem")
-    cuts = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.01), F.lit(10000)).alias("a01"),
-        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("a99"),
-        F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
-        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
-    )
+    shape that survives 100 TB). SKETCH-ONLY: no exact percentile
+    anywhere in the registered plan, even for verification. Like
+    quantiles_grouped_approx, the cross-engine check is the GK rank
+    guarantee itself, exactly checkable with two COUNTs per cut:
+    count(x < q)/n <= p + eps and count(x <= q)/n >= p - eps. The oracle
+    asserts the booleans; the 1%-of-exact mean check lives in
+    tests/test_robust_stats.py against winsorized_mean_per_group."""
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     x = F.col("l_extendedprice")
-
-    def wmean(lo: str, hi: str):
-        clamped = (
-            F.when(x < F.col(lo), F.col(lo))
-            .when(x > F.col(hi), F.col(hi))
-            .otherwise(x)
-        )
-        return F.sum(clamped.cast("decimal(38,6)")).cast("double") / F.count(
-            "l_extendedprice"
-        )
-
     agg = (
-        li.join(F.broadcast(cuts), "l_returnflag")
+        li.join(F.broadcast(_approx_wmean_cuts(li)), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.count("l_extendedprice").alias("n"),
-            wmean("a01", "a99").alias("approx_wmean"),
-            wmean("p01", "p99").alias("exact_wmean"),
+            F.count(F.when(x < F.col("a01"), 1)).alias("lt01"),
+            F.count(F.when(x <= F.col("a01"), 1)).alias("le01"),
+            F.count(F.when(x < F.col("a99"), 1)).alias("lt99"),
+            F.count(F.when(x <= F.col("a99"), 1)).alias("le99"),
         )
     )
-    return agg.select(
-        "l_returnflag",
-        "n",
-        (
-            F.abs(F.col("approx_wmean") - F.col("exact_wmean"))
-            <= 0.01 * F.abs(F.col("exact_wmean"))
-        ).alias("wmean_within_1pct"),
-    )
+    eps = 0.005
+
+    def ok(p: float, tag: str):
+        n = F.col("n").cast("double")
+        return (
+            (F.col(f"lt{tag}") / n <= F.lit(p + eps))
+            & (F.col(f"le{tag}") / n >= F.lit(p - eps))
+        ).alias(f"cut{tag}_ok")
+
+    return agg.select("l_returnflag", "n", ok(0.01, "01"), ok(0.99, "99"))
 
 
 @register(
@@ -280,8 +301,8 @@ def mad_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     (insensitive to the outliers a std inflates on). Two percentile
     passes: the O(groups) medians broadcast back onto the fact for the
     deviation pass. ORACLE-PARITY exact percentiles; the production path
-    at 100 TB swaps both for percentile_approx exactly as
-    winsorized_mean_per_group_approx does."""
+    at 100 TB is mad_per_group_approx (both passes on percentile_approx,
+    bounded memory), pinned to this one in tests/test_robust_stats.py."""
     li = t(spark, sf_dir, "lineitem")
     med = li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", F.lit(0.5)).alias("median_qty")
@@ -294,6 +315,87 @@ def mad_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("l_quantity") - F.col("median_qty")), F.lit(0.5)
             ).alias("mad_qty")
         )
+    )
+
+
+def _approx_mad_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only MAD pipeline shared by the registered rank-check query
+    and the test helper: approx median broadcast onto the fact, then an
+    approx median of absolute deviations. Both passes are GK sketches --
+    bounded executor memory at any scale."""
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        )
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "abs_dev", F.abs(F.col("l_quantity") - F.col("approx_median"))
+    )
+    return dev.groupBy("l_returnflag", "approx_median").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("abs_dev", F.lit(0.5), F.lit(10000)).alias("approx_mad"),
+        F.count(F.when(F.col("l_quantity") < F.col("approx_median"), 1)).alias(
+            "lt_med"
+        ),
+        F.count(F.when(F.col("l_quantity") <= F.col("approx_median"), 1)).alias(
+            "le_med"
+        ),
+    )
+
+
+def mad_approx_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw production output (l_returnflag, approx_median, approx_mad) --
+    sketch-dependent values, pinned to the exact mad_per_group in
+    tests/test_robust_stats.py rather than oracle-registered."""
+    return _approx_mad_frame(spark, sf_dir).select(
+        "l_returnflag", "approx_median", "approx_mad"
+    )
+
+
+@register(
+    "mad_per_group_approx",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           TRUE AS median_ok, TRUE AS mad_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def mad_per_group_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION median absolute deviation: both percentile passes on
+    percentile_approx (GK sketch, bounded memory -- the shape that
+    survives 100 TB, unlike the exact-parity mad_per_group). SKETCH-ONLY
+    plan; the cross-engine check is the GK rank guarantee, checked with
+    COUNTs: the approx median must sit at rank 0.5 +/- eps of the
+    quantities, and the approx MAD at rank 0.5 +/- eps of the absolute
+    deviations around that median. The oracle asserts the booleans; the
+    value-level check against exact MAD lives in
+    tests/test_robust_stats.py."""
+    frame = _approx_mad_frame(spark, sf_dir)
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    dev = li.join(
+        F.broadcast(frame.select("l_returnflag", "approx_median", "approx_mad")),
+        "l_returnflag",
+    ).withColumn("abs_dev", F.abs(F.col("l_quantity") - F.col("approx_median")))
+    mad_ranks = dev.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("abs_dev") < F.col("approx_mad"), 1)).alias("lt_mad"),
+        F.count(F.when(F.col("abs_dev") <= F.col("approx_mad"), 1)).alias("le_mad"),
+    )
+    eps = 0.005
+    joined = frame.join(mad_ranks, "l_returnflag")
+    n = F.col("n").cast("double")
+
+    def ok(lt: str, le: str, name: str):
+        return (
+            (F.col(lt) / n <= F.lit(0.5 + eps))
+            & (F.col(le) / n >= F.lit(0.5 - eps))
+        ).alias(name)
+
+    return joined.select(
+        "l_returnflag",
+        "n",
+        ok("lt_med", "le_med", "median_ok"),
+        ok("lt_mad", "le_mad", "mad_ok"),
     )
 
 

@@ -33,18 +33,62 @@ def test_approx_quantiles_within_rank_tolerance(spark, sf_dir):
         assert row["q25_ok"] and row["q50_ok"] and row["q75_ok"], (flag, row)
 
 
+def test_winsorized_approx_rank_guarantee(spark, sf_dir):
+    """The registered sketch-only plan: both tail cuts must satisfy the
+    GK rank guarantee (checked in-plan with COUNTs, no exact percentile)."""
+    rows = QUERIES["winsorized_mean_per_group_approx"].fn(spark, sf_dir).collect()
+    assert rows, "no groups returned"
+    for row in rows:
+        assert row["cut01_ok"] and row["cut99_ok"], row
+
+
 def test_winsorized_approx_tracks_exact(spark, sf_dir):
+    """Value-level pin: the production sketch-cut winsorized mean must
+    land within 1% of the exact-percentile parity variant. (This check
+    deliberately lives here, not in the registered plan -- the production
+    plan must never run exact percentile.)"""
+    from state_economics_end_to_end_data_pipeline_spark.plans.robust_stats import (
+        winsorized_mean_approx_values,
+    )
+
     approx = {
-        r["l_returnflag"]: r
-        for r in QUERIES["winsorized_mean_per_group_approx"].fn(spark, sf_dir).collect()
+        r["l_returnflag"]: r["approx_wmean"]
+        for r in winsorized_mean_approx_values(spark, sf_dir).collect()
     }
     exact = {
         r["l_returnflag"]: r["winsorized_mean"]
         for r in QUERIES["winsorized_mean_per_group"].fn(spark, sf_dir).collect()
     }
     assert set(approx) == set(exact)
-    for flag, row in approx.items():
-        assert row["wmean_within_1pct"], (flag, row)
+    for flag, wm in approx.items():
+        assert abs(wm - exact[flag]) <= 0.01 * abs(exact[flag]), (flag, wm, exact[flag])
+
+
+def test_mad_approx_rank_guarantee(spark, sf_dir):
+    rows = QUERIES["mad_per_group_approx"].fn(spark, sf_dir).collect()
+    assert rows, "no groups returned"
+    for row in rows:
+        assert row["median_ok"] and row["mad_ok"], row
+
+
+def test_mad_approx_tracks_exact(spark, sf_dir):
+    """Sketch MAD within 5% (or one quantity grid step) of exact MAD."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.robust_stats import (
+        mad_approx_values,
+    )
+
+    approx = {
+        r["l_returnflag"]: r["approx_mad"]
+        for r in mad_approx_values(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["mad_qty"]
+        for r in QUERIES["mad_per_group"].fn(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, mad in approx.items():
+        tol = max(0.05 * abs(exact[flag]), 1.0)
+        assert abs(mad - exact[flag]) <= tol, (flag, mad, exact[flag])
 
 
 def test_minmax_norm_window_equals_pandas_variant(spark, sf_dir):
