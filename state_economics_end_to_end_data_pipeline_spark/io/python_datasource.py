@@ -45,7 +45,11 @@ class SyntheticEventsReader(DataSourceReader):
 
     def partitions(self):
         # contiguous index ranges: split count is the parallelism the
-        # scan presents to Spark, independent of row count
+        # scan presents to Spark, independent of row count. An empty
+        # source still needs one (empty) split -- step would be 0 and
+        # range(0, 0, 0) raises.
+        if self.n_rows <= 0:
+            return [_RangePartition(0, 0)]
         step = -(-self.n_rows // self.n_parts)
         return [
             _RangePartition(lo, min(lo + step, self.n_rows))

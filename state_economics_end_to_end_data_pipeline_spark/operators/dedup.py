@@ -125,6 +125,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
     block_col: str | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Tier 5 -- exact n-gram Jaccard similarity via inverted-index join:
     explode distinct shingles, self-join on shingle (pairs meet only where
@@ -132,12 +133,17 @@ def jaccard_pairs(
     ``block_col`` restricts pairs to the same block (e.g. a source or an
     LSH bucket) -- the scale lever.
 
-    The persisted shingle index lives until the returned frame has been
-    materialized; callers running inside a long session should call
-    ``spark.catalog.clearCache()`` (or unpersist via the returned plan's
-    lineage) after consuming the result."""
-    # persist: the inverted index feeds BOTH self-join sides and the
-    # per-doc size aggregate -- without it the explode+dedup runs 3x.
+    Cache lifecycle is OWNED BY THE OPERATOR: with ``eager=True`` (default)
+    the shingle index is persisted, the pair result is materialized via
+    ``localCheckpoint`` (pairs are a small fraction of the index when
+    blocking is in effect -- that is the point of blocking), and the index
+    is unpersisted before returning -- a long-lived shared session is left
+    with no stray cached relations (never ``clearCache()``, which would
+    evict every cached relation session-wide). With ``eager=False`` the
+    result stays fully lazy and nothing is persisted; the index pipeline
+    re-executes up to 3x (both self-join sides + the size aggregate)."""
+    # the inverted index feeds BOTH self-join sides and the per-doc size
+    # aggregate -- persisted (eager mode) so explode+dedup runs once.
     sh = (
         df.withColumn("__toks", tokens(text_col))
         .select(
@@ -148,8 +154,9 @@ def jaccard_pairs(
             ).alias("gram"),
         )
         .dropDuplicates()
-        .persist()
     )
+    if eager:
+        sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     join_keys = ["block", "gram"] if block_col else ["gram"]
     a = sh.withColumnRenamed("id", "id_a")
@@ -173,6 +180,13 @@ def jaccard_pairs(
     )
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
+    if eager:
+        # materialize the pairs (lineage truncated -- the index is no
+        # longer referenced), then release the index: targeted unpersist,
+        # not clearCache. The checkpointed result blocks are managed by
+        # Spark's ContextCleaner once the caller drops the frame.
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist(blocking=False)
     return out
 
 

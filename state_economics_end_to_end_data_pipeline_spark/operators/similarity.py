@@ -39,14 +39,44 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
 
 
-def l2_normalize(a: Column) -> Column:
+def l2_normalize(a: Column, nrm: Column | None = None) -> Column:
     """Unit vector (array<double>) -- pure JVM transform/aggregate; the
     production path for normalization (the pandas_udf variant in
     plans/extensions.py exists to exercise the Arrow boundary). The norm
     is the same sequential left-fold as ``dot``, so components are
-    bit-identical to the Python and DuckDB forms."""
-    nrm = F.sqrt(norm2(a))
-    return F.transform(a, lambda x: x.cast("double") / nrm)
+    bit-identical to the Python and DuckDB forms.
+
+    ``nrm`` MUST be a pre-projected norm column on the hot path: Catalyst
+    does not CSE through higher-order-function lambdas, so an inline norm
+    subtree is re-evaluated for EVERY element -- O(d^2) per row (~1M ops
+    at d=1024). Stage it with ``with_l2_normalized`` (or your own
+    ``withColumn``) so the lambda sees a cheap attribute reference. The
+    inline fallback (``nrm=None``) exists only for tiny d / throwaway
+    expressions. Zero vectors pass through unchanged (norm clamped to 1
+    so 0/1 = 0 -- no NaN/Inf components)."""
+    if nrm is None:
+        nrm = F.sqrt(norm2(a))
+    safe = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm.cast("double"))
+    return F.transform(a, lambda x: x.cast("double") / safe)
+
+
+def with_l2_normalized(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "unit_vec",
+) -> DataFrame:
+    """DataFrame-level L2 normalization, the scale-safe form: the norm is
+    projected as its own column FIRST, then referenced (not recomputed)
+    inside the per-element transform -- one O(d) fold + one O(d) map per
+    row instead of the O(d^2) inline shape. The staged column is referenced
+    twice downstream (zero-guard + divisor), which also keeps Catalyst's
+    CollapseProject from inlining the non-cheap fold back into the lambda
+    (same staging trick as ``minhash_signatures``, operators/dedup.py)."""
+    nrm_col = f"__l2nrm_{vec_col}"
+    staged = df.withColumn(nrm_col, F.sqrt(norm2(F.col(vec_col))))
+    return staged.withColumn(
+        out_col, l2_normalize(F.col(vec_col), F.col(nrm_col))
+    ).drop(nrm_col)
 
 
 def cosine_topk(

@@ -131,41 +131,72 @@ def funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- market basket
 
 
+# Pair fan-out per order is C(basket_size, 2): one 10k-part basket would
+# emit 50M pairs from a single join key -- a skew bomb at 100 TB. Baskets
+# larger than this cap are dropped BEFORE the self-join (standard market-
+# basket practice: pathological baskets are crawler/bot noise, not signal).
+MAX_BASKET_SIZE = 500
+
+
 @register(
     "market_basket_pairs",
-    oracle="""
+    oracle=f"""
     WITH basket AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    capped AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n
+        FROM basket
+      ) WHERE basket_n <= {MAX_BASKET_SIZE}
     )
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
            COUNT(*) AS n_orders
-    FROM basket a JOIN basket b
+    FROM capped a JOIN capped b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
     HAVING COUNT(*) >= 3
     """,
 )
-def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def market_basket_pairs(
+    spark: SparkSession, sf_dir: str, max_basket: int = MAX_BASKET_SIZE
+) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in >=3
-    orders. Baskets are DISTINCT'd first so the self-join fan-out is
-    C(distinct_parts, 2) per order, not C(lines, 2); the a<b ordering
-    halves the pair space. At 100 TB the guard is basket-size capping
-    (drop orders with pathological line counts before the self-join) --
-    basket sizes here are bounded by construction."""
-    basket = (
+    orders, with the basket-size cap ENFORCED in-plan.
+
+    Single-pass shape, no self-join: one groupBy(l_orderkey) builds each
+    order's sorted distinct-part array (collect_set partial-aggregates
+    map-side, so the shuffle is O(distinct basket entries)); the size
+    filter drops pathological baskets (> ``max_basket``) BEFORE any pair
+    is produced; pairs are then generated inside the array (slice past
+    each element -- the sorted order gives a<b for free) and exploded
+    into the final count. Two shuffles total: orderkey grouping + pair
+    counting. The earlier self-join formulation cost three (distinct,
+    join, count) and put the skew bomb INTO a join key: one 10k-part
+    basket = 50M rows from a single key. Here the bomb costs one 10k
+    array in an aggregation buffer and is filtered before expansion --
+    per-key fan-out is bounded at C(max_basket, 2) regardless of input
+    skew. TPC-H baskets are <=7 lines, so the cap is invisible at test
+    SFs (oracle applies the identical cap)."""
+    baskets = (
         t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts").between(2, max_basket))
     )
-    a = basket.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
-    )
-    b = basket.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    pair_structs = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
     return (
-        a.join(b, (a.k == b.k) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 3)
     )

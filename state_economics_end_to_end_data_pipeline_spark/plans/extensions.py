@@ -644,16 +644,20 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_l2_normalize_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production L2-normalize: pure JVM transform/aggregate (zero
     Python boundary, stays inside whole-stage codegen) -- the plan to run
-    at 100 TB. Same nano-unit string output as the pandas_udf variant so
-    the two are directly comparable in the harness and the bench."""
-    from ..operators.similarity import l2_normalize
+    at 100 TB. The norm is staged as a projected column (see
+    ``with_l2_normalized``) so it folds ONCE per row; the inline form
+    would re-fold per element (O(d^2)/row -- Catalyst does not CSE through
+    HOF lambdas). Same nano-unit string output as the pandas_udf variant
+    so the two are directly comparable in the harness and the bench."""
+    from ..operators.similarity import with_l2_normalized
 
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    staged = with_l2_normalized(emb, "embedding", "__unit")
     nano = F.transform(
-        l2_normalize(F.col("embedding")),
+        F.col("__unit"),
         lambda u: F.floor(u * F.lit(1e9) + F.lit(0.5)).cast("long").cast("string"),
     )
-    return emb.select("vec_id", F.array_join(nano, "|").alias("unit_vec_nano"))
+    return staged.select("vec_id", F.array_join(nano, "|").alias("unit_vec_nano"))
 
 
 @register(

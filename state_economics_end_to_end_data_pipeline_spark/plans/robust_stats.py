@@ -271,6 +271,11 @@ def winsorized_mean_per_group_approx(spark: SparkSession, sf_dir: str) -> DataFr
             F.count(F.when(x <= F.col("a99"), 1)).alias("le99"),
         )
     )
+    # DELIBERATELY SLACK vs the GK guarantee (1/accuracy = 1e-4 at
+    # accuracy=10000): the in-plan check is a cross-engine smoke bound
+    # with headroom for ties and sketch-merge variation, matching
+    # quantiles_grouped_approx. The tight value-level pin (1% of exact)
+    # lives in tests/test_robust_stats.py.
     eps = 0.005
 
     def ok(p: float, tag: str):
@@ -370,8 +375,17 @@ def mad_per_group_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantities, and the approx MAD at rank 0.5 +/- eps of the absolute
     deviations around that median. The oracle asserts the booleans; the
     value-level check against exact MAD lives in
-    tests/test_robust_stats.py."""
+    tests/test_robust_stats.py.
+
+    The O(groups) sketch frame feeds TWO consumers (the abs_dev rank
+    re-scan's broadcast and the final output join); Spark has no
+    subplan/exchange reuse across separate DataFrame references, so
+    without materialization the whole two-sketch pipeline (2 fact scans
+    + 2 GK sketches) would execute twice. It is collected once
+    (groups-sized by construction) and rebuilt as a literal relation --
+    both downstream references then cost zero fact scans."""
     frame = _approx_mad_frame(spark, sf_dir)
+    frame = spark.createDataFrame(frame.collect(), frame.schema)
     li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
     dev = li.join(
         F.broadcast(frame.select("l_returnflag", "approx_median", "approx_mad")),
@@ -381,6 +395,8 @@ def mad_per_group_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("abs_dev") < F.col("approx_mad"), 1)).alias("lt_mad"),
         F.count(F.when(F.col("abs_dev") <= F.col("approx_mad"), 1)).alias("le_mad"),
     )
+    # deliberately slack vs the 1e-4 GK guarantee -- see
+    # winsorized_mean_per_group_approx for the rationale
     eps = 0.005
     joined = frame.join(mad_ranks, "l_returnflag")
     n = F.col("n").cast("double")

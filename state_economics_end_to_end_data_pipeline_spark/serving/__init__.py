@@ -1,3 +1,4 @@
+from .http_api import DataServer
 from .service import DataService
 
-__all__ = ["DataService"]
+__all__ = ["DataServer", "DataService"]

@@ -54,6 +54,12 @@ def get_spark(
         # failing; io.readers.read_parquet_table converts them back to
         # microsecond timestamps losslessly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet timestamps with isAdjustedToUTC=false scan as TIMESTAMP
+        # (session-local, = UTC here), not TIMESTAMP_NTZ: watermarks,
+        # window(), and unix_micros all require TIMESTAMP, and with a UTC
+        # session the micros are identical either way -- this keeps the
+        # engine agnostic to which flavor the upstream writer produced
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

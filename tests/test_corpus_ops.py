@@ -33,7 +33,13 @@ def test_split_is_deterministic_and_complete(spark, sf_dir):
 
 def test_packing_conserves_tokens_and_orders_chunks(spark, sf_dir):
     """Concat-and-chunk packing must conserve the total token count and
-    produce contiguous chunk ids per language starting at 0."""
+    produce ordered, bounded chunk ids per language starting at 0.
+
+    NOT asserted: contiguity. A doc longer than the 2048-token chunk
+    spans several chunks but is attributed to the chunk its FIRST token
+    lands in, so ids legitimately gap when any doc exceeds 2048 tokens --
+    the invariant is the id RANGE (0 .. floor((lang_tokens-1)/2048)),
+    which holds for any fixture doc-length distribution."""
     rows = QUERIES["sequence_packing_chunks"].fn(spark, sf_dir).collect()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     total_tokens = docs.select(
@@ -41,13 +47,20 @@ def test_packing_conserves_tokens_and_orders_chunks(spark, sf_dir):
     ).first()["t"]
     assert sum(r["chunk_tokens"] for r in rows) == total_tokens
 
+    lang_tokens = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t"))
+        .collect()
+    }
     by_lang = {}
     for r in rows:
         by_lang.setdefault(r["lang"], []).append(r["chunk_id"])
     for lang, ids in by_lang.items():
         ids = sorted(ids)
         assert ids[0] == 0, lang
-        assert ids == list(range(len(ids))), lang  # contiguous
+        assert len(set(ids)) == len(ids), lang  # distinct (grouped) ids
+        assert ids[-1] <= (lang_tokens[lang] - 1) // 2048, lang
 
 
 def test_mixing_rates_bound_kept_counts(spark, sf_dir):

@@ -112,6 +112,62 @@ def test_data_service_catalog_and_limit(spark, sf_dir):
     assert len(out["rows"]) == 5 and out["columns"] == svc.columns("nation")
 
 
+def test_http_transport_round_trip(spark, sf_dir):
+    """Real HTTP round-trip over the stdlib transport (reference
+    finalprojectapi.py parity: POST /get_data with {"table","limit"}),
+    plus the V1/V3 GET routes and the injection-shaped rejection the
+    reference lacks. Ephemeral port; threaded server; stdlib client."""
+    import json
+    from urllib.error import HTTPError
+    from urllib.request import Request, urlopen
+
+    from state_economics_end_to_end_data_pipeline_spark.serving import DataServer
+
+    svc = DataService(spark)
+    svc.register("nation", read_parquet_table(spark, sf_dir, "nation"))
+    with DataServer(svc) as srv:
+        host, port = srv.address
+        base = f"http://{host}:{port}"
+
+        with urlopen(f"{base}/tables", timeout=30) as r:
+            assert json.load(r)["tables"] == ["nation"]
+        with urlopen(f"{base}/columns/nation", timeout=30) as r:
+            assert "n_name" in json.load(r)["columns"]
+
+        req = Request(
+            f"{base}/get_data",
+            data=json.dumps({"table": "nation", "limit": 3}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urlopen(req, timeout=60) as r:
+            out = json.load(r)
+        assert len(out["rows"]) == 3
+        assert out["columns"] == svc.columns("nation")
+
+        # the reference's injection path, rejected at the catalog
+        bad = Request(
+            f"{base}/get_data",
+            data=json.dumps(
+                {"table": "nation; DROP TABLE students", "limit": 3}
+            ).encode(),
+        )
+        try:
+            urlopen(bad, timeout=30)
+            raise AssertionError("injection-shaped table name was accepted")
+        except HTTPError as e:
+            assert e.code == 404
+        # out-of-bounds limit -> 400, not a full-table scan
+        bad2 = Request(
+            f"{base}/get_data",
+            data=json.dumps({"table": "nation", "limit": 10**9}).encode(),
+        )
+        try:
+            urlopen(bad2, timeout=30)
+            raise AssertionError("unbounded limit was accepted")
+        except HTTPError as e:
+            assert e.code == 400
+
+
 def test_data_service_rejects_bad_input(spark):
     svc = DataService(spark)
     with pytest.raises(KeyError):

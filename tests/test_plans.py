@@ -162,11 +162,62 @@ def test_q22_scalar_avg_is_broadcast_not_collect(spark, sf_dir):
 
 def test_event_analytics_join_shapes(spark, sf_dir):
     # cohort join-back of the per-user firsts is a hash join (broadcast at
-    # this scale), never a cartesian; basket self-join is equi on orderkey.
-    for name in ("cohort_retention", "market_basket_pairs"):
-        plan = plan_of(q(spark, sf_dir, name))
-        assert "CartesianProduct" not in plan, name
-        assert "Join" in plan, name
+    # this scale), never a cartesian
+    plan = plan_of(q(spark, sf_dir, "cohort_retention"))
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+    # market basket is deliberately JOIN-FREE: pairs are generated inside
+    # each order's sorted part array (explode of in-array combinations),
+    # so a skewed basket can never become a hot join key. Two shuffles:
+    # the orderkey grouping and the pair count.
+    plan = plan_of(q(spark, sf_dir, "market_basket_pairs"))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_market_basket_cap_enforced_in_plan(spark, sf_dir):
+    """The basket-size cap is real code, not docstring-ware: max_basket=1
+    must yield ZERO pairs (no 1-part basket can form a pair), and the
+    default cap must be invisible on TPC-H-shaped data (baskets <= 7), i.e.
+    equal to the effectively-uncapped run. Together these pin that the cap
+    filter sits BEFORE the self-join and drops whole baskets."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.event_analytics import (
+        market_basket_pairs,
+    )
+
+    assert market_basket_pairs(spark, sf_dir, max_basket=1).count() == 0
+    capped = market_basket_pairs(spark, sf_dir)
+    uncapped = market_basket_pairs(spark, sf_dir, max_basket=1_000_000_000)
+    assert capped.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(capped).count() == 0
+
+
+def test_jaccard_pairs_owns_its_cache(spark, sf_dir):
+    """Cache hygiene in a shared session: eager jaccard_pairs persists its
+    shingle index internally but must unpersist it before returning -- at
+    most ONE new persisted RDD (the localCheckpoint'ed pair result) may
+    remain; a leaked index would leave two. The lazy form must leave
+    nothing persisted at all."""
+    from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    sc = spark.sparkContext
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    pairs = jaccard_pairs(docs, min_jaccard=0.2)
+    assert pairs.count() >= 0  # materialized (already eager inside)
+    new = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+    assert len(new) <= 1, f"leaked cached RDDs beyond the checkpoint: {new}"
+
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    lazy = jaccard_pairs(docs, min_jaccard=0.2, eager=False)
+    assert lazy.count() >= 0
+    new = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+    assert new == set(), f"lazy path persisted: {new}"
 
 
 def test_outlier_bounds_broadcast_back(spark, sf_dir):

@@ -107,3 +107,99 @@ def test_sessionize_invariants(spark, events, gap):
             else:
                 assert b["session_no"] == a["session_no"] + 1  # dense labels
                 assert delta > gap  # sessions split only on real gaps
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate hashability: a catalog-wide regression guard for the two
+# round-1 failure classes. The driver samples ~50 of the registered
+# queries per round; this test walks ALL of them, so a regression in an
+# unsampled entry fails CI instead of a future round's rotated sample.
+# ---------------------------------------------------------------------------
+
+_INT_DUCK = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_FLOAT_DUCK = {"FLOAT", "DOUBLE"}
+
+
+def test_catalog_schemas_are_driver_hashable(spark, sf_dir):
+    """Every oracle-paired catalog entry must survive the driver's
+    sort+value-hash compare, which (a) crashes on unhashable cells --
+    any top-level array/map/struct column on the Spark side -- and
+    (b) hash-mismatches equal values held in different dtypes, the
+    classic case being DuckDB SUM(int) -> HUGEINT -> pandas object vs
+    Spark int64 (the fix is CAST(... AS BIGINT) in the oracle). Checked
+    structurally: Spark schema (lazy, no execution) against DuckDB
+    DESCRIBE of the oracle (binds, does not scan), for all entries."""
+    import duckdb
+
+    from state_economics_end_to_end_data_pipeline_spark.plans import load_all
+
+    qs = load_all()
+    con = duckdb.connect()
+    for tname in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.sql(
+            f"CREATE VIEW {tname} AS SELECT * FROM '{sf_dir}/{tname}.parquet'"
+        )
+
+    problems: list[str] = []
+    for name in sorted(qs):
+        entry = qs[name]
+        if entry.oracle is None:
+            continue  # rows-only gate: never value-hashed by the driver
+        try:
+            df = entry.fn(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"{name}: fn failed to build: {e}")
+            continue
+        spark_types = {f.name: f.dataType for f in df.schema.fields}
+        for col, dt in spark_types.items():
+            if dt.typeName() in ("array", "map", "struct"):
+                problems.append(
+                    f"{name}: spark col {col} is {dt.simpleString()} -- "
+                    "unhashable cells crash the driver compare"
+                )
+        try:
+            desc = con.sql("DESCRIBE " + entry.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"{name}: oracle does not bind: {e}")
+            continue
+        duck_types = dict(zip(desc["column_name"], desc["column_type"]))
+        if sorted(duck_types) != sorted(spark_types):
+            problems.append(
+                f"{name}: column names differ: spark={sorted(spark_types)} "
+                f"oracle={sorted(duck_types)}"
+            )
+            continue
+        for col, dtype in duck_types.items():
+            base = dtype.split("(")[0]
+            if dtype == "HUGEINT":
+                problems.append(
+                    f"{name}: oracle col {col} is HUGEINT (pandas object) -- "
+                    "CAST the aggregate AS BIGINT"
+                )
+            elif dtype.endswith("[]") or base in ("STRUCT", "MAP", "UNION", "JSON"):
+                problems.append(
+                    f"{name}: oracle col {col} is {dtype} -- unhashable cells"
+                )
+            sdt = spark_types[col].typeName()
+            if sdt in ("byte", "short", "integer", "long") and base not in _INT_DUCK:
+                problems.append(
+                    f"{name}: col {col} dtype kind differs "
+                    f"(spark {sdt} vs oracle {dtype}) -- hashes differently"
+                )
+            elif sdt in ("float", "double") and base not in _FLOAT_DUCK:
+                problems.append(
+                    f"{name}: col {col} dtype kind differs "
+                    f"(spark {sdt} vs oracle {dtype}) -- hashes differently"
+                )
+            elif (sdt == "float") != (base == "FLOAT") and sdt in ("float", "double") and base in _FLOAT_DUCK:
+                problems.append(
+                    f"{name}: col {col} float widths differ "
+                    f"(spark {sdt} vs oracle {dtype}) -- float32 reprs hash differently"
+                )
+    assert not problems, "\n".join(problems)

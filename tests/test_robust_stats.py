@@ -15,6 +15,7 @@ from state_economics_end_to_end_data_pipeline_spark.io.readers import read_parqu
 from state_economics_end_to_end_data_pipeline_spark.operators.similarity import (
     l2_normalize,
     norm2,
+    with_l2_normalized,
 )
 from state_economics_end_to_end_data_pipeline_spark.plans import load_all
 
@@ -72,7 +73,12 @@ def test_mad_approx_rank_guarantee(spark, sf_dir):
 
 
 def test_mad_approx_tracks_exact(spark, sf_dir):
-    """Sketch MAD within 5% (or one quantity grid step) of exact MAD."""
+    """Sketch MAD within max(5% of exact, 1.0) of exact MAD. NOTE which
+    bound binds: l_quantity is integer-valued, so exact MAD interpolates
+    on a grid with step 1.0 and the absolute floor (one full grid step)
+    DOMINATES here -- TPC-H MAD is ~12.5, so the effective tolerance is
+    1.0 (~8%), looser than the 5% term. The percentage term only binds
+    for data where exact MAD > 20."""
     from state_economics_end_to_end_data_pipeline_spark.plans.robust_stats import (
         mad_approx_values,
     )
@@ -129,6 +135,35 @@ def test_l2_normalize_produces_unit_vectors(spark, sf_dir):
     assert bad == 0
 
 
+def test_l2_normalize_staged_norm_folds_once(spark):
+    """The scale guard for normalization: ``with_l2_normalized`` must keep
+    the norm fold OUT of the per-element lambda. Catalyst does not CSE
+    through higher-order-function lambdas, so an inlined norm is re-folded
+    for every element -- O(d^2)/row, ~1M ops/row at production d. Asserted
+    structurally (exactly ONE aggregate() in the optimized plan, at a
+    realistic d=512) so a CollapseProject regression re-inlining the fold
+    fails the suite; plus the zero-vector guard (0-vec passes through with
+    no NaN/Inf components)."""
+    import re
+
+    rows = [
+        (i, [float((i * 31 + j) % 97) / 97.0 + 0.01 for j in range(512)])
+        for i in range(50)
+    ]
+    rows.append((99, [0.0] * 512))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = with_l2_normalized(df, "embedding", "unit_vec")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(re.findall(r"aggregate\(", plan)) == 1, plan
+
+    checked = out.select("vec_id", norm2(F.col("unit_vec")).alias("sq")).collect()
+    for r in checked:
+        if r["vec_id"] == 99:
+            assert r["sq"] == 0.0  # zero vector unchanged, not NaN
+        else:
+            assert abs(r["sq"] - 1.0) < 1e-12
+
+
 def test_transform_with_state_user_peaks(spark, sf_dir):
     """transformWithStateInPandas (Spark 4 arbitrary-state API) must
     reproduce the batch per-user count/peak aggregate on a bounded
@@ -158,6 +193,21 @@ def test_transform_with_state_user_peaks(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_python_datasource_zero_rows(spark):
+    """rows=0 with multiple planned partitions must yield an empty scan,
+    not a range(0, 0, 0) planning crash (the split step is floor-divided
+    from the row count and needs the empty-source guard)."""
+    from state_economics_end_to_end_data_pipeline_spark.io.python_datasource import (
+        read_synthetic_events,
+    )
+
+    df = read_synthetic_events(spark, n_rows=0, n_parts=8)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "user_id", "amount_cents", "day",
+    ]
 
 
 def test_python_datasource_plans_partitions_and_derives_rows(spark):
