@@ -35,8 +35,32 @@ def norm2(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float arrays."""
+    """Cosine similarity of two float arrays. THREE O(d) folds per call
+    (dot + both norms): fine for one-shot row expressions, but on a
+    pair-generating path a row's norm is re-folded once per PAIR -- use
+    ``cosine_prenormed`` with per-row staged squared norms there."""
     return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
+
+
+def cosine_prenormed(a: Column, b: Column, n2a: Column, n2b: Column) -> Column:
+    """Cosine from pre-staged SQUARED norms: one dot fold per pair
+    instead of three -- the hot-path form for candidate verification,
+    where a corpus row joins into many pairs but its norm is constant.
+    Staging norm2 (not the sqrt) keeps the expression tree's value
+    bit-identical to ``cosine``: the same sqrt(n2a * n2b) product is
+    evaluated either way."""
+    return dot(a, b) / F.sqrt(n2a * n2b)
+
+
+def _py_norm2(vec) -> float:
+    """Driver-side squared norm with the SAME sequential left-fold IEEE
+    order as the ``norm2`` expression (and the DuckDB list_reduce), so a
+    literal-embedded centroid norm is bit-identical to the engine's."""
+    acc = 0.0
+    for x in vec:
+        xd = float(x)
+        acc += xd * xd
+    return acc
 
 
 def l2_normalize(a: Column, nrm: Column | None = None) -> Column:
@@ -90,18 +114,28 @@ def cosine_topk(
 
     ``queries`` is broadcast (query batches are small by construction);
     ranking uses row_number with an id tie-break so top-k is total-ordered
-    and reproducible."""
+    and reproducible. Squared norms are staged per ROW before the join --
+    each corpus vector is scored against every query, so folding its norm
+    per pair would cost |queries| redundant O(d) folds per corpus row."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm2(F.col(vec_col)).alias("q_n2"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm2(F.col(vec_col)).alias("c_n2"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            cosine_prenormed(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_n2"), F.col("c_n2")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -132,23 +166,32 @@ def neardup_pairs_lsh(
 ) -> DataFrame:
     """Near-duplicate vector pairs: sign-LSH blocking then exact cosine
     verify within buckets. The join key is the bucket id -- pair count drops
-    ~2^bits vs all-pairs; raise ``bits`` as the corpus grows."""
+    ~2^bits vs all-pairs; raise ``bits`` as the corpus grows. Squared
+    norms are staged per ROW before the self-join: inside a bucket each
+    vector meets O(bucket) partners, so the per-pair fold count drops
+    from three to one (the dot)."""
     with_bucket = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        norm2(F.col(vec_col)).alias("n2"),
         sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     a = with_bucket.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("n2").alias("n2_a"), "bucket",
     )
     b = with_bucket.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("n2").alias("n2_b"), "bucket",
     )
     return (
         a.join(b, "bucket", "inner")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim")
+            "id_a", "id_b",
+            cosine_prenormed(
+                F.col("vec_a"), F.col("vec_b"), F.col("n2_a"), F.col("n2_b")
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= min_cosine)
     )
@@ -169,17 +212,32 @@ def assign_cells(
     assignment is a fully NARROW per-row computation -- zero shuffle of
     the corpus. (A crossJoin + per-id rank window would shuffle the whole
     corpus by id; at 100 TB that shuffle dominates the index build.)
-    Sorting key is (-cos, cell): cos desc, cell asc on ties."""
+    Sorting key is (-cos, cell): cos desc, cell asc on ties.
+
+    Fold budget: the row's squared norm is staged ONCE (not re-folded per
+    centroid) and each centroid's squared norm is computed driver-side
+    with the same sequential IEEE fold (``_py_norm2``) and embedded as a
+    literal -- so scoring k centroids costs k dot folds + 1 norm fold per
+    row, instead of 3k folds."""
     cents = centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
     ).collect()
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm2(F.col(vec_col)).alias("__n2"),
+    )
     scored = F.array(
         *[
             F.struct(
-                (-cosine(F.col("vec"), F.lit(list(map(float, r["c_vec"]))))).alias(
-                    "neg_cos"
-                ),
+                (
+                    -cosine_prenormed(
+                        F.col("vec"),
+                        F.lit(list(map(float, r["c_vec"]))),
+                        F.col("__n2"),
+                        F.lit(_py_norm2(r["c_vec"])),
+                    )
+                ).alias("neg_cos"),
                 F.lit(r["cell"]).cast("long").alias("cell"),
             )
             for r in cents
@@ -217,17 +275,21 @@ def ivf_topk(
     (a neighbor whose cell the query does not probe is missed) but the
     output is exactly determined by (centroids, n_probe, k)."""
     corpus_cells = assign_cells(corpus, centroids, 1, id_col, vec_col).select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "cell"
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"),
+        norm2(F.col("vec")).alias("c_n2"), "cell",
     )
     query_cells = assign_cells(queries, centroids, n_probe, id_col, vec_col).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "cell"
+        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"),
+        norm2(F.col("vec")).alias("q_n2"), "cell",
     )
     cand = (
         corpus_cells.join(query_cells, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            cosine_prenormed(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_n2"), F.col("c_n2")
+            ).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

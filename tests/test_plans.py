@@ -80,6 +80,23 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_pairwise_cosine_stages_norms_per_row(spark, sf_dir):
+    """Fold budget on the similarity hot path: the per-PAIR scoring
+    expression must contain exactly ONE O(d) fold (the dot product) --
+    both squared norms staged per row BEFORE the join. A regression that
+    re-inlines norm2 into the pair projection triples the flops on every
+    candidate pair (norm folds then scale with pairs, not rows)."""
+    for name in ("embedding_cosine_topk", "embedding_neardup_lsh"):
+        plan = optimized_of(q(spark, sf_dir, name))
+        score_lines = [
+            ln for ln in plan.splitlines()
+            if "cos_sim" in ln and "aggregate(" in ln
+        ]
+        assert score_lines, name
+        for ln in score_lines:
+            assert ln.count("aggregate(") == 1, (name, ln)
+
+
 def test_whole_stage_codegen_covers_scalar_queries(spark, sf_dir):
     plan = plan_of(q(spark, sf_dir, "string_cleaning"))
     # '*(n)' prefixes mark operators fused into a WholeStageCodegen stage
