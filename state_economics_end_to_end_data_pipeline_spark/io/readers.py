@@ -139,6 +139,13 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
         # Runtime-settable; a session built outside get_spark (e.g. the
         # driver's) would otherwise fail the scan with PARQUET_TYPE_ILLEGAL.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet timestamps without isAdjustedToUTC must scan as TIMESTAMP
+    # (session-local), not TIMESTAMP_NTZ -- watermarks, window() and
+    # unix_micros all require TIMESTAMP, and with a UTC session the
+    # micros are identical. Runtime-settable here (not only in
+    # session.get_spark) so the engine behaves the same on a session
+    # built by an external harness.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
     for c in nanos_cols:

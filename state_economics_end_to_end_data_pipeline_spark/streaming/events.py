@@ -46,6 +46,9 @@ def read_events_stream(
     replays of the same source skip it.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ-flavored parquet timestamps must scan as TIMESTAMP: watermarks
+    # reject TIMESTAMP_NTZ event time (see io.readers.read_parquet_table)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = f"{sf_dir}/events.parquet"
     if path not in _SCHEMA_CACHE:
         _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
