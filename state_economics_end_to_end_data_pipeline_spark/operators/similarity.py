@@ -254,6 +254,42 @@ def assign_cells(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """Train IVF centroids with Spark ML KMeans (the production path the
+    fixed-subset test centroids stand in for). Returns a (id, vec) frame
+    shaped exactly like ``assign_cells``/``ivf_topk`` expect, with cell
+    ids 0..k-1.
+
+    Scale posture: KMeans is iterative over the TRAINING set only --
+    at 100 TB train on a sample (``train_fraction``; centroid quality
+    converges long before the full corpus is seen) and assign the full
+    corpus with the one narrow ``assign_cells`` pass. The model's k
+    centers are driver-sized by definition; they come back through the
+    (tiny) fitted model, never a corpus collect. Seeded, so the trained
+    index is reproducible for a fixed input."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df if train_fraction >= 1.0 else df.sample(train_fraction, seed=seed)
+    feats = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    spark = df.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, f"{id_col} bigint, {vec_col} array<double>")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -776,6 +776,38 @@ def ivf_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_ivf_kmeans_recall")  # rows-only: KMeans training is
+# iterative and sketch-like -- not SQL-expressible; quality is pinned in
+# tests/test_robust_stats.py instead of a value oracle.
+def embedding_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF index end-to-end: centroids trained with Spark
+    ML KMeans (seeded -- reproducible for a fixed input) instead of the
+    oracle-parity fixed subset, then the same assign/probe/verify path as
+    embedding_ivf_topk, measured as recall@5 against the exact brute
+    force. Training is a corpus-sample job; assignment stays one narrow
+    pass; the trained centers travel via the fitted model (k vectors on
+    the driver by definition)."""
+    from ..operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = kmeans_centroids(emb, k=8, seed=42, max_iter=10)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        corpus=emb, queries=queries, centroids=cents, k=5, n_probe=2
+    ).select("query_id", F.col("neighbor_id").alias("ivf_neighbor"))
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.ivf_neighbor),
+        "left",
+    ).select(exact.query_id, approx.ivf_neighbor)
+    return hits.groupBy("query_id").agg(
+        F.count("ivf_neighbor").alias("n_hits"),
+        (F.count("ivf_neighbor").cast("double") / 5.0).alias("recall_at_5"),
+    )
+
+
 def _simhash_blocking_oracle() -> str:
     inner = _simhash_oracle().strip()
     return f"""

@@ -195,6 +195,25 @@ def test_transform_with_state_user_peaks(spark, sf_dir):
     assert got == want
 
 
+def test_kmeans_ivf_recall_deterministic_and_useful(spark, sf_dir):
+    """The KMeans-trained IVF index (rows-only entry -- iterative
+    training is not SQL-expressible): seeded training must be
+    reproducible run-to-run, and probing 2 of 8 trained cells must beat
+    random-cell recall by a wide margin (random would be ~2/8 = 0.25 in
+    expectation; the trained index lands ~0.5 on this data -- pinned with
+    headroom at 0.3)."""
+    out = QUERIES["embedding_ivf_kmeans_recall"].fn(spark, sf_dir)
+    rows = {r["query_id"]: r["recall_at_5"] for r in out.collect()}
+    assert len(rows) == 10
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+    assert sum(rows.values()) / len(rows) >= 0.3
+    again = {
+        r["query_id"]: r["recall_at_5"]
+        for r in QUERIES["embedding_ivf_kmeans_recall"].fn(spark, sf_dir).collect()
+    }
+    assert rows == again  # seeded KMeans: same input -> same index
+
+
 def test_python_datasource_zero_rows(spark):
     """rows=0 with multiple planned partitions must yield an empty scan,
     not a range(0, 0, 0) planning crash (the split step is floor-divided
