@@ -1057,6 +1057,49 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_shard_shuffle",
+    oracle="""
+    SELECT doc_id, shard, pos FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+               % 8 AS shard,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 8
+               ORDER BY md5('order:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS pos
+      FROM documents
+    )
+    """,
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: every doc gets
+    a shard (salted-md5 bucket, 8 shards) and a reproducible position
+    within it (ordered by a SECOND independent salted hash, doc_id
+    tie-break) -- the shuffled-read layout trainers want, with no RNG, no
+    global sort, no driver state: any engine or rerun assigns identical
+    (shard, pos). One shuffle total (the per-shard window sort), and the
+    shard IS the write unit at 100 TB -- partitionBy(shard) +
+    sortWithinPartitions(order_key) writes the same layout with the sort
+    folded into the shuffle; changing the salt reshuffles every epoch
+    reproducibly."""
+    d = t(spark, sf_dir, "documents")
+    doc_str = F.col("doc_id").cast("string")
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), doc_str)), 1, 6), 16, 10)
+        .cast("long") % 8
+    )
+    order_key = F.md5(F.concat(F.lit("order:"), doc_str))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (
+        d.select("doc_id", shard.alias("shard"), order_key.alias("order_key"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+@register(
     "sequence_packing_chunks",
     oracle="""
     WITH d AS (

@@ -63,6 +63,26 @@ def test_packing_conserves_tokens_and_orders_chunks(spark, sf_dir):
         assert ids[-1] <= (lang_tokens[lang] - 1) // 2048, lang
 
 
+def test_shard_shuffle_is_dense_balanced_permutation(spark, sf_dir):
+    """Every doc appears exactly once; positions within each shard are a
+    dense 1..n sequence (a valid write layout); shards are reasonably
+    balanced (md5 bucketing: no shard > 2x the ideal share); and the
+    assignment is deterministic across runs (no RNG anywhere)."""
+    rows = QUERIES["corpus_shard_shuffle"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == docs
+    assert len({r["doc_id"] for r in rows}) == docs
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    ideal = docs / len(by_shard)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard  # dense
+        assert len(ps) <= 2 * ideal, (shard, len(ps))
+    again = QUERIES["corpus_shard_shuffle"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_mixing_rates_bound_kept_counts(spark, sf_dir):
     """Kept counts can never exceed totals; a 100% tier keeps everything;
     weighted counts = kept * epochs for the tier."""
