@@ -916,6 +916,59 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_pq_codes",
+    oracle="""
+    WITH cb AS (
+      SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < 4
+    ), v AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+    ), sub AS (
+      SELECT v.vec_id, s.s, cb.code,
+             list_reduce(list_transform(range(1, 9), j ->
+               (CAST(v.embedding[s.s * 8 + j] AS DOUBLE)
+                - CAST(cb.embedding[s.s * 8 + j] AS DOUBLE))
+               * (CAST(v.embedding[s.s * 8 + j] AS DOUBLE)
+                  - CAST(cb.embedding[s.s * 8 + j] AS DOUBLE))),
+               (a, b) -> a + b) AS d2
+      FROM v
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+      CROSS JOIN cb
+    ), best AS (
+      SELECT vec_id, s, code, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2, code) AS rk
+      FROM sub
+    )
+    SELECT vec_id, CAST(s AS BIGINT) AS subspace,
+           CAST(code AS BIGINT) AS code, d2
+    FROM best WHERE rk = 1
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the 100 TB embedding-compression path: a
+    d-dim float vector becomes m byte-sized codes, ~500x at production
+    d; approximate search then uses code-table lookups). d=64 split into
+    m=8 subspaces of 8 dims; codebook = the subvectors of the first 4
+    embeddings (deterministic, so the oracle reproduces it -- production
+    trains per-subspace KMeans, same driver-sized shape). One row per
+    (vector, subspace) with the chosen code and the subspace quantization
+    error; fully narrow per-row JVM expression work, sequential IEEE
+    folds matching the DuckDB oracle bit-for-bit."""
+    from ..operators.similarity import pq_encode
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb_rows = emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    codebook = {
+        (s, int(r["vec_id"])): [float(x) for x in r["embedding"][s * 8:(s + 1) * 8]]
+        for r in cb_rows
+        for s in range(8)
+    }
+    return pq_encode(
+        emb.filter(F.col("vec_id") < 200), codebook, m=8, sub_dim=8
+    )
+
+
 _CURATION_FILLER = ("row", "value", "table", "data")
 
 

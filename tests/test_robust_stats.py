@@ -195,6 +195,23 @@ def test_transform_with_state_user_peaks(spark, sf_dir):
     assert got == want
 
 
+def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
+    """PQ sanity: a codebook donor vector's nearest codebook entry in
+    every subspace is itself (d2 == 0 exactly -- same doubles), every
+    error is non-negative, and every encoded vector has exactly m=8
+    subspace rows."""
+    rows = QUERIES["embedding_pq_codes"].fn(spark, sf_dir).collect()
+    per_vec = {}
+    for r in rows:
+        assert r["d2"] >= 0.0
+        per_vec.setdefault(r["vec_id"], []).append(r)
+    assert all(len(v) == 8 for v in per_vec.values())
+    for vid in range(4):  # the codebook donors
+        for r in per_vec[vid]:
+            assert r["code"] == vid, (vid, r)
+            assert r["d2"] == 0.0, (vid, r)
+
+
 def test_kmeans_ivf_recall_deterministic_and_useful(spark, sf_dir):
     """The KMeans-trained IVF index (rows-only entry -- iterative
     training is not SQL-expressible): seeded training must be
