@@ -10,7 +10,7 @@ right in double on both engines -- bit-identical cosines.
 from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type hints resolve via func globals
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io.readers import read_parquet_table as t
@@ -966,6 +966,124 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     return pq_encode(
         emb.filter(F.col("vec_id") < 200), codebook, m=8, sub_dim=8
+    )
+
+
+@register(
+    "embedding_pq_adc_topk",
+    oracle="""
+    WITH cb AS (
+      SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < 4
+    ), v AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+    ), sub AS (
+      SELECT v.vec_id, s.s, cb.code,
+             list_reduce(list_transform(range(1, 9), j ->
+               (CAST(v.embedding[s.s * 8 + j] AS DOUBLE)
+                - CAST(cb.embedding[s.s * 8 + j] AS DOUBLE))
+               * (CAST(v.embedding[s.s * 8 + j] AS DOUBLE)
+                  - CAST(cb.embedding[s.s * 8 + j] AS DOUBLE))),
+               (a, b) -> a + b) AS d2
+      FROM v
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+      CROSS JOIN cb
+    ), best AS (
+      SELECT vec_id, s, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2, code) AS rk
+      FROM sub
+    ), q AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+    ), contrib AS (
+      SELECT q.query_id, b.vec_id, b.s,
+             CAST(floor(list_reduce(list_transform(range(1, 9), j ->
+               (CAST(q.embedding[b.s * 8 + j] AS DOUBLE)
+                - CAST(cb.embedding[b.s * 8 + j] AS DOUBLE))
+               * (CAST(q.embedding[b.s * 8 + j] AS DOUBLE)
+                  - CAST(cb.embedding[b.s * 8 + j] AS DOUBLE))),
+               (a, b) -> a + b) * 1e9 + 0.5) AS BIGINT) AS d2q_nano
+      FROM best b
+      JOIN cb ON cb.code = b.code
+      CROSS JOIN q
+      WHERE b.rk = 1 AND b.vec_id <> q.query_id
+    ), adc AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             CAST(SUM(d2q_nano) AS BIGINT) AS adc_nano
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_nano, rank FROM (
+      SELECT query_id, neighbor_id, adc_nano,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_nano, neighbor_id) AS BIGINT) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation over PQ codes -- how compressed
+    ANN search actually runs at 100 TB: per query, the m x k table of
+    query-subvector-to-codebook distances is precomputed ONCE on the
+    driver (m*k*sub_dim flops -- trivial), and each corpus vector's
+    approximate distance is just m integer table lookups summed, no
+    vector math per candidate at all. Distances are nano-scaled to
+    integers (floor(d2*1e9+0.5), the repo's standard trick) so the
+    per-vector sum is order-independent and the oracle exact. The corpus
+    side is the narrow PQ code table; the only shuffle is the O(vectors)
+    per-query sum."""
+    from ..operators.similarity import pq_encode
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb_rows = emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    codebook = {
+        (s, int(r["vec_id"])): [float(x) for x in r["embedding"][s * 8:(s + 1) * 8]]
+        for r in cb_rows
+        for s in range(8)
+    }
+    q_rows = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+
+    def d2_py(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = float(x) - float(y)
+            acc += d * d
+        return acc
+
+    import math
+
+    codes = pq_encode(emb.filter(F.col("vec_id") < 200), codebook, m=8, sub_dim=8)
+    per_query = []
+    for qr in q_rows:
+        qid = int(qr["vec_id"])
+        qvec = [float(x) for x in qr["embedding"]]
+        # flat LUT indexed subspace*k + code; k=4 codes per subspace
+        lut = [
+            math.floor(
+                d2_py(qvec[s * 8:(s + 1) * 8], codebook[(s, c)]) * 1e9 + 0.5
+            )
+            for s in range(8)
+            for c in range(4)
+        ]
+        per_query.append(
+            codes.filter(F.col("vec_id") != qid).select(
+                F.lit(qid).alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.element_at(
+                    F.lit(lut),
+                    (F.col("subspace") * 4 + F.col("code") + 1).cast("int"),
+                ).alias("d2q_nano"),
+            )
+        )
+    contrib = per_query[0]
+    for p in per_query[1:]:
+        contrib = contrib.unionByName(p)
+    adc = contrib.groupBy("query_id", "neighbor_id").agg(
+        F.sum("d2q_nano").cast("bigint").alias("adc_nano")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_nano", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "adc_nano", "rank")
     )
 
 

@@ -212,6 +212,24 @@ def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
             assert r["d2"] == 0.0, (vid, r)
 
 
+def test_pq_adc_topk_ranks_dense_and_monotone(spark, sf_dir):
+    """ADC search invariants: exactly 5 ranked rows per query, ranks
+    dense 1..5, approximate distances non-negative and non-decreasing
+    with rank (the integer-nano sum makes ties stable), and the query
+    itself never returned as its own neighbor."""
+    rows = QUERIES["embedding_pq_adc_topk"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert r["adc_nano"] >= 0
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5], qid
+        dists = [r["adc_nano"] for r in rs]
+        assert dists == sorted(dists), qid
+
+
 def test_kmeans_ivf_recall_deterministic_and_useful(spark, sf_dir):
     """The KMeans-trained IVF index (rows-only entry -- iterative
     training is not SQL-expressible): seeded training must be
