@@ -38,8 +38,12 @@ def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float arrays. THREE O(d) folds per call
     (dot + both norms): fine for one-shot row expressions, but on a
     pair-generating path a row's norm is re-folded once per PAIR -- use
-    ``cosine_prenormed`` with per-row staged squared norms there."""
-    return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
+    ``cosine_prenormed`` with per-row staged squared norms there.
+    ``try_divide`` so a zero vector yields NULL (undefined cosine)
+    instead of an ANSI DIVIDE_BY_ZERO crash -- zero embeddings DO occur
+    in real corpora; for non-degenerate inputs the value is the plain
+    division bit-for-bit."""
+    return F.try_divide(dot(a, b), F.sqrt(norm2(a) * norm2(b)))
 
 
 def cosine_prenormed(a: Column, b: Column, n2a: Column, n2b: Column) -> Column:
@@ -48,8 +52,8 @@ def cosine_prenormed(a: Column, b: Column, n2a: Column, n2b: Column) -> Column:
     where a corpus row joins into many pairs but its norm is constant.
     Staging norm2 (not the sqrt) keeps the expression tree's value
     bit-identical to ``cosine``: the same sqrt(n2a * n2b) product is
-    evaluated either way."""
-    return dot(a, b) / F.sqrt(n2a * n2b)
+    evaluated either way (and the same NULL-on-zero-vector guard)."""
+    return F.try_divide(dot(a, b), F.sqrt(n2a * n2b))
 
 
 def _py_norm2(vec) -> float:

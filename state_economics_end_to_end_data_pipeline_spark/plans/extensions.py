@@ -141,6 +141,100 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_batch",
+    oracle=_minhash_sig_cte()
+    + """
+    , split AS (
+      SELECT doc_id, lang, md5(text) AS content_md5,
+             (doc_id % 10 >= 8) AS is_new
+      FROM documents
+    ), hist AS (SELECT * FROM split WHERE NOT is_new),
+    batch AS (SELECT * FROM split WHERE is_new),
+    exact_dup AS (
+      SELECT DISTINCT b.doc_id FROM batch b
+      JOIN hist h ON h.content_md5 = b.content_md5
+    ), near_dup AS (
+      SELECT DISTINCT b.doc_id FROM batch b
+      JOIN mh mb ON mb.doc_id = b.doc_id
+      JOIN mh mh2 ON mh2.doc_id IN (SELECT doc_id FROM hist)
+       AND ((mb.mh0 = mh2.mh0 AND mb.mh1 = mh2.mh1) OR
+            (mb.mh2 = mh2.mh2 AND mb.mh3 = mh2.mh3) OR
+            (mb.mh4 = mh2.mh4 AND mb.mh5 = mh2.mh5) OR
+            (mb.mh6 = mh2.mh6 AND mb.mh7 = mh2.mh7))
+      WHERE b.doc_id NOT IN (SELECT doc_id FROM exact_dup)
+    )
+    SELECT lang,
+           COUNT(*) AS n_batch,
+           CAST(COUNT(CASE WHEN doc_id IN (SELECT doc_id FROM exact_dup)
+                           THEN 1 END) AS BIGINT) AS n_exact_dup,
+           CAST(COUNT(CASE WHEN doc_id IN (SELECT doc_id FROM near_dup)
+                           THEN 1 END) AS BIGINT) AS n_near_dup,
+           CAST(COUNT(CASE WHEN doc_id NOT IN (SELECT doc_id FROM exact_dup)
+                            AND doc_id NOT IN (SELECT doc_id FROM near_dup)
+                           THEN 1 END) AS BIGINT) AS n_kept
+    FROM batch GROUP BY lang
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup -- the nightly-batch shape at 100 TB: a
+    NEW batch (deterministic 20% slice, doc_id % 10 >= 8) is deduped
+    against the HISTORICAL corpus without ever joining history to
+    itself. Tier 1: exact content-md5 semi-join (shuffle keyed on a
+    128-bit hash, never bodies). Tier 2: MinHash-LSH band match against
+    historical signatures -- in production the historical signature table
+    is a stored incremental artifact, so each night costs O(batch) new
+    signatures plus a bucket equi-join, not a corpus re-scan. Reported
+    per lang: batch size, exact dups, near dups (exact excluded), kept."""
+    docs = t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 >= 8
+    hist = docs.filter(~is_new)
+    batch = docs.filter(is_new)
+
+    h_md5 = hist.select(F.md5("text").alias("content_md5")).distinct()
+    exact_ids = (
+        batch.select("doc_id", F.md5("text").alias("content_md5"))
+        .join(h_md5, "content_md5", "left_semi")
+        .select("doc_id")
+    )
+
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_n=3)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", f"mh{2*b}", f"mh{2*b+1}")).alias("bucket"),
+        )
+        for b in range(4)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    hist_buckets = banded.join(
+        hist.select("doc_id"), "doc_id", "left_semi"
+    ).select("band", "bucket").distinct()
+    near_ids = (
+        banded.join(batch.select("doc_id"), "doc_id", "left_semi")
+        .join(hist_buckets, ["band", "bucket"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .join(exact_ids, "doc_id", "left_anti")
+    )
+
+    flagged = (
+        batch.select("doc_id", "lang")
+        .join(exact_ids.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("is_near", F.lit(1)), "doc_id", "left")
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count("is_exact").alias("n_exact_dup"),
+        F.count("is_near").alias("n_near_dup"),
+        F.count(
+            F.when(F.col("is_exact").isNull() & F.col("is_near").isNull(), 1)
+        ).alias("n_kept"),
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle="""
     WITH tk AS (

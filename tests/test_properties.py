@@ -203,3 +203,63 @@ def test_catalog_schemas_are_driver_hashable(spark, sf_dir):
                     f"(spark {sdt} vs oracle {dtype}) -- float32 reprs hash differently"
                 )
     assert not problems, "\n".join(problems)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-10, 10, allow_nan=False, allow_infinity=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_cosine_prenormed_equals_inline_cosine(spark, vecs):
+    """The hot-path form (squared norms staged per row) must be
+    BIT-IDENTICAL to the inline cosine on every pair -- same
+    sqrt(n2a*n2b) expression either way, so not just close: equal."""
+    from pyspark.sql import functions as F2
+
+    from state_economics_end_to_end_data_pipeline_spark.operators.similarity import (
+        cosine,
+        cosine_prenormed,
+        norm2,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id bigint, v array<double>",
+    )
+    a = df.select(F2.col("id").alias("ia"), F2.col("v").alias("va"),
+                  norm2(F2.col("v")).alias("n2a"))
+    b = df.select(F2.col("id").alias("ib"), F2.col("v").alias("vb"),
+                  norm2(F2.col("v")).alias("n2b"))
+    pairs = a.crossJoin(b).filter(F2.col("ia") < F2.col("ib"))
+    rows = pairs.select(
+        cosine(F2.col("va"), F2.col("vb")).alias("inline"),
+        cosine_prenormed(
+            F2.col("va"), F2.col("vb"), F2.col("n2a"), F2.col("n2b")
+        ).alias("staged"),
+    ).collect()
+    import math
+
+    for r in rows:
+        if r["inline"] is None or (isinstance(r["inline"], float) and math.isnan(r["inline"])):
+            assert r["staged"] is None or math.isnan(r["staged"])
+        else:
+            assert r["inline"] == r["staged"]  # bitwise, not approx
+
+
+def test_incremental_dedup_flags_partition_the_batch(spark):
+    """Every batch doc is exactly one of {exact dup, near dup, kept} --
+    the three counts must sum to the batch size in every language."""
+    from state_economics_end_to_end_data_pipeline_spark.plans import load_all
+
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = load_all()["dedup_incremental_batch"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_batch"] == r["n_exact_dup"] + r["n_near_dup"] + r["n_kept"], r
