@@ -54,7 +54,14 @@ def stopword_count(toks: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Colu
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality features: token count, distinct-token ratio,
     stopword ratio, mean token length -- the cheap heuristics used to filter
-    LLM training corpora. Pure arithmetic on counts: deterministic."""
+    LLM training corpora. Pure arithmetic on counts: deterministic.
+
+    Empty-document semantics: the whitespace split of an empty string is
+    ``['']`` in Spark AND DuckDB, so an empty/whitespace-only doc counts
+    ONE zero-length token (n_tokens=1, mean_token_len=0.0) -- the
+    denominator is never 0 by construction, and the convention is
+    cross-engine stable. Ratios still go through ``try_divide`` as a
+    zero-cost guard for exotic tokenizers swapped in by callers."""
     toks = tokens(text_col)
     n_tok = F.size(toks).cast("bigint")
     n_uniq = F.size(F.array_distinct(toks)).cast("bigint")
@@ -69,9 +76,9 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         n_tok.alias("n_tokens"),
         n_uniq.alias("n_unique_tokens"),
         n_stop.alias("n_stopwords"),
-        (n_uniq.cast("double") / n_tok.cast("double")).alias("distinct_ratio"),
-        (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
-        (total_len.cast("double") / n_tok.cast("double")).alias("mean_token_len"),
+        F.try_divide(n_uniq.cast("double"), n_tok.cast("double")).alias("distinct_ratio"),
+        F.try_divide(n_stop.cast("double"), n_tok.cast("double")).alias("stopword_ratio"),
+        F.try_divide(total_len.cast("double"), n_tok.cast("double")).alias("mean_token_len"),
     )
 
 

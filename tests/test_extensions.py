@@ -351,3 +351,27 @@ def test_foreach_batch_merge_exactly_once(spark, sf_dir, tmp_path):
     got2 = {r["user_id"]: (r["n"], round(r["value"], 6))
             for r in read_merged_parquet(spark, target).collect()}
     assert got2 == want  # nothing double-counted
+
+
+def test_quality_features_tolerate_empty_documents(spark):
+    """Empty / whitespace-only documents must not crash (ANSI division)
+    and must follow the documented cross-engine convention: the
+    whitespace split of '' is [''] in both Spark and DuckDB, so an empty
+    doc counts exactly one zero-length token with mean_token_len 0.0 --
+    a filterable signature (mean_token_len == 0), never an error."""
+    from state_economics_end_to_end_data_pipeline_spark.operators.text import (
+        quality_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a real document here"), (2, ""), (3, "   ")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["mean_token_len"] > 0
+    for empty_id in (2, 3):
+        r = rows[empty_id]
+        assert r["n_tokens"] == 1  # the single empty-string token
+        assert r["n_unique_tokens"] == 1
+        assert r["mean_token_len"] == 0.0
+        assert r["distinct_ratio"] == 1.0
