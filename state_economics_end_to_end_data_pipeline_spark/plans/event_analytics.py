@@ -160,7 +160,10 @@ MAX_BASKET_SIZE = 500
     """,
 )
 def market_basket_pairs(
-    spark: SparkSession, sf_dir: str, max_basket: int = MAX_BASKET_SIZE
+    spark: SparkSession,
+    sf_dir: str,
+    max_basket: int = MAX_BASKET_SIZE,
+    min_orders: int = 3,
 ) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in >=3
     orders, with the basket-size cap ENFORCED in-plan.
@@ -198,7 +201,63 @@ def market_basket_pairs(
         baskets.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 3)
+        .filter(F.col("n_orders") >= min_orders)
+    )
+
+
+@register(
+    "copurchase_triangles",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    capped AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n
+        FROM basket
+      ) WHERE basket_n <= {MAX_BASKET_SIZE}
+    ),
+    e AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM capped a JOIN capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT ab.pa AS part_a, ab.pb AS part_b, bc.pb AS part_c
+    FROM e ab
+    JOIN e bc ON bc.pa = ab.pb
+    JOIN e ac ON ac.pa = ab.pa AND ac.pb = bc.pb
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration in the co-purchase graph (edges = part pairs
+    bought together in >= 2 orders): the canonical multi-way graph join.
+    The a<b edge orientation means each triangle {x,y,z} is produced
+    EXACTLY once (as a<b<c) -- no factor-6 duplication and no cycle in
+    the join graph: wedge join (ab.pb = bc.pa) then a closing-edge
+    equi-join, all hash joins on part ids.
+
+    Scale note: per-key wedge fan-out is out-degree^2 under id
+    orientation; at 100 TB the standard hardening is DEGREE orientation
+    (point edges low-degree -> high-degree first), which bounds wedge
+    work by arboricity -- same two joins, different orientation key. The
+    basket-size cap upstream already bounds the edge fan-out per order."""
+    e = market_basket_pairs(spark, sf_dir, min_orders=2).select(
+        "part_a", "part_b"
+    )
+    ab = e.select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+    bc = e.select(F.col("part_a").alias("b2"), F.col("part_b").alias("c"))
+    ac = e.select(F.col("part_a").alias("a2"), F.col("part_b").alias("c2"))
+    return (
+        ab.join(bc, F.col("b") == F.col("b2"))
+        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("c").alias("part_c"),
+        )
     )
 
 

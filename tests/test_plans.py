@@ -237,6 +237,22 @@ def test_jaccard_pairs_owns_its_cache(spark, sf_dir):
     assert new == set(), f"lazy path persisted: {new}"
 
 
+def test_triangles_oriented_once_no_cartesian(spark, sf_dir):
+    """Triangle enumeration: every triangle appears exactly once in
+    canonical a<b<c orientation (no factor-6 duplication), and the plan
+    is pure equi-joins -- no cartesian anywhere."""
+    df = q(spark, sf_dir, "copurchase_triangles")
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    seen = set()
+    for r in rows:
+        a, b, c = r["part_a"], r["part_b"], r["part_c"]
+        assert a < b < c, (a, b, c)
+        assert (a, b, c) not in seen
+        seen.add((a, b, c))
+
+
 def test_outlier_bounds_broadcast_back(spark, sf_dir):
     # O(groups) bounds must broadcast onto the fact: flagging pass adds
     # no fact-sized shuffle beyond the two stats aggregates.
