@@ -54,3 +54,26 @@ def check_primary_key(df: DataFrame, key_cols: Sequence[str], table: str = "") -
             f"Primary key violation in {table or '<df>'}: "
             f"duplicate values for key columns {list(key_cols)}"
         )
+
+
+def fk_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity check: child rows whose foreign key has no
+    parent (NULL FKs are not orphans -- SQL FK semantics). A left-anti
+    equi-join, so at scale it is one hash join keyed on the FK; when the
+    parent key set is dimension-sized Spark broadcasts it and the check
+    is a single narrow pass over the child."""
+    from pyspark.sql import functions as F
+
+    return (
+        child.filter(F.col(child_key).isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+    )

@@ -563,6 +563,65 @@ def pk_check_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dups.crossJoin(nulls)
 
 
+@register(
+    "fk_check_orphans",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE c.c_nationkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'supplier->nation',
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE s.s_nationkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT)
+    """,
+)
+def fk_check_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over the star schema's FK edges --
+    the natural extension of the reference's PK validation (DAG1:71-79)
+    to the relationships its ERD declares. Each edge is a left-anti
+    equi-join (broadcast when the parent is dim-sized) counted into a
+    one-row-per-edge report; a consistent warehouse reports all zeros,
+    and any non-zero pinpoints the broken edge."""
+    from ..operators.quality import fk_orphans
+
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = [
+        fk_orphans(
+            t(spark, sf_dir, child), t(spark, sf_dir, parent), ck, pk
+        ).agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_orphans"),
+        )
+        for name, child, ck, parent, pk in edges
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ------------------------------------------------------------ windows / misc
 
 

@@ -375,3 +375,20 @@ def test_quality_features_tolerate_empty_documents(spark):
         assert r["n_unique_tokens"] == 1
         assert r["mean_token_len"] == 0.0
         assert r["distinct_ratio"] == 1.0
+
+
+def test_fk_orphans_detects_planted_orphan(spark):
+    """The FK check must flag exactly the planted orphan, ignore NULL
+    foreign keys (SQL FK semantics), and pass a consistent pair clean."""
+    from state_economics_end_to_end_data_pipeline_spark.operators.quality import (
+        fk_orphans,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk bigint")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None)], "id bigint, fk bigint"
+    )
+    orphans = fk_orphans(child, parent, "fk", "pk").collect()
+    assert [r["id"] for r in orphans] == [12]  # 99 orphaned; NULL ignored
+    clean = fk_orphans(child.filter("id < 12"), parent, "fk", "pk")
+    assert clean.count() == 0
