@@ -57,6 +57,25 @@ PRIMARY_KEYS: dict[str, list[str]] = {
     "table_inflation": ["Year"],
 }
 
+# FK contract from the reference's ERD (EconomicDataBaseERD.png): the
+# reference DECLARES these relationships but never validates them -- its
+# only runtime check is the per-table PK assert. We enforce both.
+# (child_table, fk_col, parent_table, pk_col)
+FOREIGN_KEYS: list[tuple[str, str, str, str]] = [
+    ("table_Unemployment", "GeoFIPS", "table_location", "GeoFIPS"),
+    ("table_HouseholdIncome2021", "GeoFIPS", "table_location", "GeoFIPS"),
+    ("table_gdp", "GeoFIPS", "table_location", "GeoFIPS"),
+    ("table_gdp", "Industry_Code", "table_industry", "Industry_Code"),
+    ("table_school_expenses", "GeoFIPS", "table_location", "GeoFIPS"),
+    (
+        "table_school_expenses",
+        "School_Expense_Type_Id",
+        "table_school_expense_type",
+        "School_Expense_Type_Id",
+    ),
+    ("table_state_min_wage", "GeoFIPS", "table_location", "GeoFIPS"),
+]
+
 
 @dataclass
 class EconomicsETL:
@@ -295,6 +314,22 @@ class EconomicsETL:
         tables.update(self.school_tables(self.load_school(), location))
         tables.update(self.min_wage_tables(self.load_min_wage(), location))
         if validate:
-            for name, keys in PRIMARY_KEYS.items():
-                check_primary_key(tables[name], keys, table=name)
+            self.validate_outputs(tables)
         return tables
+
+    @staticmethod
+    def validate_outputs(tables: dict[str, DataFrame]) -> None:
+        """Integrity gate over the 11 outputs: the reference's PK asserts
+        (DAG1 call sites) plus the FK edges its ERD declares but never
+        checks. Raises ValueError naming the first broken constraint."""
+        for name, keys in PRIMARY_KEYS.items():
+            check_primary_key(tables[name], keys, table=name)
+        from ..operators.quality import fk_orphans
+
+        for child, fk, parent, pk in FOREIGN_KEYS:
+            n = fk_orphans(tables[child], tables[parent], fk, pk).limit(1).count()
+            if n:
+                raise ValueError(
+                    f"Foreign key violation: {child}.{fk} has rows "
+                    f"with no parent in {parent}.{pk}"
+                )

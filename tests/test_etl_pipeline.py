@@ -103,3 +103,26 @@ def test_min_wage_drops_unknown_jurisdictions(tables):
     """Guam/PR/USVI are not in the location dim -> inner join drops them."""
     mw = tables["table_state_min_wage"]
     assert mw.select("GeoFIPS").distinct().count() == 21  # the 21 fixture states
+
+
+def test_validate_outputs_catches_fk_violation(spark, tables):
+    """The integrity gate must reject a corrupted output set: planting an
+    orphan GeoFIPS in table_Unemployment (no parent in table_location)
+    raises naming that edge; the clean set passes (exercised by the
+    `tables` fixture itself, which runs with validate=True)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from state_economics_end_to_end_data_pipeline_spark.pipelines.economics import (
+        EconomicsETL,
+    )
+
+    corrupted = dict(tables)
+    orphan = (
+        tables["table_Unemployment"]
+        .limit(1)
+        .withColumn("GeoFIPS", F.lit(999999))
+    )
+    corrupted["table_Unemployment"] = tables["table_Unemployment"].unionByName(orphan)
+    with pytest.raises(ValueError, match="table_Unemployment.GeoFIPS"):
+        EconomicsETL.validate_outputs(corrupted)
