@@ -231,33 +231,83 @@ def market_basket_pairs(
     JOIN e ac ON ac.pa = ab.pa AND ac.pb = bc.pb
     """,
 )
-def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def copurchase_triangles(
+    spark: SparkSession, sf_dir: str, orientation: str = "degree"
+) -> DataFrame:
     """Triangle enumeration in the co-purchase graph (edges = part pairs
-    bought together in >= 2 orders): the canonical multi-way graph join.
-    The a<b edge orientation means each triangle {x,y,z} is produced
-    EXACTLY once (as a<b<c) -- no factor-6 duplication and no cycle in
-    the join graph: wedge join (ab.pb = bc.pa) then a closing-edge
-    equi-join, all hash joins on part ids.
+    bought together in >= 2 orders): the canonical multi-way graph join,
+    DEGREE-ORIENTED so wedge fan-out is bounded by arboricity.
 
-    Scale note: per-key wedge fan-out is out-degree^2 under id
-    orientation; at 100 TB the standard hardening is DEGREE orientation
-    (point edges low-degree -> high-degree first), which bounds wedge
-    work by arboricity -- same two joins, different orientation key. The
-    basket-size cap upstream already bounds the edge fan-out per order."""
+    Each undirected edge is pointed lower-rank -> higher-rank where rank
+    is the lexicographic pair (degree, id) -- a total order, so every
+    triangle carries exactly one directed wedge (two out-edges from its
+    lowest-rank vertex) and one closing directed edge. The wedge
+    self-join keys on the wedge SOURCE, whose out-degree under this
+    orientation is O(sqrt(edges)) regardless of how big a hub's total
+    degree is (a hub's edges almost all point INTO it); per-key join
+    work is out-degree^2, so a 100k-degree hub costs ~sqrt(m)^2 = O(m)
+    total instead of 10^10 rows from one key under id orientation. Same
+    two hash joins as the naive plan, one extra degree aggregation +
+    broadcast-sized rank attach; output rows are identical (the triple
+    is re-sorted by id to a<b<c, matching the oracle). ``orientation=
+    "id"`` keeps the naive plan selectable for the skew probe
+    (tools/scaleup_probe.py) to measure the difference.
+
+    The basket-size cap upstream bounds edges per ORDER; orientation
+    bounds wedges per PART -- the two independent skew axes."""
     e = market_basket_pairs(spark, sf_dir, min_orders=2).select(
         "part_a", "part_b"
     )
-    ab = e.select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
-    bc = e.select(F.col("part_a").alias("b2"), F.col("part_b").alias("c"))
-    ac = e.select(F.col("part_a").alias("a2"), F.col("part_b").alias("c2"))
-    return (
-        ab.join(bc, F.col("b") == F.col("b2"))
-        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
-        .select(
-            F.col("a").alias("part_a"),
-            F.col("b").alias("part_b"),
-            F.col("c").alias("part_c"),
+    if orientation == "id":
+        ab = e.select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        bc = e.select(F.col("part_a").alias("b2"), F.col("part_b").alias("c"))
+        ac = e.select(F.col("part_a").alias("a2"), F.col("part_b").alias("c2"))
+        return (
+            ab.join(bc, F.col("b") == F.col("b2"))
+            .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+            .select(
+                F.col("a").alias("part_a"),
+                F.col("b").alias("part_b"),
+                F.col("c").alias("part_c"),
+            )
         )
+
+    deg = (
+        e.select(F.explode(F.array("part_a", "part_b")).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        e.join(deg.select(F.col("p").alias("part_a"), F.col("deg").alias("deg_a")),
+               "part_a")
+        .join(deg.select(F.col("p").alias("part_b"), F.col("deg").alias("deg_b")),
+              "part_b")
+    )
+    rank_a = F.struct(F.col("deg_a").alias("deg"), F.col("part_a").alias("id"))
+    rank_b = F.struct(F.col("deg_b").alias("deg"), F.col("part_b").alias("id"))
+    a_first = rank_a < rank_b  # total order: ids break degree ties
+    directed = ranked.select(
+        F.when(a_first, F.col("part_a")).otherwise(F.col("part_b")).alias("u"),
+        F.when(a_first, F.col("part_b")).otherwise(F.col("part_a")).alias("v"),
+        F.when(a_first, rank_b).otherwise(rank_a).alias("rank_v"),
+    )
+    lo = directed.select(
+        F.col("u"), F.col("v").alias("w1"), F.col("rank_v").alias("rk1")
+    )
+    hi = directed.select(
+        F.col("u"), F.col("v").alias("w2"), F.col("rank_v").alias("rk2")
+    )
+    wedges = lo.join(hi, "u").filter(F.col("rk1") < F.col("rk2"))
+    closing = directed.select(
+        F.col("u").alias("w1"), F.col("v").alias("w2")
+    )
+    tri = wedges.join(closing, ["w1", "w2"]).select(
+        F.array_sort(F.array("u", "w1", "w2")).alias("t")
+    )
+    return tri.select(
+        F.element_at("t", 1).alias("part_a"),
+        F.element_at("t", 2).alias("part_b"),
+        F.element_at("t", 3).alias("part_c"),
     )
 
 

@@ -184,6 +184,103 @@ def main() -> int:
         )
         print(json.dumps(skew_rows[-1]))
 
+    # --- hub-part probe: triangle orientation under degree skew.
+    # Injects ONE hub part into `hub_orders` existing 10x baskets (pairs
+    # (hub, p) co-occur >= 2x whenever p shares >= 2 of those orders, so
+    # the hub's degree in the co-purchase graph ~ the co-purchased part
+    # universe). Under id orientation the hub is a single wedge-join key
+    # with in-degree x out-degree fan-out; degree orientation points
+    # almost every hub edge INTO the hub, collapsing its out-degree.
+    # Reports the measured per-key wedge fan-out (deterministic) plus
+    # wall-clock for both orientations on identical data.
+    tri_rows = []
+    if "copurchase_triangles" in names:
+        from pyspark.sql import functions as F
+
+        from state_economics_end_to_end_data_pipeline_spark.plans.event_analytics import (
+            copurchase_triangles,
+            market_basket_pairs,
+        )
+
+        hub_orders = 10_000
+        hub_dir = tempfile.mkdtemp(prefix="scaleup_hub_")
+        li = spark.read.parquet(f"{big}/lineitem.parquet")
+        max_part = li.agg(F.max("l_partkey")).first()[0]
+        hub_part = max_part + 1
+        target = (
+            li.select("l_orderkey").distinct().limit(hub_orders)
+        )
+        hub_lines = target.select(
+            *[
+                F.col("l_orderkey").alias(c) if c == "l_orderkey"
+                else F.lit(hub_part).cast(d).alias(c) if c == "l_partkey"
+                else F.lit(None).cast(d).alias(c)
+                for c, d in li.dtypes
+            ]
+        )
+        li.unionByName(hub_lines).write.mode("overwrite").parquet(
+            f"{hub_dir}/lineitem.parquet"
+        )
+
+        edges = market_basket_pairs(spark, hub_dir, min_orders=2).select(
+            "part_a", "part_b"
+        ).localCheckpoint()
+        hub_degree = edges.filter(
+            (F.col("part_a") == hub_part) | (F.col("part_b") == hub_part)
+        ).count()
+        # wedge fan-out per join key: id orientation keys the wedge join on
+        # the middle vertex b (in-deg * out-deg); degree orientation keys on
+        # the wedge source u (out-deg choose 2).
+        out_id = edges.groupBy(F.col("part_a").alias("k")).agg(
+            F.count(F.lit(1)).alias("outd")
+        )
+        in_id = edges.groupBy(F.col("part_b").alias("k")).agg(
+            F.count(F.lit(1)).alias("ind")
+        )
+        id_fanout = (
+            out_id.join(in_id, "k")
+            .select(F.max(F.col("ind") * F.col("outd")).alias("mx"),
+                    F.sum(F.col("ind") * F.col("outd")).alias("tot"))
+            .first()
+        )
+        deg = edges.select(
+            F.explode(F.array("part_a", "part_b")).alias("p")
+        ).groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+        da = deg.select(F.col("p").alias("part_a"), F.col("deg").alias("deg_a"))
+        db = deg.select(F.col("p").alias("part_b"), F.col("deg").alias("deg_b"))
+        ranked = edges.join(da, "part_a").join(db, "part_b")
+        ra = F.struct(F.col("deg_a").alias("deg"), F.col("part_a").alias("id"))
+        rb = F.struct(F.col("deg_b").alias("deg"), F.col("part_b").alias("id"))
+        src = F.when(ra < rb, F.col("part_a")).otherwise(F.col("part_b"))
+        deg_fanout = (
+            ranked.groupBy(src.alias("u"))
+            .agg(F.count(F.lit(1)).alias("outd"))
+            .select(
+                F.max(F.col("outd") * (F.col("outd") - 1) / 2).alias("mx"),
+                F.sum(F.col("outd") * (F.col("outd") - 1) / 2).alias("tot"),
+            )
+            .first()
+        )
+        t_deg = time_query(copurchase_triangles, spark, hub_dir)
+        t_id = time_query(
+            lambda s, d: copurchase_triangles(s, d, orientation="id"),
+            spark, hub_dir,
+        )
+        tri_rows.append(
+            {
+                "scenario": f"10x + one hub part in {hub_orders:,} baskets",
+                "hub_degree": hub_degree,
+                "id_max_key_fanout": int(id_fanout["mx"]),
+                "deg_max_key_fanout": int(deg_fanout["mx"]),
+                "id_total_wedges": int(id_fanout["tot"]),
+                "deg_total_wedges": int(deg_fanout["tot"]),
+                "degree_oriented_sec": round(t_deg, 2),
+                "id_oriented_sec": round(t_id, 2),
+            }
+        )
+        print(json.dumps(tri_rows[-1]))
+        edges.unpersist()
+
     md = [
         "# Measured 10x scale-up (sf0.1 -> synthetic sf1)",
         "",
@@ -234,6 +331,31 @@ def main() -> int:
             md.append(
                 f"| {r['scenario']} | {r['capped_sec']} | {r['uncapped_sec']} "
                 f"| {r['uncapped_pairs_from_bomb']:,} |"
+            )
+    if tri_rows:
+        md += [
+            "",
+            "## Hub-part probe: copurchase_triangles orientation",
+            "",
+            "One hub part injected into 10k baskets of the 10x lineitem",
+            "(hub degree = its co-purchase-graph edge count below). The",
+            "wedge-join fan-out columns are DETERMINISTIC plan properties",
+            "(max and total per-join-key wedge rows), immune to host load:",
+            "id orientation keys the wedge join on the middle vertex",
+            "(in-deg x out-deg explodes at the hub); degree orientation",
+            "keys on the wedge source, whose out-degree is arboricity-",
+            "bounded because hub edges point INTO the hub.",
+            "",
+            "| scenario | hub degree | max key fan-out (id) | max key fan-out (degree) "
+            "| total wedges (id) | total wedges (degree) | degree sec | id sec |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for r in tri_rows:
+            md.append(
+                f"| {r['scenario']} | {r['hub_degree']:,} "
+                f"| {r['id_max_key_fanout']:,} | {r['deg_max_key_fanout']:,} "
+                f"| {r['id_total_wedges']:,} | {r['deg_total_wedges']:,} "
+                f"| {r['degree_oriented_sec']} | {r['id_oriented_sec']} |"
             )
     (REPO / "docs" / "SCALEUP.md").write_text("\n".join(md) + "\n")
     print("wrote docs/SCALEUP.md", file=sys.stderr)
