@@ -125,7 +125,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
     block_col: str | None = None,
-    eager: bool = True,
+    eager: bool = False,
 ) -> DataFrame:
     """Tier 5 -- exact n-gram Jaccard similarity via inverted-index join:
     explode distinct shingles, self-join on shingle (pairs meet only where
@@ -133,15 +133,22 @@ def jaccard_pairs(
     ``block_col`` restricts pairs to the same block (e.g. a source or an
     LSH bucket) -- the scale lever.
 
-    Cache lifecycle is OWNED BY THE OPERATOR: with ``eager=True`` (default)
-    the shingle index is persisted, the pair result is materialized via
-    ``localCheckpoint`` (pairs are a small fraction of the index when
-    blocking is in effect -- that is the point of blocking), and the index
-    is unpersisted before returning -- a long-lived shared session is left
-    with no stray cached relations (never ``clearCache()``, which would
-    evict every cached relation session-wide). With ``eager=False`` the
-    result stays fully lazy and nothing is persisted; the index pipeline
-    re-executes up to 3x (both self-join sides + the size aggregate)."""
+    ``eager=False`` (default): the result is fully lazy and nothing is
+    persisted -- calling this function never runs a job, so plan-only
+    consumers (explain dumps, schema enumeration, catalog construction)
+    pay nothing. The cost is that the index pipeline re-executes up to 3x
+    on action (both self-join sides + the size aggregate).
+
+    ``eager=True`` -- opt in when the result will definitely be acted on
+    and the session is long-lived: cache lifecycle is OWNED BY THE
+    OPERATOR. The shingle index is persisted, the pair result is
+    materialized via ``localCheckpoint`` (pairs are a small fraction of
+    the index when blocking is in effect -- that is the point of
+    blocking), and the index is unpersisted before returning, so the
+    shared session is left with no stray cached relations (never
+    ``clearCache()``, which would evict every cached relation
+    session-wide). Note the trade-offs: the job runs at CALL time, and a
+    localCheckpoint'ed result is not recomputable on executor loss."""
     # the inverted index feeds BOTH self-join sides and the per-doc size
     # aggregate -- persisted (eager mode) so explode+dedup runs once.
     sh = (

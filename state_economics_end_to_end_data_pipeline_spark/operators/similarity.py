@@ -234,13 +234,19 @@ def assign_cells(
     scored = F.array(
         *[
             F.struct(
-                (
+                # try_divide yields NULL for a zero (degenerate) vector or
+                # centroid, and NULL would sort FIRST in the ascending
+                # struct sort below -- electing the degenerate centroid as
+                # nearest for every row. Coalesce to +inf so degenerate
+                # entries rank strictly last instead.
+                F.coalesce(
                     -cosine_prenormed(
                         F.col("vec"),
                         F.lit(list(map(float, r["c_vec"]))),
                         F.col("__n2"),
                         F.lit(_py_norm2(r["c_vec"])),
-                    )
+                    ),
+                    F.lit(float("inf")),
                 ).alias("neg_cos"),
                 F.lit(r["cell"]).cast("long").alias("cell"),
             )

@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import unquote
 
 from .service import DataService
 
@@ -51,7 +52,9 @@ def _handler_for(service: DataService):
                 if self.path == "/tables":
                     self._send(200, {"tables": service.list_tables()})
                 elif self.path.startswith("/columns/"):
-                    table = self.path[len("/columns/"):]
+                    # percent-encoded table names must resolve to the same
+                    # catalog entry a JSON body would
+                    table = unquote(self.path[len("/columns/"):])
                     self._send(200, {"table": table, "columns": service.columns(table)})
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
@@ -67,11 +70,16 @@ def _handler_for(service: DataService):
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict) or "table" not in req:
+                    # malformed REQUEST is the client's 400, distinct from
+                    # the 404 of a well-formed request naming no table
+                    self._send(400, {"error": "body must be a JSON object with a 'table' key"})
+                    return
                 table = str(req["table"])
                 limit = int(req.get("limit", 10))
                 self._send(200, service.get_data(table, limit))
             except KeyError as e:
-                self._send(404, {"error": f"missing or unknown: {e}"})
+                self._send(404, {"error": f"unknown table: {e}"})
             except (ValueError, json.JSONDecodeError) as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001

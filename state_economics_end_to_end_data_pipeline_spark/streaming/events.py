@@ -28,7 +28,29 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-_SCHEMA_CACHE: dict[str, object] = {}
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _source_stamp(path: str) -> tuple:
+    """Freshness stamp for a parquet file-or-directory: (max mtime_ns,
+    total bytes, file count) across the tree. Keying the schema cache by
+    (path, stamp) means a source REWRITTEN IN PLACE (long-lived process,
+    regenerated fixtures at a fixed dir) gets a fresh footer probe
+    instead of a silently stale schema; unchanged sources still skip the
+    probe on every replay."""
+    import os
+
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size, 1)
+    newest, total, count = 0, 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            st = os.stat(os.path.join(root, f))
+            newest = max(newest, st.st_mtime_ns)
+            total += st.st_size
+            count += 1
+    return (newest, total, count)
 
 
 def read_events_stream(
@@ -50,9 +72,14 @@ def read_events_stream(
     # reject TIMESTAMP_NTZ event time (see io.readers.read_parquet_table)
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = f"{sf_dir}/events.parquet"
-    if path not in _SCHEMA_CACHE:
-        _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
-    schema = _SCHEMA_CACHE[path]
+    cache_key = (path, _source_stamp(path))
+    if cache_key not in _SCHEMA_CACHE:
+        # drop stale stamps for this path (rewritten in place); other
+        # paths' entries stay warm
+        for k in [k for k in _SCHEMA_CACHE if k[0] == path]:
+            del _SCHEMA_CACHE[k]
+        _SCHEMA_CACHE[cache_key] = spark.read.parquet(path).schema
+    schema = _SCHEMA_CACHE[cache_key]
     reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

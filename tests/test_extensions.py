@@ -166,6 +166,17 @@ def test_http_transport_round_trip(spark, sf_dir):
             raise AssertionError("unbounded limit was accepted")
         except HTTPError as e:
             assert e.code == 400
+        # malformed body (no 'table' key) is the CLIENT's error: 400,
+        # distinct from the 404 of a well-formed unknown-table request
+        malformed = Request(f"{base}/get_data", data=b'{"limit": 3}')
+        try:
+            urlopen(malformed, timeout=30)
+            raise AssertionError("body without 'table' was accepted")
+        except HTTPError as e:
+            assert e.code == 400
+        # percent-encoded path segments resolve to the same table
+        with urlopen(f"{base}/columns/natio%6E", timeout=30) as r:
+            assert "n_name" in json.load(r)["columns"]
 
 
 def test_data_service_rejects_bad_input(spark):

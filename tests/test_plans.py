@@ -212,11 +212,11 @@ def test_market_basket_cap_enforced_in_plan(spark, sf_dir):
 
 
 def test_jaccard_pairs_owns_its_cache(spark, sf_dir):
-    """Cache hygiene in a shared session: eager jaccard_pairs persists its
-    shingle index internally but must unpersist it before returning -- at
-    most ONE new persisted RDD (the localCheckpoint'ed pair result) may
-    remain; a leaked index would leave two. The lazy form must leave
-    nothing persisted at all."""
+    """Cache hygiene in a shared session: opt-in eager jaccard_pairs
+    persists its shingle index internally but must unpersist it before
+    returning -- at most ONE new persisted RDD (the localCheckpoint'ed
+    pair result) may remain; a leaked index would leave two. The default
+    (lazy) form must run NO job at call time and leave nothing persisted."""
     from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
         jaccard_pairs,
     )
@@ -225,13 +225,20 @@ def test_jaccard_pairs_owns_its_cache(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
 
     before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    pairs = jaccard_pairs(docs, min_jaccard=0.2)
+    pairs = jaccard_pairs(docs, min_jaccard=0.2, eager=True)
     assert pairs.count() >= 0  # materialized (already eager inside)
     new = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
     assert len(new) <= 1, f"leaked cached RDDs beyond the checkpoint: {new}"
 
+    # default is lazy: calling the operator must not launch any Spark job
+    # (plan-only consumers -- catalog enumeration, explain dumps -- are
+    # free), and nothing may be persisted until an action is requested.
+    before_jobs = sc.statusTracker().getJobIdsForGroup(None)
     before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    lazy = jaccard_pairs(docs, min_jaccard=0.2, eager=False)
+    lazy = jaccard_pairs(docs, min_jaccard=0.2)
+    assert sc.statusTracker().getJobIdsForGroup(None) == before_jobs, (
+        "default jaccard_pairs launched a job at plan-build time"
+    )
     assert lazy.count() >= 0
     new = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
     assert new == set(), f"lazy path persisted: {new}"
@@ -251,6 +258,24 @@ def test_triangles_oriented_once_no_cartesian(spark, sf_dir):
         assert a < b < c, (a, b, c)
         assert (a, b, c) not in seen
         seen.add((a, b, c))
+
+
+def test_triangles_degree_orientation_equivalent(spark, sf_dir):
+    """Degree orientation is a pure physical hardening: the triangle SET
+    must be identical to the naive id-oriented plan (the oracle pins the
+    same thing against DuckDB at sf0.01; this pins it in-process on the
+    smoke SF). Also pins that the default really is the degree plan --
+    its physical plan carries the degree aggregation's explode, absent
+    from the id plan."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.event_analytics import (
+        copurchase_triangles,
+    )
+
+    by_degree = copurchase_triangles(spark, sf_dir)
+    by_id = copurchase_triangles(spark, sf_dir, orientation="id")
+    assert by_degree.exceptAll(by_id).count() == 0
+    assert by_id.exceptAll(by_degree).count() == 0
+    assert "CartesianProduct" not in plan_of(by_degree)
 
 
 def test_outlier_bounds_broadcast_back(spark, sf_dir):

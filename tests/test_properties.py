@@ -130,8 +130,10 @@ def test_catalog_schemas_are_driver_hashable(spark, sf_dir):
     (b) hash-mismatches equal values held in different dtypes, the
     classic case being DuckDB SUM(int) -> HUGEINT -> pandas object vs
     Spark int64 (the fix is CAST(... AS BIGINT) in the oracle). Checked
-    structurally: Spark schema (lazy, no execution) against DuckDB
-    DESCRIBE of the oracle (binds, does not scan), for all entries."""
+    structurally: Spark schema (lazy -- building every catalog entry
+    runs no jobs; eager operators are opt-in via kwargs the catalog
+    never passes) against DuckDB DESCRIBE of the oracle (binds, does
+    not scan), for all entries."""
     import duckdb
 
     from state_economics_end_to_end_data_pipeline_spark.plans import load_all
@@ -203,6 +205,31 @@ def test_catalog_schemas_are_driver_hashable(spark, sf_dir):
                     f"(spark {sdt} vs oracle {dtype}) -- float32 reprs hash differently"
                 )
     assert not problems, "\n".join(problems)
+
+
+def test_assign_cells_never_elects_degenerate_centroid(spark):
+    """A zero (degenerate) centroid yields NULL cosine via try_divide;
+    NULL would sort FIRST in the ascending (neg_cos, cell) struct sort,
+    silently electing the degenerate centroid as nearest for EVERY row.
+    assign_cells must coalesce it to rank strictly last: with one zero
+    centroid and one real centroid, every nonzero vector lands in the
+    real cell; a zero VECTOR (NULL against every centroid) falls back to
+    the tie-break order rather than crashing."""
+    from state_economics_end_to_end_data_pipeline_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r["id"]: r["cell"] for r in assign_cells(vecs, cents).collect()}
+    assert out[1] == 1 and out[2] == 1, out
+    assert 3 in out  # degenerate vector still assigned deterministically
 
 
 @given(
