@@ -622,6 +622,72 @@ def fk_check_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_QUARANTINE_GOOD = [(i, 10.5 * i, f"row{i}") for i in range(1, 9)]
+_QUARANTINE_BAD = [
+    "BAD,1.0,not-an-id",          # id fails the int cast
+    "9,NOT_A_NUMBER,bad-amount",  # amount fails the double cast
+    "x,y,z",                      # nothing casts
+]
+
+
+@register(
+    "csv_quarantine_scan",
+    oracle=f"""
+    SELECT CAST({len(_QUARANTINE_GOOD)} AS BIGINT) AS good_rows,
+           CAST({sum(i for i, _, _ in _QUARANTINE_GOOD)} AS BIGINT) AS good_id_sum,
+           CAST({len(_QUARANTINE_BAD)} AS BIGINT) AS quarantined_rows,
+           md5('{chr(10).join(sorted(_QUARANTINE_BAD))}') AS quarantined_md5
+    """,
+)
+def csv_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-tier io: malformed-row quarantine split (io.readers.
+    read_csv_with_quarantine). A deterministic CSV fixture -- the literal
+    good rows and malformed lines above, written driver-side, no Spark
+    job at build -- is scanned ONCE in PERMISSIVE mode and split; the
+    result proves all three quarantine contracts at once: every
+    well-formed row survives with the declared schema (count + id
+    checksum), every malformed row is captured (count), and the captured
+    evidence is byte-identical to the offending input lines (md5 over the
+    sorted raw lines -- the oracle computes the same md5 from the same
+    literals in DuckDB, so a reader that trimmed or re-assembled lines
+    would mismatch). The reference's CSV path has only FAILFAST-or-silent
+    semantics; this is the keep-going-AND-keep-evidence third option a
+    100 TB ingest needs."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..io.readers import read_csv_with_quarantine
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_quarantine_fixture.csv")
+    lines = ["id,amount,label"]
+    lines += [f"{i},{a},{lab}" for i, a, lab in _QUARANTINE_GOOD]
+    lines += _QUARANTINE_BAD
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    good, quarantined = read_csv_with_quarantine(spark, path, schema)
+    g = good.agg(
+        F.count(F.lit(1)).alias("good_rows"),
+        F.sum("id").cast("bigint").alias("good_id_sum"),
+    )
+    q = quarantined.agg(
+        F.count(F.lit(1)).alias("quarantined_rows"),
+        F.md5(
+            F.concat_ws("\n", F.array_sort(F.collect_list("raw_line")))
+        ).alias("quarantined_md5"),
+    )
+    return g.crossJoin(q)  # two one-row frames
+
+
 # ------------------------------------------------------------ windows / misc
 
 
