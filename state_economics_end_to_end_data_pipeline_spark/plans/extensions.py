@@ -927,6 +927,73 @@ def simhash_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_banded_oracle() -> str:
+    inner = _simhash_oracle().strip()
+    return f"""
+    WITH sh AS ({inner})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register("simhash_banded_pairs", oracle=_simhash_banded_oracle())
+def simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-4 near-dup with a HAMMING RADIUS, not just identity: the
+    16-bit SimHash splits into 4 bands of 4 bits; two hashes within
+    Hamming distance 3 differ in at most 3 bits, so by pigeonhole at
+    least one band is untouched -- an equi-join per band (any-band-equal
+    => candidate) is COMPLETE for radius <= 3. Candidates sharing several
+    bands are deduped, then the exact bit_count(xor) filter keeps true
+    near-dups; the oracle checks the same radius from an all-pairs scan
+    (fine in DuckDB at test SF -- the banded plan exists precisely so
+    Spark never does that scan at 100 TB).
+
+    Scale note: band-key cardinality is 4 x 2^4 here because the toy
+    hash is 16-bit; production SimHash is 64-bit with 4 x 16-bit bands
+    (65k values per band), which keeps bucket sizes -- and thus the
+    within-bucket quadratic term -- small. Same plan, wider column."""
+    sh = simhash_table(rebalance_for_cpu(t(spark, sf_dir, "documents")))
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 4 * b)
+                        .bitwiseAND(F.lit(15))
+                        .alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "val"
+    )
+    cands = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()  # a pair can collide in several bands
+    )
+    return (
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 @register(
     "udtf_term_doc_freq",
     oracle="""
