@@ -77,6 +77,19 @@ FOREIGN_KEYS: list[tuple[str, str, str, str]] = [
 ]
 
 
+# Publish-time partition layout (SURVEY section 4: "publish Parquet
+# partitioned by Year"). Only the Year-keyed FACT tables partition --
+# partitioning a dim by its PK would make one directory per row. At 100 TB
+# the payoff is partition PRUNING: a Year-filtered read lists and scans
+# only the matching Year=N directories (explain shows PartitionFilters),
+# so a one-year query over a 50-year table touches 2% of the files.
+PARTITIONED_PUBLISH: dict[str, list[str]] = {
+    "table_gdp": ["Year"],
+    "table_school_expenses": ["Year"],
+    "table_Unemployment": ["Year"],
+}
+
+
 @dataclass
 class EconomicsETL:
     """End-to-end pipeline. ``run()`` returns the 11 output DataFrames.
@@ -316,6 +329,21 @@ class EconomicsETL:
         if validate:
             self.validate_outputs(tables)
         return tables
+
+    @staticmethod
+    def publish(tables: dict[str, DataFrame], root: str) -> dict[str, str]:
+        """Persist the 11 outputs as parquet under ``root``, Year-keyed
+        facts partitioned per PARTITIONED_PUBLISH. Replaces the
+        reference's 11-CSV shared-volume drop (DAG1:199-209) with a
+        layout a 1000-executor reader can prune. Returns table -> path."""
+        from ..io.writers import write_parquet
+
+        paths: dict[str, str] = {}
+        for name, df in tables.items():
+            path = f"{root}/{name}"
+            write_parquet(df, path, partition_by=PARTITIONED_PUBLISH.get(name))
+            paths[name] = path
+        return paths
 
     @staticmethod
     def validate_outputs(tables: dict[str, DataFrame]) -> None:

@@ -126,3 +126,34 @@ def test_validate_outputs_catches_fk_violation(spark, tables):
     corrupted["table_Unemployment"] = tables["table_Unemployment"].unionByName(orphan)
     with pytest.raises(ValueError, match="table_Unemployment.GeoFIPS"):
         EconomicsETL.validate_outputs(corrupted)
+
+
+def test_publish_partitions_gdp_by_year_and_prunes(tables, spark, tmp_path):
+    """SURVEY section 4's promise made executable: publish() writes the
+    Year-keyed facts partitioned by Year, and a Year-filtered read back
+    PRUNES -- the physical plan carries a PartitionFilters entry on Year
+    (directory-level listing skip), not a post-scan filter. Content
+    round-trips exactly (partition col moves to the end; compare sorted
+    column order)."""
+    paths = EconomicsETL.publish(tables, str(tmp_path / "published"))
+    assert set(paths) == set(tables)
+
+    import pathlib
+
+    gdp_dirs = {p.name for p in pathlib.Path(paths["table_gdp"]).iterdir() if p.is_dir()}
+    assert gdp_dirs and all(d.startswith("Year=") for d in gdp_dirs)
+
+    some_year = tables["table_gdp"].select(F.min("Year")).first()[0]
+    back = spark.read.parquet(paths["table_gdp"]).filter(F.col("Year") == some_year)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "Year" in plan.split("PartitionFilters")[1][:120], plan
+
+    cols = sorted(c for c in tables["table_gdp"].columns)
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731 null-safe sort
+    want = sorted(map(tuple, tables["table_gdp"].filter(F.col("Year") == some_year).select(*cols).collect()), key=key)
+    got = sorted(map(tuple, back.select(*cols).collect()), key=key)
+    assert got == want
+
+    # dims stay unpartitioned -- one directory of plain part files
+    loc_dirs = [p for p in pathlib.Path(paths["table_location"]).iterdir() if p.is_dir()]
+    assert loc_dirs == []
