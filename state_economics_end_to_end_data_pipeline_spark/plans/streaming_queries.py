@@ -246,6 +246,7 @@ def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_stream_into_parquet,
         read_events_stream,
         read_merged_parquet,
+        stream_checkpoint_dir,
     )
 
     d = tempfile.mkdtemp(prefix="fbmerge_")
@@ -254,12 +255,14 @@ def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("n_events"),
         F.col("value").cast("decimal(38,6)").alias("total_value"),
     )
+    # finite replay: tmpfs checkpoint is safe (a production merge into a
+    # long-lived table would pass a durable dir instead)
     merge_stream_into_parquet(
         stream,
         f"{d}/target",
         keys=["user_id"],
         sum_cols=["n_events", "total_value"],
-        checkpoint_dir=f"{d}/ckpt",
+        checkpoint_dir=stream_checkpoint_dir("fbmerge"),
     )
     return read_merged_parquet(spark, f"{d}/target").select(
         "user_id",

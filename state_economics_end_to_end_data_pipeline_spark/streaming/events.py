@@ -30,6 +30,38 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _SCHEMA_CACHE: dict[tuple, object] = {}
 
+_CKPT_BASE: str | None = None
+
+
+def stream_checkpoint_dir(prefix: str = "q") -> str:
+    """Allocate a fresh checkpoint directory under ONE session-scoped base,
+    preferring tmpfs (``/dev/shm``) over disk.
+
+    Checkpoint commit involves many small fsync'd files (offsets, commits,
+    state snapshots); on tmpfs that I/O is memory-speed, measured ~0.25s
+    faster per availableNow replay at sf0.1 (1.13s -> 0.85s warm). A
+    finite replay never needs its checkpoint to survive a crash -- the
+    whole point of the checkpoint, failure recovery, doesn't apply to a
+    harness that re-runs from scratch -- so tmpfs loses nothing. A
+    PRODUCTION unbounded query must keep its checkpoint on durable shared
+    storage; callers doing real incremental work (e.g. foreachBatch merge
+    into a long-lived table) should pass their own durable dir instead.
+    The base is removed at interpreter exit."""
+    global _CKPT_BASE
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if _CKPT_BASE is None or not os.path.isdir(_CKPT_BASE):
+        base_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        try:
+            _CKPT_BASE = tempfile.mkdtemp(prefix="stream_ckpt_", dir=base_root)
+        except OSError:  # tmpfs unavailable/full: fall back to disk tmp
+            _CKPT_BASE = tempfile.mkdtemp(prefix="stream_ckpt_")
+        atexit.register(shutil.rmtree, _CKPT_BASE, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=f"{prefix}_", dir=_CKPT_BASE)
+
 
 def _source_stamp(path: str) -> tuple:
     """Freshness stamp for a parquet file-or-directory: (max mtime_ns,
@@ -264,11 +296,12 @@ def run_available_now(
     (a stream-stream join keeps FOUR per partition), so a small bounded
     replay wants few stores -- measured at sf0.1: the interval join drops
     ~0.6s going 8->4 stores/partition-group, windowed aggs are flat; an
-    unbounded production run wants many. Remaining replay cost is mostly
-    the availableNow harness floor (~1.2s measured for a stateless
-    memory-sink replay: query start, source listing, sink collect) --
-    shared per-query overhead, not a plan defect. The session conf is
-    restored after the query starts (it is captured at start)."""
+    unbounded production run wants many. The checkpoint goes to a
+    session-shared tmpfs base (``stream_checkpoint_dir``), cutting the
+    availableNow harness floor from ~1.2s to ~0.85s measured for a
+    stateless memory-sink replay (query start, source listing, sink
+    collect) -- shared per-query overhead, not a plan defect. The session
+    conf is restored after the query starts (it is captured at start)."""
     spark = result.sparkSession
     name = f"stream_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -279,6 +312,7 @@ def run_available_now(
             result.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", stream_checkpoint_dir(name))
             .trigger(availableNow=True)
             .start()
         )
