@@ -308,3 +308,90 @@ def dedup_survivors(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> 
         F.col("id").alias(id_col)
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------- bloom
+
+def _bloom_pos(key: Column, salt: int, n_bits: int) -> Column:
+    """Deterministic, engine-portable bloom bit position: the first 15 hex
+    chars (60 bits) of md5('{salt}#' || key), mod n_bits. Matches DuckDB's
+    ``('0x' || substr(md5(...), 1, 15))::BIGINT % n_bits`` byte-for-byte,
+    so the whole bloom path is oracle-checkable like the minhash family."""
+    h = F.md5(F.concat(F.lit(f"{salt}#"), key))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_bits
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, n_words: int = 256, k: int = 3
+) -> DataFrame:
+    """Distributed Bloom-filter build over a key set: returns the sparse
+    bitmap as (word int, bits long) rows, <= ``n_words`` of them.
+
+    Each key sets ``k`` bit positions in an ``n_words * 63``-bit space (63
+    usable bits per long keeps every shift in 0..62 -- no sign-bit
+    overflow on either engine). The build is ONE hash aggregation with
+    map-side combine: partials OR together per word on each task before a
+    shuffle of at most n_words rows per task, so building over 100 TB of
+    historical keys moves kilobytes. This is the same physical shape
+    Spark's AQE runtime bloom join injects (BloomFilterAggregate), built
+    from public relational ops so the filter itself is a first-class,
+    storable table -- persist it next to the corpus and nightly ingest
+    never rebuilds it (OR in the new batch's words instead)."""
+    m = n_words * 63
+    key = F.col(key_col)
+    pos = F.explode(F.array(*[_bloom_pos(key, i, m) for i in range(k)])).alias("pos")
+    return (
+        keys.select(pos)
+        .groupBy(F.floor(F.col("pos") / 63).cast("int").alias("word"))
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")).alias("bits"))
+    )
+
+
+def bloom_maybe_contains(
+    df: DataFrame,
+    key_col: str,
+    bloom_words: DataFrame,
+    id_col: str,
+    n_words: int = 256,
+    k: int = 3,
+    flag_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Probe: adds ``flag_col`` (boolean) -- true iff ALL k bloom bits for
+    ``key_col`` are set. No false negatives; false-positive rate is
+    (1 - e^(-k*n/m))^k for n keys in m = n_words*63 bits.
+
+    ``id_col`` must uniquely identify rows (a PK, not a generated id --
+    monotonically_increasing_id is nondeterministic across subtree
+    re-evaluations and would mis-join the flag back). The probe is a
+    broadcast equi-join of the row's k (word, bit) pairs against the
+    <= n_words-row bitmap -- fully narrow on the batch side. The payoff
+    at 100 TB: only bloom-positive rows (true dups + the tiny FP
+    fraction) proceed to the exact semi-join against the historical key
+    set, so the big shuffle shrinks by the bloom's rejection rate."""
+    m = n_words * 63
+    key = F.col(key_col)
+    probes = df.select(
+        id_col,
+        F.explode(F.array(*[_bloom_pos(key, i, m) for i in range(k)])).alias("pos"),
+    )
+    w = bloom_words.select(F.col("word").alias("_bw"), F.col("bits").alias("_bbits"))
+    hits = (
+        probes.join(
+            F.broadcast(w),
+            (F.col("_bw") == F.floor(F.col("pos") / 63).cast("int"))
+            & (
+                F.col("_bbits").bitwiseAND(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+                )
+                != 0
+            ),
+            "inner",
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_set"))
+        .filter(F.col("_n_set") == k)
+        .select(id_col, F.lit(True).alias(flag_col))
+    )
+    return df.join(hits, id_col, "left").withColumn(
+        flag_col, F.coalesce(F.col(flag_col), F.lit(False))
+    )

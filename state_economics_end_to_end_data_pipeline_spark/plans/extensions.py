@@ -234,6 +234,102 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_WORDS, _BLOOM_K = 256, 3
+_BLOOM_BITS = _BLOOM_WORDS * 63
+
+
+def _bloom_pos_sql(key: str, salt: str) -> str:
+    """DuckDB twin of operators.dedup._bloom_pos (same md5 prefix-hex)."""
+    return (
+        f"(('0x' || substr(md5({salt} || '#' || {key}), 1, 15))::BIGINT"
+        f" % {_BLOOM_BITS})"
+    )
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lang, md5(text) AS key, (doc_id % 10 >= 8) AS is_new
+      FROM documents
+    ), hist_keys AS (
+      SELECT DISTINCT key FROM split WHERE NOT is_new
+    ), hist_pos AS (
+      SELECT {_bloom_pos_sql('key', 'i::VARCHAR')} AS pos
+      FROM hist_keys, range({_BLOOM_K}) r(i)
+    ), words AS (
+      SELECT pos // 63 AS word,
+             bit_or(1::BIGINT << (pos % 63)::INT) AS bits
+      FROM hist_pos GROUP BY 1
+    ), batch AS (
+      SELECT doc_id, lang, key FROM split WHERE is_new
+    ), batch_pos AS (
+      SELECT b.doc_id, {_bloom_pos_sql('b.key', 'i::VARCHAR')} AS pos
+      FROM batch b, range({_BLOOM_K}) r(i)
+    ), hits AS (
+      SELECT p.doc_id, COUNT(*) AS n_set
+      FROM batch_pos p
+      JOIN words w ON w.word = p.pos // 63
+       AND (w.bits & (1::BIGINT << (p.pos % 63)::INT)) != 0
+      GROUP BY 1
+    ), flagged AS (
+      SELECT b.doc_id, b.lang,
+             COALESCE(h.n_set, 0) = {_BLOOM_K} AS bloom_pos,
+             b.key IN (SELECT key FROM hist_keys) AS is_dup
+      FROM batch b LEFT JOIN hits h USING (doc_id)
+    )
+    SELECT lang,
+           COUNT(*) AS n_batch,
+           CAST(SUM(bloom_pos::INT) AS BIGINT) AS n_bloom_pos,
+           CAST(SUM(is_dup::INT) AS BIGINT) AS n_exact_dup,
+           CAST(SUM((NOT is_dup)::INT) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY lang
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental exact dedup -- the cheap-reject path
+    for nightly ingest at 100 TB. A Bloom bitmap over the HISTORICAL
+    content hashes (operators.dedup.bloom_build: one map-side-combined
+    bit_or aggregation into <= 256 words) screens the NEW batch with a
+    broadcast probe; only bloom positives (true dups + a ~4e-4 FP
+    fraction at these sizings) reach the exact semi-join against the
+    historical key set, so the dominant shuffle shrinks by the bloom's
+    rejection rate. The bloom has no false negatives, so n_exact_dup and
+    n_kept are IDENTICAL to unfiltered exact dedup -- the filter changes
+    the physical cost, never the answer. n_bloom_pos is reported (and
+    oracle-checked bit-for-bit: the md5-derived bit positions are
+    engine-portable) to pin the pruning rate itself."""
+    docs = t(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id", "lang", F.md5("text").alias("key"),
+        (F.col("doc_id") % 10 >= 8).alias("is_new"),
+    )
+    hist_keys = split.filter(~F.col("is_new")).select("key").distinct()
+    batch = split.filter(F.col("is_new"))
+
+    from ..operators.dedup import bloom_build, bloom_maybe_contains
+
+    words = bloom_build(hist_keys, "key", n_words=_BLOOM_WORDS, k=_BLOOM_K)
+    probed = bloom_maybe_contains(
+        batch, "key", words, id_col="doc_id",
+        n_words=_BLOOM_WORDS, k=_BLOOM_K, flag_col="bloom_pos",
+    )
+    confirmed = (
+        probed.filter(F.col("bloom_pos"))
+        .join(hist_keys, "key", "left_semi")
+        .select("doc_id", F.lit(True).alias("is_dup"))
+    )
+    flagged = probed.join(confirmed, "doc_id", "left").withColumn(
+        "is_dup", F.coalesce(F.col("is_dup"), F.lit(False))
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.col("bloom_pos").cast("int")).cast("bigint").alias("n_bloom_pos"),
+        F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_exact_dup"),
+        F.sum((~F.col("is_dup")).cast("int")).cast("bigint").alias("n_kept"),
+    )
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle="""

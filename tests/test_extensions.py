@@ -403,3 +403,43 @@ def test_fk_orphans_detects_planted_orphan(spark):
     assert [r["id"] for r in orphans] == [12]  # 99 orphaned; NULL ignored
     clean = fk_orphans(child.filter("id < 12"), parent, "fk", "pk")
     assert clean.count() == 0
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Bloom contract: every member key flags true (no false negatives);
+    with a reasonably-sized bitmap, most non-members flag false (the
+    pruning that makes the prefilter worthwhile); and a deliberately
+    tiny bitmap still never loses a member -- it only over-admits."""
+    from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    members = spark.createDataFrame([(f"key_{i}",) for i in range(200)], "key string")
+    others = spark.createDataFrame(
+        [(i, f"other_{i}") for i in range(500)], "id bigint, key string"
+    )
+    mixed = others.unionByName(
+        spark.createDataFrame(
+            [(1000 + i, f"key_{i}") for i in range(200)], "id bigint, key string"
+        )
+    )
+
+    words = bloom_build(members, "key", n_words=256, k=3)
+    assert words.count() <= 256
+    flags = {
+        r["id"]: r["maybe"]
+        for r in bloom_maybe_contains(
+            mixed, "key", words, id_col="id", n_words=256, k=3, flag_col="maybe"
+        ).collect()
+    }
+    assert all(flags[1000 + i] for i in range(200))  # no false negatives
+    fp = sum(flags[i] for i in range(500))
+    assert fp <= 10, f"FP rate implausibly high: {fp}/500"
+
+    # tiny bitmap: saturated, admits much more -- but still no false negatives
+    tiny = bloom_build(members, "key", n_words=2, k=3)
+    tiny_flags = bloom_maybe_contains(
+        mixed, "key", tiny, id_col="id", n_words=2, k=3, flag_col="maybe"
+    )
+    assert tiny_flags.filter("id >= 1000 AND NOT maybe").count() == 0
