@@ -331,6 +331,65 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_sketch_merge",
+    oracle="""
+    SELECT source, COUNT(DISTINCT md5(text)) AS n_exact, TRUE AS within_5pct
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT 'ALL' AS source, COUNT(DISTINCT md5(text)) AS n_exact,
+           TRUE AS within_5pct
+    FROM documents
+    """,
+)
+def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: per-source HLL sketches
+    (DataSketches hll_sketch_agg) plus a GLOBAL estimate obtained by
+    hll_union_agg over the per-source sketches -- never re-scanning the
+    corpus. This is the incremental-stats shape at 100 TB: store one
+    sketch blob per partition/day next to the data, and any cross-slice
+    distinct count is a union of kilobyte sketches instead of a full
+    scan. HLL state is a register-maximum -- update order and merge order
+    can't change it -- so the estimates are deterministic and the oracle
+    checks them as 5%-bounds booleans against exact counts (same
+    discipline as sketch_distinct_approx; default lgK=12 gives ~1.6%
+    standard error, so 5% is ~3 sigma)."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("key")
+    )
+    per_src = d.groupBy("source").agg(
+        F.countDistinct("key").alias("n_exact"),
+        F.hll_sketch_agg("key").alias("sk"),
+    )
+    src_rows = per_src.select(
+        "source",
+        "n_exact",
+        (
+            F.abs(
+                F.hll_sketch_estimate("sk").cast("double")
+                - F.col("n_exact").cast("double")
+            )
+            / F.col("n_exact").cast("double")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+    global_exact = d.agg(F.countDistinct("key").alias("n_exact"))
+    merged = per_src.agg(F.hll_union_agg("sk").alias("sk"))
+    all_row = global_exact.crossJoin(F.broadcast(merged)).select(
+        F.lit("ALL").alias("source"),
+        "n_exact",
+        (
+            F.abs(
+                F.hll_sketch_estimate("sk").cast("double")
+                - F.col("n_exact").cast("double")
+            )
+            / F.col("n_exact").cast("double")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+    return src_rows.unionByName(all_row)
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle="""
     WITH tk AS (
@@ -433,6 +492,115 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features (length/diversity/stopword heuristics used
     to filter LLM training corpora)."""
     return quality_features(t(spark, sf_dir, "documents"))
+
+
+_BM25_TERMS = ["spark", "vector", "query"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    """DuckDB BM25 with the SAME parenthesization as the Spark plan --
+    ln() aside (1-ulp libm differences are absorbed by round(.,6)), every
+    double op folds in the identical IEEE order on both engines."""
+    per_term = " + ".join(
+        f"""(ln(1.0 + (CAST(n_docs - df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))
+           * (CAST(tf_{i} AS DOUBLE) * ({_BM25_K1} + 1.0))
+           / (CAST(tf_{i} AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (CAST(dl AS BIGINT) / avgdl))))"""
+        for i in range(len(_BM25_TERMS))
+    )
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, tok -> tok = '{w}')) AS tf_{i}"
+        for i, w in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM((tf_{i} > 0)::INT) AS BIGINT) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), feat AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM tk
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+             {df_cols}
+      FROM feat
+    ), scored AS (
+      SELECT doc_id, round({per_term}, 6) AS bm25
+      FROM feat, stats
+    )
+    SELECT doc_id, bm25 FROM (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """
+
+
+@register("bm25_keyword_search", oracle=_bm25_oracle())
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed query-term set,
+    top-10 docs. The full-corpus shape: per-doc tf/dl are narrow
+    expression work; the collection stats (N, avgdl, per-term df) are ONE
+    scalar aggregate broadcast back as a single-row cross join -- at
+    100 TB the corpus is scanned twice (stats pass + scoring pass), with
+    no shuffle wider than one row, and top-10 is a partial top-k
+    (TakeOrderedAndProject), never a global sort. Scores round to 6
+    decimals so 1-ulp libm ln() differences can't flip the oracle."""
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+
+    def eq_term(w: str):
+        # unary closure: a 2-arg lambda would get (element, index) semantics
+        return lambda tok: tok == F.lit(w)
+
+    feat = d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("dl"),
+        *[
+            F.size(F.filter(tokens("text"), eq_term(w))).alias(f"tf_{i}")
+            for i, w in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).cast("bigint").alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            F.lit(1.0)
+            + ((F.col("n_docs") - F.col(f"df_{i}")).cast("double") + 0.5)
+            / (F.col(f"df_{i}").cast("double") + 0.5)
+        )
+        term = (
+            idf
+            * (F.col(f"tf_{i}").cast("double") * (_BM25_K1 + 1.0))
+            / (
+                F.col(f"tf_{i}").cast("double")
+                + _BM25_K1
+                * (1.0 - _BM25_B + _BM25_B * (F.col("dl").cast("bigint") / F.col("avgdl")))
+            )
+        )
+        score = term if score is None else score + term
+    scored = feat.crossJoin(F.broadcast(stats)).select(
+        "doc_id", F.round(score, 6).alias("bm25")
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "bm25")
+    )
 
 
 @register(
