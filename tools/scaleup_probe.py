@@ -45,6 +45,9 @@ PROBES = [
     "copurchase_triangles",
     "embedding_pq_adc_topk",
     "fk_check_orphans",
+    "dedup_bloom_prefilter",
+    "bm25_keyword_search",
+    "hll_sketch_merge",
 ]
 
 REPLICAS = 10
