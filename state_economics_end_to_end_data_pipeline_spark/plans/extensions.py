@@ -1512,6 +1512,162 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle() -> str:
+    cos_qc = _cos_sql("e.embedding", "c.cvec")
+    d2_sub = """list_reduce(list_transform(range(1, 9), j ->
+               (CAST(v.embedding[s.s * 8 + j] AS DOUBLE)
+                - CAST(cb.embedding[s.s * 8 + j] AS DOUBLE))
+               * (CAST(v.embedding[s.s * 8 + j] AS DOUBLE)
+                  - CAST(cb.embedding[s.s * 8 + j] AS DOUBLE))),
+               (a, b) -> a + b)"""
+    d2_q = """list_reduce(list_transform(range(1, 9), j ->
+               (CAST(q.embedding[b.s * 8 + j] AS DOUBLE)
+                - CAST(cb.embedding[b.s * 8 + j] AS DOUBLE))
+               * (CAST(q.embedding[b.s * 8 + j] AS DOUBLE)
+                  - CAST(cb.embedding[b.s * 8 + j] AS DOUBLE))),
+               (a, b) -> a + b)"""
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ), cb AS (
+      SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < 4
+    ), v AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+    ), ca AS (
+      SELECT neighbor_id, cell FROM (
+        SELECT e.vec_id AS neighbor_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos_qc} DESC, c.cell) AS rn
+        FROM v e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), qa AS (
+      SELECT query_id, cell FROM (
+        SELECT e.vec_id AS query_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos_qc} DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5
+      ) WHERE rn <= 2
+    ), pairs AS (
+      SELECT DISTINCT qa.query_id, ca.neighbor_id
+      FROM qa JOIN ca ON ca.cell = qa.cell AND ca.neighbor_id <> qa.query_id
+    ), sub AS (
+      SELECT v.vec_id, s.s, cb.code, {d2_sub} AS d2
+      FROM v
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+      CROSS JOIN cb
+    ), best AS (
+      SELECT vec_id, s, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2, code) AS rk
+      FROM sub
+    ), q AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+    ), contrib AS (
+      SELECT p.query_id, b.vec_id, b.s,
+             CAST(floor({d2_q} * 1e9 + 0.5) AS BIGINT) AS d2q_nano
+      FROM pairs p
+      JOIN best b ON b.vec_id = p.neighbor_id AND b.rk = 1
+      JOIN cb ON cb.code = b.code
+      JOIN q ON q.query_id = p.query_id
+    ), adc AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             CAST(SUM(d2q_nano) AS BIGINT) AS adc_nano
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_nano, rank FROM (
+      SELECT query_id, neighbor_id, adc_nano,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_nano, neighbor_id) AS BIGINT) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """
+
+
+@register("embedding_ivfpq_topk", oracle=_ivfpq_oracle())
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the production compressed-ANN layout (coarse inverted cells
+    + product-quantized codes), composed from the repo's two building
+    blocks. Corpus vectors are assigned to their nearest cell (narrow --
+    centroids are literals) and PQ-encoded (narrow, ~500x compression);
+    a query probes its n_probe=2 nearest cells and runs ADC table-lookup
+    distances ONLY over the probed cells' code lists -- at 100 TB the
+    cell equi-join (a semi-join on cell membership here) cuts the
+    scanned candidate set by ~n_cells/n_probe before any distance math,
+    and the distance math itself is integer lookups over bytes, not
+    float folds over 4 KB vectors. Nano-scaled integer distances keep
+    the sum order-independent and the oracle exact; selection is
+    deterministic (ties on neighbor_id)."""
+    from ..operators.similarity import assign_cells, pq_encode
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") < 200)
+    cell_of = assign_cells(corpus, cents, n_probe=1).select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+
+    cb_rows = emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    codebook = {
+        (s, int(r["vec_id"])): [float(x) for x in r["embedding"][s * 8:(s + 1) * 8]]
+        for r in cb_rows
+        for s in range(8)
+    }
+    codes = pq_encode(corpus, codebook, m=8, sub_dim=8)
+
+    qdf = emb.filter(F.col("vec_id") < 5)
+    q_rows = qdf.select("vec_id", "embedding").collect()
+    probe_rows = assign_cells(qdf, cents, n_probe=2).select("id", "cell").collect()
+    probes_by_q: dict[int, list[int]] = {}
+    for r in probe_rows:
+        probes_by_q.setdefault(int(r["id"]), []).append(int(r["cell"]))
+
+    def d2_py(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = float(x) - float(y)
+            acc += d * d
+        return acc
+
+    import math
+
+    per_query = []
+    for qr in q_rows:
+        qid = int(qr["vec_id"])
+        qvec = [float(x) for x in qr["embedding"]]
+        lut = [
+            math.floor(
+                d2_py(qvec[s * 8:(s + 1) * 8], codebook[(s, c)]) * 1e9 + 0.5
+            )
+            for s in range(8)
+            for c in range(4)
+        ]
+        cand = cell_of.filter(
+            F.col("cell").isin(probes_by_q[qid]) & (F.col("vec_id") != qid)
+        ).select("vec_id")
+        per_query.append(
+            codes.join(cand, "vec_id", "left_semi").select(
+                F.lit(qid).alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.element_at(
+                    F.lit(lut),
+                    (F.col("subspace") * 4 + F.col("code") + 1).cast("int"),
+                ).alias("d2q_nano"),
+            )
+        )
+    contrib = per_query[0]
+    for p in per_query[1:]:
+        contrib = contrib.unionByName(p)
+    adc = contrib.groupBy("query_id", "neighbor_id").agg(
+        F.sum("d2q_nano").cast("bigint").alias("adc_nano")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_nano", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "adc_nano", "rank")
+    )
+
+
 _CURATION_FILLER = ("row", "value", "table", "data")
 
 

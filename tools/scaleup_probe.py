@@ -349,6 +349,15 @@ def main() -> int:
             "keys on the wedge source, whose out-degree is arboricity-",
             "bounded because hub edges point INTO the hub.",
             "",
+            "Read the wall-clock columns against the fan-out columns:",
+            "degree orientation pays a fixed overhead (one degree",
+            "aggregation + two rank-attach joins over the whole edge set),",
+            "so at THIS hub size it can lose on seconds while already",
+            "halving the worst key's fan-out. The overhead is O(edges);",
+            "the id-orientation blow-up it prevents is O(hub_degree^2) --",
+            "at a 100k-degree hub that is 10^10 wedge rows from one key,",
+            "and the crossover is far below 100 TB corpus sizes.",
+            "",
             "| scenario | hub degree | max key fan-out (id) | max key fan-out (degree) "
             "| total wedges (id) | total wedges (degree) | degree sec | id sec |",
             "|---|---|---|---|---|---|---|---|",
