@@ -395,3 +395,17 @@ def bloom_maybe_contains(
     return df.join(hits, id_col, "left").withColumn(
         flag_col, F.coalesce(F.col(flag_col), F.lit(False))
     )
+
+
+def bloom_union(*word_tables: DataFrame) -> DataFrame:
+    """OR two or more bloom bitmaps (same n_words/k sizing) into one:
+    union the (word, bits) rows and bit_or per word. Because a bloom is a
+    pure bit-set, union(bloom(A), bloom(B)) == bloom(A | B) BIT-FOR-BIT
+    -- so the nightly flow stores the historical bitmap as a <= n_words
+    row table and each ingest ORs in only the new batch's words, never
+    rebuilding over history. One tiny aggregation, mergeable exactly like
+    the HLL sketches."""
+    out = word_tables[0]
+    for w in word_tables[1:]:
+        out = out.unionByName(w)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))

@@ -443,3 +443,24 @@ def test_bloom_no_false_negatives_and_prunes(spark):
         mixed, "key", tiny, id_col="id", n_words=2, k=3, flag_col="maybe"
     )
     assert tiny_flags.filter("id >= 1000 AND NOT maybe").count() == 0
+
+
+def test_bloom_union_equals_bloom_of_union(spark):
+    """Mergeability contract: OR-ing per-batch bitmaps equals building
+    one bitmap over the unioned key set, bit-for-bit -- the property that
+    lets nightly ingest update a stored bloom without a history rebuild."""
+    from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_union,
+    )
+
+    a = spark.createDataFrame([(f"a_{i}",) for i in range(80)], "key string")
+    b = spark.createDataFrame([(f"b_{i}",) for i in range(90)], "key string")
+    merged = bloom_union(
+        bloom_build(a, "key", n_words=64, k=3),
+        bloom_build(b, "key", n_words=64, k=3),
+    )
+    direct = bloom_build(a.unionByName(b), "key", n_words=64, k=3)
+    m = {r["word"]: r["bits"] for r in merged.collect()}
+    d = {r["word"]: r["bits"] for r in direct.collect()}
+    assert m == d
