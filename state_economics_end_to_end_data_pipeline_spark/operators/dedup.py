@@ -207,11 +207,27 @@ def simhash16_from_h4(h4s: Column) -> Column:
     array (not raw text) so md5 runs ONCE per token, not once per bit --
     the 16 vote expressions all reference the same attribute."""
 
+    return simhash_from_hexes(h4s, n_bits=16)
+
+
+def simhash_from_hexes(hexes: Column, n_bits: int = 60) -> Column:
+    """SimHash of arbitrary width (multiple of 4, <= 60) from an array of
+    token hash prefixes (``substring(md5(token), 1, n_bits/4)``).
+
+    Each token votes +-1 on every bit; bit j of the final hash is the
+    sign of the vote sum. Hex digits are decoded with a position-lookup
+    (portable to any SQL dialect -- no hex-int casts). Takes the hash
+    array (not raw text) so md5 runs ONCE per token, not once per bit.
+    60 is the ceiling because 2^59 is the highest power-of-two weight
+    that stays clear of bigint sign trouble on every engine."""
+    if n_bits % 4 or not 4 <= n_bits <= 60:
+        raise ValueError("n_bits must be a multiple of 4 in [4, 60]")
+
     def contrib_fn(nibble_idx: int, bit_in_nibble: int):
         # unary closure (see minhash_cols note on F.transform arity)
-        def contrib(h4):
+        def contrib(h):
             hexval = F.position(
-                F.substring(h4, nibble_idx, 1), F.lit("0123456789abcdef")
+                F.substring(h, nibble_idx, 1), F.lit("0123456789abcdef")
             ) - 1
             bit = F.shiftright(hexval, bit_in_nibble).bitwiseAND(F.lit(1))
             return (bit * 2 - 1).cast("bigint")
@@ -219,9 +235,9 @@ def simhash16_from_h4(h4s: Column) -> Column:
         return contrib
 
     total = F.lit(0).cast("bigint")
-    for j in range(16):
+    for j in range(n_bits):
         vote = F.aggregate(
-            F.transform(h4s, contrib_fn(j // 4 + 1, j % 4)),
+            F.transform(hexes, contrib_fn(j // 4 + 1, j % 4)),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
@@ -232,15 +248,24 @@ def simhash16_from_h4(h4s: Column) -> Column:
 
 
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16
 ) -> DataFrame:
-    """Per-document 16-bit SimHash table: id, simhash. Stages the
-    token-hash array as a column (see minhash_signatures on why)."""
+    """Per-document SimHash table: id, simhash (``n_bits`` wide, default
+    the legacy 16). Stages the token-hash array as a column (see
+    minhash_signatures on why staging matters). The vote folds decode hex
+    digits in place with a position-lookup; pre-decoding the nibbles into
+    ``array<array<int>>`` was measured SLOWER (7.8s vs 5.8s at sf0.1,
+    60-bit) -- nested-array allocation costs more than the string
+    lookups it saves."""
     staged = df.withColumn(
-        "__h4",
-        F.transform(tokens(text_col), lambda t: F.substring(F.md5(t), 1, 4)),
+        "__h",
+        F.transform(
+            tokens(text_col), lambda t: F.substring(F.md5(t), 1, n_bits // 4)
+        ),
     )
-    return staged.select(id_col, simhash16_from_h4(F.col("__h4")).alias("simhash"))
+    return staged.select(
+        id_col, simhash_from_hexes(F.col("__h"), n_bits=n_bits).alias("simhash")
+    )
 
 
 def cluster_labels(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -429,9 +429,9 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(n_bits: int = 16) -> str:
     votes = []
-    for j in range(16):
+    for j in range(n_bits):
         ni, bi = j // 4 + 1, j % 4
         contrib = (
             f"CASE WHEN (((strpos('0123456789abcdef', substr(md5(tok), {ni}, 1)) - 1)"
@@ -1192,7 +1192,7 @@ def simhash_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_banded_oracle() -> str:
-    inner = _simhash_oracle().strip()
+    inner = _simhash_oracle(n_bits=60).strip()
     return f"""
     WITH sh AS ({inner})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1204,8 +1204,8 @@ def _simhash_banded_oracle() -> str:
 
 @register("simhash_banded_pairs", oracle=_simhash_banded_oracle())
 def simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tier-4 near-dup with a HAMMING RADIUS, not just identity: the
-    16-bit SimHash splits into 4 bands of 4 bits; two hashes within
+    """Tier-4 near-dup with a HAMMING RADIUS, not just identity: a
+    60-bit SimHash splits into 4 bands of 15 bits; two hashes within
     Hamming distance 3 differ in at most 3 bits, so by pigeonhole at
     least one band is untouched -- an equi-join per band (any-band-equal
     => candidate) is COMPLETE for radius <= 3. Candidates sharing several
@@ -1214,11 +1214,17 @@ def simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fine in DuckDB at test SF -- the banded plan exists precisely so
     Spark never does that scan at 100 TB).
 
-    Scale note: band-key cardinality is 4 x 2^4 here because the toy
-    hash is 16-bit; production SimHash is 64-bit with 4 x 16-bit bands
-    (65k values per band), which keeps bucket sizes -- and thus the
-    within-bucket quadratic term -- small. Same plan, wider column."""
-    sh = simhash_table(rebalance_for_cpu(t(spark, sf_dir, "documents")))
+    Width is the scale lever: the earlier 16-bit variant had 2^4 = 16
+    values per band, so bucket sizes -- and the within-bucket quadratic
+    term -- grew O(corpus/16) and the sf0.1 bench paid 11s generating
+    ~3M candidates. 15-bit bands give 32,768 values per band; candidate
+    volume collapses to near-dups + collisions and the same plan holds
+    at 100 TB (production systems use 64-bit simhash with 16-bit bands;
+    60 is the portable-bigint ceiling, same asymptotics). The 16-bit
+    hash remains as the simhash16/simhash_blocking_pairs surface."""
+    sh = simhash_table(
+        rebalance_for_cpu(t(spark, sf_dir, "documents")), n_bits=60
+    )
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -1227,8 +1233,8 @@ def simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", 4 * b)
-                        .bitwiseAND(F.lit(15))
+                        F.shiftright("simhash", 15 * b)
+                        .bitwiseAND(F.lit(32767))
                         .alias("val"),
                     )
                     for b in range(4)
