@@ -1674,6 +1674,54 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_filter_lang_percentile",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+    ), sc AS (
+      SELECT doc_id, lang,
+             CAST(len(list_distinct(toks)) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS score
+      FROM tk
+    ), r AS (
+      SELECT doc_id, lang, score,
+             percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr
+      FROM sc
+    )
+    SELECT doc_id, lang, score, pr FROM r WHERE pr >= 0.25
+    """,
+)
+def quality_filter_lang_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile quality gate -- the corpus-curation shape
+    where thresholds must be RELATIVE per language (an absolute
+    diversity cutoff tuned on English would gut low-resource languages):
+    keep documents at or above their language's 25th percentile of
+    distinct-token ratio. percent_rank is (rank-1)/(n-1) -- exact
+    rational arithmetic, engine-identical, ties share a rank -- so the
+    filter is deterministic and fully oracle-checkable. One shuffle
+    (hash by lang) + an in-partition sort. At 100 TB swap the exact
+    window for a per-lang approx-quantile threshold broadcast back (the
+    winsorized_mean exact/approx twin discipline); the filter semantics
+    and this oracle stay the test fixture."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    staged = d.select(
+        "doc_id",
+        "lang",
+        F.try_divide(
+            F.size(F.array_distinct(toks)).cast("double"),
+            F.size(toks).cast("double"),
+        ).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy("score")
+    return (
+        staged.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.25)
+        .select("doc_id", "lang", "score", "pr")
+    )
+
+
 _CURATION_FILLER = ("row", "value", "table", "data")
 
 
