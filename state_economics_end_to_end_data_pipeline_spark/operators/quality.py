@@ -77,3 +77,46 @@ def fk_orphans(
             "left_anti",
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Diff two snapshots of a table by primary key: one row per changed
+    key with change_type in {inserted, deleted, updated}. Unchanged keys
+    are dropped.
+
+    The shape is ONE full-outer hash join on the PK -- the same physical
+    cost as the SCD upserts -- so diffing two 100 TB snapshots shuffles
+    each side once by key and nothing else; comparisons are null-safe
+    (eqNullSafe), so a value moving to/from NULL counts as an update.
+    This is the validation half of CDC: publish v(N), diff against
+    v(N-1), and alarm when the change profile is wrong (e.g. deletes in
+    an append-only table) before consumers read it."""
+    from pyspark.sql import functions as F
+
+    o = old.select(*keys, *compare_cols).alias("o")
+    n = new.select(*keys, *compare_cols).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(~in_old, F.lit("inserted"))
+        .when(~in_new, F.lit("deleted"))
+        .when(differs, F.lit("updated"))
+    )
+    return (
+        joined.select(
+            *[F.coalesce(f"o.{k}", f"n.{k}").alias(k) for k in keys],
+            change.alias("change_type"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -2102,6 +2102,63 @@ def upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed_or_kept.unionByName(new_rows)
 
 
+
+@register(
+    "snapshot_diff_changes",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 11 <> 3
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN CAST(o_totalprice * 2 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                WHEN n.o_orderkey IS NULL THEN 'deleted'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'updated' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+    """,
+)
+def snapshot_diff_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the validation half of CDC): two deterministic
+    versions of orders -- the "new" one missing every 7th key
+    (deletions... seen from old->new as inserts of keys the old slice
+    lacked, deletes of keys the new slice drops, and doubled totalprice
+    on every 5th key as updates) -- diffed by PK into one row per
+    changed key. One full-outer hash join on the key, null-safe value
+    compare; unchanged keys drop out. At 100 TB this is how a publish is
+    gated: diff v(N) against v(N-1) and alarm on an impossible change
+    profile before consumers read it (operators.quality.snapshot_diff)."""
+    from ..operators.quality import snapshot_diff
+
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 11 != 3).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            (F.col("o_totalprice") * 2).cast("double"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+
 @register(
     "json_map_explode",
     oracle="""
