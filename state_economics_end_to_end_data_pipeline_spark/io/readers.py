@@ -226,3 +226,21 @@ def load_testdata(spark: SparkSession, sf_dir: str, names: list[str] | None = No
         df.createOrReplaceTempView(n)
         out[n] = df
     return out
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """XML scan (Spark 4 native source -- no external package): one row
+    per ``row_tag`` element. Pass an explicit ``schema`` in production;
+    inference reads the data twice and, as everywhere in this repo,
+    explicit schemas are the 100 TB discipline. The source is splittable
+    per-file (elements are parsed within each file), so a directory of
+    many XML files parallelizes like any other file source."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

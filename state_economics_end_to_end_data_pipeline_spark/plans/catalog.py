@@ -2104,6 +2104,48 @@ def upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xml_region_scan",
+    oracle="""
+    SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def xml_region_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round trip (Spark 4 NATIVE xml format, no external
+    package): the region dim is written as XML by the engine itself
+    (distributed write, one element per row under rowTag), scanned back
+    with an EXPLICIT schema (inference would read the data twice), and
+    joined to the parquet nation table -- so the oracle checks the XML
+    path against the canonical columnar data. Interchange coverage for
+    the S-family beside CSV/Excel/JSON/ORC/JDBC; the source is
+    splittable per file, so a directory of XML drops parallelizes like
+    any file source."""
+    import tempfile
+
+    from ..io.readers import read_xml
+
+    d = tempfile.mkdtemp(prefix="xmlsrc_")
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    region.write.mode("overwrite").format("xml").option("rowTag", "region").save(
+        f"{d}/region_xml"
+    )
+    xml_region = read_xml(
+        spark, f"{d}/region_xml", row_tag="region",
+        schema="r_regionkey int, r_name string",
+    )
+    nation = t(spark, sf_dir, "nation")
+    return (
+        xml_region.join(
+            F.broadcast(nation),
+            nation.n_regionkey == xml_region.r_regionkey,
+        )
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@register(
     "snapshot_diff_changes",
     oracle="""
     WITH old AS (
