@@ -595,12 +595,12 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = feat.crossJoin(F.broadcast(stats)).select(
         "doc_id", F.round(score, 6).alias("bm25")
     )
-    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("doc_id", "bm25")
-    )
+    # orderBy+limit compiles to TakeOrderedAndProject: each task keeps its
+    # local top-10 and only those reach the driver -- a global-order
+    # row_number window would instead move EVERY scored row to one
+    # partition. The oracle's ROW_NUMBER states the same selection; the
+    # rank column is dropped, so the row sets are identical.
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
 
 
 @register(
