@@ -359,3 +359,39 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round5_entries_have_scale_shaped_plans(spark, sf_dir):
+    """Pin the physical-plan properties the round-5 entries' docstrings
+    claim, so a refactor that silently regresses the shape (a sort-merge
+    join sneaking into the bloom probe, the BM25 top-k reverting to a
+    single-partition window) fails fast."""
+    from state_economics_end_to_end_data_pipeline_spark.plans import load_all
+
+    qs = load_all()
+
+    # BM25: top-10 must be a distributed partial top-k, not a global sort
+    # or a one-partition window
+    plan = (
+        qs["bm25_keyword_search"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+    # Bloom prefilter: the bitmap probe and the exact confirm are both
+    # broadcast joins -- nothing shuffles the batch by join key
+    plan = (
+        qs["dedup_bloom_prefilter"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    # Banded simhash: candidate generation is an equi-join (hash join on
+    # band/val), never a cartesian product
+    plan = (
+        qs["simhash_banded_pairs"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
