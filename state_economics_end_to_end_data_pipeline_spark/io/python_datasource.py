@@ -22,7 +22,13 @@ Usage::
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 # Deterministic row derivation (documented contract, mirrored by oracles):
 #   user_id      = (i * KNUTH) % N_USERS      -- multiplicative hash spread
@@ -82,3 +88,87 @@ def read_synthetic_events(spark, n_rows: int = 5000, n_parts: int = 8):
         .option("partitions", str(n_parts))
         .load()
     )
+
+
+# ------------------------------------------------------- writer side
+
+
+class _PartCommit(WriterCommitMessage):
+    """Per-task commit message: the temp file a task wrote and its row
+    count. Serialized executor -> driver by the API."""
+
+    def __init__(self, tmp_path: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class JsonLinesCommitWriter(DataSourceWriter):
+    """Executor side of the two-phase commit: each task streams its rows
+    to a TEMP file named by its task attempt id (attempt retries never
+    collide), and only ``commit()`` -- driver-side, after every task
+    succeeded -- renames temp parts to final names and publishes the
+    manifest. A reader that requires the manifest therefore never sees a
+    partial write: that is the exactly-once contract every real sink
+    (parquet committer, Delta/Iceberg snapshot) implements, here in its
+    minimal observable form. Local-FS rename stands in for an object
+    store's copy+delete; the protocol is identical."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_commit requires a path (use .save(path))")
+
+    def write(self, iterator):
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        attempt = TaskContext.get().taskAttemptId()
+        tmp = os.path.join(self.path, f"_tmp-{attempt}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(recursive=True)) + "\n")
+                n += 1
+        return _PartCommit(tmp, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        total = 0
+        finals = []
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+            finals.append(os.path.basename(final))
+            total += m.n_rows
+        manifest = os.path.join(self.path, "_MANIFEST")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"files": finals, "rows": total}, f)
+        os.replace(tmp, manifest)  # atomic publish
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+class JsonLinesCommitDataSource(DataSource):
+    """``df.write.format("jsonl_commit").mode("append").save(path)`` --
+    the WRITE half of the Python DataSource API beside the synthetic
+    reader above."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_commit"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonLinesCommitWriter(self.options)

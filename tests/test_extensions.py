@@ -464,3 +464,33 @@ def test_bloom_union_equals_bloom_of_union(spark):
     m = {r["word"]: r["bits"] for r in merged.collect()}
     d = {r["word"]: r["bits"] for r in direct.collect()}
     assert m == d
+
+
+def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
+    """The write half of the Python DataSource API: rows land in temp
+    files per task and become visible part files + an atomic _MANIFEST
+    only at commit; the manifest's row count matches, and a read-back
+    returns exactly the written rows."""
+    import json
+    import pathlib
+
+    from state_economics_end_to_end_data_pipeline_spark.io.python_datasource import (
+        JsonLinesCommitDataSource,
+    )
+
+    spark.dataSource.register(JsonLinesCommitDataSource)
+    out = str(tmp_path / "jsonl_out")
+    df = spark.range(100).selectExpr(
+        "id", "concat('u', CAST(id % 7 AS STRING)) AS tag"
+    ).repartition(4)
+    df.write.format("jsonl_commit").mode("append").save(out)
+
+    root = pathlib.Path(out)
+    manifest = json.loads((root / "_MANIFEST").read_text())
+    assert manifest["rows"] == 100
+    parts = sorted(p.name for p in root.glob("part-*.jsonl"))
+    assert parts == sorted(manifest["files"]) and len(parts) == 4
+    assert not list(root.glob("_tmp-*"))  # no uncommitted leftovers
+
+    back = spark.read.json(out, schema="id bigint, tag string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
