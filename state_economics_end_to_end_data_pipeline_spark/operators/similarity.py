@@ -271,6 +271,7 @@ def pq_encode(
     sub_dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Product quantization encode: split each d-dim vector into ``m``
     subvectors of ``sub_dim`` dims; per subspace, the code is the
@@ -285,7 +286,11 @@ def pq_encode(
     per-subspace KMeans in production, any deterministic table here);
     encoding is a fully narrow per-row pass: per subspace, k sequential
     O(sub_dim) folds against literal subvectors, engine-portable
-    bit-for-bit (same left-to-right IEEE order as the DuckDB oracle)."""
+    bit-for-bit (same left-to-right IEEE order as the DuckDB oracle).
+
+    ``keep`` names extra input columns to carry through unchanged --
+    e.g. the IVF cell id, so the codes come out already in
+    inverted-list layout without a self-join back onto the corpus."""
     codes_per_sub: dict[int, list[tuple[int, list[float]]]] = {}
     for (s, c), vec in sorted(codebook.items()):
         codes_per_sub.setdefault(s, []).append((c, vec))
@@ -319,8 +324,8 @@ def pq_encode(
             )
         )
     return df.select(
-        F.col(id_col), F.explode(F.array(*rows)).alias("q")
-    ).select(id_col, "q.subspace", "q.code", "q.d2")
+        F.col(id_col), *[F.col(c) for c in keep], F.explode(F.array(*rows)).alias("q")
+    ).select(id_col, *keep, "q.subspace", "q.code", "q.d2")
 
 
 def kmeans_centroids(

@@ -1482,31 +1482,38 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     codes = pq_encode(emb.filter(F.col("vec_id") < 200), codebook, m=8, sub_dim=8)
-    per_query = []
-    for qr in q_rows:
+    # One flat LUT for the whole query batch: slot q occupies entries
+    # [q*32, (q+1)*32) laid out subspace-major (8 subspaces x 4 codes).
+    # One broadcast join fans each code row out to the Q queries --
+    # one corpus pass instead of Q unioned scans.
+    flat_lut: list[int] = []
+    slot_tuples: list[tuple[int, int]] = []
+    for qpos, qr in enumerate(sorted(q_rows, key=lambda r: int(r["vec_id"]))):
         qid = int(qr["vec_id"])
         qvec = [float(x) for x in qr["embedding"]]
-        # flat LUT indexed subspace*k + code; k=4 codes per subspace
-        lut = [
+        flat_lut.extend(
             math.floor(
                 d2_py(qvec[s * 8:(s + 1) * 8], codebook[(s, c)]) * 1e9 + 0.5
             )
             for s in range(8)
             for c in range(4)
-        ]
-        per_query.append(
-            codes.filter(F.col("vec_id") != qid).select(
-                F.lit(qid).alias("query_id"),
-                F.col("vec_id").alias("neighbor_id"),
-                F.element_at(
-                    F.lit(lut),
-                    (F.col("subspace") * 4 + F.col("code") + 1).cast("int"),
-                ).alias("d2q_nano"),
-            )
         )
-    contrib = per_query[0]
-    for p in per_query[1:]:
-        contrib = contrib.unionByName(p)
+        slot_tuples.append((qpos, qid))
+    slots = spark.createDataFrame(slot_tuples, "qpos int, query_id bigint")
+    contrib = (
+        codes.crossJoin(F.broadcast(slots))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.element_at(
+                F.lit(flat_lut),
+                (
+                    F.col("qpos") * 32 + F.col("subspace") * 4 + F.col("code") + 1
+                ).cast("int"),
+            ).alias("d2q_nano"),
+        )
+    )
     adc = contrib.groupBy("query_id", "neighbor_id").agg(
         F.sum("d2q_nano").cast("bigint").alias("adc_nano")
     )
@@ -1602,15 +1609,23 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the distance math itself is integer lookups over bytes, not
     float folds over 4 KB vectors. Nano-scaled integer distances keep
     the sum order-independent and the oracle exact; selection is
-    deterministic (ties on neighbor_id)."""
+    deterministic (ties on neighbor_id).
+
+    Plan shape: ONE pass over the corpus. Cell assignment and PQ
+    encoding happen in the same narrow chain (``pq_encode(keep=
+    ("cell",))`` -- inverted-list layout), the per-query ADC lookup
+    tables are concatenated into a single flat literal indexed by
+    (query slot, subspace, code), and the (query, cell) probe list is
+    a broadcast literal relation -- so the whole query batch is
+    answered by one broadcast hash join on cell plus one aggregation,
+    instead of a per-query union of corpus scans. At 100 TB this is
+    the difference between Q corpus passes and one, and the broadcast
+    side is O(queries x n_probe), never corpus-sized."""
     from ..operators.similarity import assign_cells, pq_encode
 
     emb = t(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8)
     corpus = emb.filter(F.col("vec_id") < 200)
-    cell_of = assign_cells(corpus, cents, n_probe=1).select(
-        F.col("id").alias("vec_id"), "cell"
-    )
 
     cb_rows = emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
     codebook = {
@@ -1618,7 +1633,12 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in cb_rows
         for s in range(8)
     }
-    codes = pq_encode(corpus, codebook, m=8, sub_dim=8)
+    # Inverted-list layout in one narrow pass: assign the cell, then
+    # PQ-encode with the cell carried through.
+    assigned = assign_cells(corpus, cents, n_probe=1).select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding"), "cell"
+    )
+    codes = pq_encode(assigned, codebook, m=8, sub_dim=8, keep=("cell",))
 
     qdf = emb.filter(F.col("vec_id") < 5)
     q_rows = qdf.select("vec_id", "embedding").collect()
@@ -1636,33 +1656,41 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import math
 
-    per_query = []
-    for qr in q_rows:
+    # One flat LUT for the whole query batch: slot q occupies entries
+    # [q*32, (q+1)*32) laid out subspace-major (8 subspaces x 4 codes).
+    flat_lut: list[int] = []
+    probe_tuples: list[tuple[int, int, int]] = []
+    for qpos, qr in enumerate(sorted(q_rows, key=lambda r: int(r["vec_id"]))):
         qid = int(qr["vec_id"])
         qvec = [float(x) for x in qr["embedding"]]
-        lut = [
+        flat_lut.extend(
             math.floor(
                 d2_py(qvec[s * 8:(s + 1) * 8], codebook[(s, c)]) * 1e9 + 0.5
             )
             for s in range(8)
             for c in range(4)
-        ]
-        cand = cell_of.filter(
-            F.col("cell").isin(probes_by_q[qid]) & (F.col("vec_id") != qid)
-        ).select("vec_id")
-        per_query.append(
-            codes.join(cand, "vec_id", "left_semi").select(
-                F.lit(qid).alias("query_id"),
-                F.col("vec_id").alias("neighbor_id"),
-                F.element_at(
-                    F.lit(lut),
-                    (F.col("subspace") * 4 + F.col("code") + 1).cast("int"),
-                ).alias("d2q_nano"),
-            )
         )
-    contrib = per_query[0]
-    for p in per_query[1:]:
-        contrib = contrib.unionByName(p)
+        probe_tuples.extend((qpos, qid, cell) for cell in probes_by_q[qid])
+    probe_df = spark.createDataFrame(
+        probe_tuples, "qpos int, query_id bigint, cell bigint"
+    )
+
+    # Each corpus vector lives in exactly one cell (n_probe=1 above), so
+    # the probe join yields each (query, neighbor) pair at most once.
+    contrib = (
+        codes.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.element_at(
+                F.lit(flat_lut),
+                (
+                    F.col("qpos") * 32 + F.col("subspace") * 4 + F.col("code") + 1
+                ).cast("int"),
+            ).alias("d2q_nano"),
+        )
+    )
     adc = contrib.groupBy("query_id", "neighbor_id").agg(
         F.sum("d2q_nano").cast("bigint").alias("adc_nano")
     )

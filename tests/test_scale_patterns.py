@@ -395,3 +395,23 @@ def test_round5_entries_have_scale_shaped_plans(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+    # IVF-PQ: ONE corpus pass -- the query batch is a broadcast hash
+    # join on cell against the inverted-list code table, never a
+    # per-query union of corpus scans
+    plan = (
+        qs["embedding_ivfpq_topk"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Union" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    # PQ-ADC: same single-pass batch shape; the Q-row query-slot
+    # fan-out is a broadcast nested loop (deliberate: Q rows), with no
+    # unioned corpus rescans
+    plan = (
+        qs["embedding_pq_adc_topk"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Union" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
