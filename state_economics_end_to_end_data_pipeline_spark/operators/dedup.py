@@ -136,8 +136,17 @@ def jaccard_pairs(
     ``eager=False`` (default): the result is fully lazy and nothing is
     persisted -- calling this function never runs a job, so plan-only
     consumers (explain dumps, schema enumeration, catalog construction)
-    pay nothing. The cost is that the index pipeline re-executes up to 3x
-    on action (both self-join sides + the size aggregate).
+    pay nothing. The nominal cost would be re-executing the index
+    pipeline 3x on action (both self-join sides + the size aggregate),
+    but in practice it does NOT recompute: the ``dropDuplicates``
+    shuffle below all three consumers is an identical exchange, and
+    AQE's runtime stage reuse computes it once and shares the map
+    output (measured: removing the dropDuplicates materialization
+    point and carrying sizes inline made the query ~40% SLOWER at
+    sf0.1 because each self-join side then re-ran the tokenize+shingle
+    pass). The explicit all-column dedup is therefore load-bearing
+    twice over: it is the distinct-gram semantics AND the shared
+    materialization point.
 
     ``eager=True`` -- opt in when the result will definitely be acted on
     and the session is long-lived: cache lifecycle is OWNED BY THE
