@@ -443,3 +443,73 @@ def bloom_union(*word_tables: DataFrame) -> DataFrame:
     for w in word_tables[1:]:
         out = out.unionByName(w)
     return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def dupspan_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Repeated-span ("boilerplate") coverage: for each document, the
+    fraction of token positions covered by at least one word n-gram that
+    occurs in >= ``min_df`` DISTINCT documents. This is the span-level
+    duplication metric behind line/paragraph dedup in LLM corpus
+    pipelines (C4 drops repeated lines; dedup studies report the share
+    of each document covered by corpus-frequent spans) -- on corpora
+    without line structure the n-gram span is the unit.
+
+    Returns (id, n_tokens, n_covered, dup_coverage) with one row per
+    input row, zero coverage for docs shorter than ``n`` tokens.
+
+    Scale shape: positions explode to O(tokens) rows once; document
+    frequency is one groupBy on the gram hash; the frequent-gram set is
+    df >= min_df heavy hitters -- a small fraction of the gram space by
+    construction -- so the mark-covered step is a broadcast-friendly
+    equi-join, and the final per-doc rollup shuffles only covered
+    positions. No all-pairs anything.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(text_col).alias("__toks"),
+    ).select(
+        "id",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        word_ngrams(F.col("__toks"), n=n, distinct=False).alias("__grams"),
+    )
+    # posexplode is 0-based; gram at pos p starts at 1-based token p+1
+    # and covers positions p+1 .. p+n.
+    g = base.select(
+        "id", "n_tokens", F.posexplode("__grams").alias("pos", "gram")
+    )
+    freq = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gram")
+    )
+    cov = (
+        g.join(F.broadcast(freq), "gram")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos") + 1, F.col("pos") + n)
+            ).alias("p"),
+        )
+        .groupBy("id")
+        .agg(F.count_distinct("p").cast("bigint").alias("n_covered"))
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(cov, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_covered", F.lit(0).cast("bigint")).alias("n_covered"),
+            (
+                F.coalesce("n_covered", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_coverage"),
+        )
+    )

@@ -411,3 +411,70 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def jl_projection_matrix(
+    d_in: int, d_out: int, seed_tag: str = "jl"
+) -> list[list[float]]:
+    """Deterministic +-1 random-projection matrix (Achlioptas-style signs)
+    derived from md5 of (seed_tag, row, col) -- reproducible bit-for-bit
+    in ANY engine that has md5, which is what lets the DuckDB oracle
+    rebuild the identical matrix. Scaled by 1/sqrt(d_out) so expected
+    squared distances are preserved (Johnson-Lindenstrauss)."""
+    import hashlib
+    import math
+
+    scale = 1.0 / math.sqrt(d_out)
+    return [
+        [
+            (
+                scale
+                if int(
+                    hashlib.md5(f"{seed_tag}:{j}:{i}".encode()).hexdigest()[0], 16
+                )
+                % 2
+                == 0
+                else -scale
+            )
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    d_in: int,
+    d_out: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed_tag: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: embed d_in-dim vectors
+    into d_out dims with a deterministic +-1/sqrt(d_out) matrix.
+    Pairwise distances are preserved within (1 +- eps) w.h.p. for
+    d_out = O(log n / eps^2) -- the standard cheap dimensionality cut
+    before ANN indexing or clustering.
+
+    Scale shape: fully NARROW -- the matrix is d_out x d_in literals
+    (driver-sized by definition), each output dim is one sequential
+    zip_with/aggregate fold over the row's vector, zero shuffle. At
+    100 TB this is the pass that turns 4 KB float rows into d_out
+    doubles BEFORE anything shuffles them; every downstream
+    shuffle/join moves d_in/d_out times fewer bytes. Folds are
+    left-to-right in double (same IEEE order as the DuckDB oracle's
+    list_reduce), so projections are bit-identical across engines."""
+    mat = jl_projection_matrix(d_in, d_out, seed_tag)
+    dims = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.lit(row),
+                lambda x, r: x.cast("double") * r,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for row in mat
+    ]
+    return df.select(F.col(id_col), F.array(*dims).alias("proj"))

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..io.readers import read_parquet_table as t
 from ..operators.dedup import (
     content_hash,
+    dupspan_coverage,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -426,6 +427,51 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=2,
         min_jaccard=0.2,
         block_col="lang",
+    )
+
+
+@register(
+    "dupspan_coverage",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(range(1, len(toks) - 3)) AS s, toks FROM tk
+    ), g2 AS (
+      SELECT doc_id, s,
+             toks[s] || ' ' || toks[s+1] || ' ' || toks[s+2] || ' '
+               || toks[s+3] || ' ' || toks[s+4] AS gram
+      FROM g
+    ), freq AS (
+      SELECT gram FROM g2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT g2.doc_id, unnest(range(g2.s, g2.s + 5)) AS p
+      FROM g2 JOIN freq USING (gram)
+    ), cov AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS n_covered
+      FROM hits GROUP BY doc_id
+    )
+    SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+           COALESCE(cov.n_covered, 0) AS n_covered,
+           CAST(COALESCE(cov.n_covered, 0) AS DOUBLE)
+             / CAST(len(tk.toks) AS DOUBLE) AS dup_coverage
+    FROM tk LEFT JOIN cov USING (doc_id)
+    """.format(toks=_TOKS),
+)
+def dupspan_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span coverage per document: fraction of token positions
+    covered by a word 5-gram occurring in >= 2 distinct docs -- the
+    span-level duplication metric behind line/paragraph dedup in LLM
+    corpus pipelines (C4-style line dedup re-expressed for corpora
+    without line structure). DF count is one groupBy on the gram; the
+    frequent set is broadcast back; coverage is a distinct-position
+    rollup per doc."""
+    return dupspan_coverage(
+        rebalance_for_cpu(t(spark, sf_dir, "documents")),
+        text_col="text",
+        id_col="doc_id",
+        n=5,
+        min_df=2,
     )
 
 
@@ -1016,6 +1062,49 @@ def embedding_l2_normalize_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda u: F.floor(u * F.lit(1e9) + F.lit(0.5)).cast("long").cast("string"),
     )
     return staged.select("vec_id", F.array_join(nano, "|").alias("unit_vec_nano"))
+
+
+def _jl_oracle(d_in: int = 64, d_out: int = 8) -> str:
+    from ..operators.similarity import jl_projection_matrix
+
+    mat = jl_projection_matrix(d_in, d_out)
+    dims = []
+    for row in mat:
+        lit = "[" + ", ".join(repr(x) for x in row) + "]"
+        fold = (
+            f"list_reduce(list_transform(range(1, {d_in + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]), (a, b) -> a + b)"
+        )
+        dims.append(
+            f"CAST(CAST(floor({fold} * 1e9 + 0.5) AS BIGINT) AS VARCHAR)"
+        )
+    cat = " || '|' || ".join(dims)
+    return f"""
+    SELECT vec_id, {cat} AS proj_nano
+    FROM embeddings WHERE vec_id < 200
+    """
+
+
+@register("embedding_random_projection", oracle=_jl_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims with a
+    deterministic md5-derived +-1/sqrt(8) matrix -- the standard cheap
+    dimensionality cut BEFORE anything shuffles embedding rows
+    (downstream joins move 8 doubles instead of 64 floats). Fully
+    narrow: d_out sequential folds per row against literal matrix rows,
+    zero shuffle; the matrix is driver-sized by definition and
+    reproducible in any engine with md5, which is how the oracle
+    rebuilds it bit-for-bit. Output nano-scaled to a pipe-joined string
+    (house style for float-array comparisons)."""
+    from ..operators.similarity import random_project
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    p = random_project(emb, d_in=64, d_out=8)
+    nano = F.transform(
+        F.col("proj"),
+        lambda u: F.floor(u * F.lit(1e9) + F.lit(0.5)).cast("long").cast("string"),
+    )
+    return p.select("vec_id", F.array_join(nano, "|").alias("proj_nano"))
 
 
 @register(

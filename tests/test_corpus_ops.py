@@ -145,3 +145,68 @@ def test_multibatch_stream_replay_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_dupspan_coverage_invariants(spark):
+    """Coverage semantics on a hand-built corpus: docs sharing a 5-gram
+    get exactly that span covered; unique docs get zero; a doc shorter
+    than n tokens gets zero with its true token count; coverage is the
+    covered fraction in [0, 1]."""
+    from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
+        dupspan_coverage,
+    )
+
+    shared = "alpha beta gamma delta epsilon"  # the one repeated 5-gram
+    df = spark.createDataFrame(
+        [
+            (1, shared + " zeta eta"),          # covered pos 1-5 of 7
+            (2, "one two " + shared),            # covered pos 3-7 of 7
+            (3, "u1 u2 u3 u4 u5 u6 u7"),         # unique, zero coverage
+            (4, "tiny doc"),                     # shorter than n
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dupspan_coverage(df, n=5, min_df=2).collect()
+    }
+    assert rows[1]["n_tokens"] == 7 and rows[1]["n_covered"] == 5
+    assert rows[2]["n_tokens"] == 7 and rows[2]["n_covered"] == 5
+    assert rows[3]["n_covered"] == 0
+    assert rows[4]["n_tokens"] == 2 and rows[4]["n_covered"] == 0
+    for r in rows.values():
+        assert 0.0 <= r["dup_coverage"] <= 1.0
+        assert abs(r["dup_coverage"] - r["n_covered"] / r["n_tokens"]) < 1e-12
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL projection contract: deterministic across runs, and average
+    pairwise squared distance in the projected space tracks the original
+    within a loose statistical band (the matrix is +-1/sqrt(k), so
+    E[|Px - Py|^2] = |x - y|^2)."""
+    import math
+
+    from state_economics_end_to_end_data_pipeline_spark.operators.similarity import (
+        random_project,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 50
+    )
+    p1 = {r["vec_id"]: r["proj"] for r in random_project(emb, 64, 16).collect()}
+    p2 = {r["vec_id"]: r["proj"] for r in random_project(emb, 64, 16).collect()}
+    assert p1 == p2  # deterministic
+
+    orig = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    ids = sorted(orig)[:20]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    num = den = 0.0
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            num += d2(p1[ids[i]], p1[ids[j]])
+            den += d2(orig[ids[i]], orig[ids[j]])
+    ratio = num / den
+    assert 0.5 < ratio < 2.0, f"JL distance ratio {ratio} out of band"
