@@ -383,3 +383,70 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("total", ignorenulls=True).over(w).alias("total_ffill"),
         )
     )
+
+
+@register(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, value,
+             (epoch_us(ts) - epoch_us(date_trunc('hour', ts)))
+               * 2147483648 + event_id AS k
+      FROM events
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           arg_min(value, k) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, k) AS close,
+           COUNT(*) AS n_events
+    FROM keyed GROUP BY event_type, hour
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling per (event_type, hour) -- the hypertable-rollup
+    / financial-bars pattern: open = value at the earliest event in the
+    bucket, close = at the latest, plus high/low/count. One hash
+    aggregation with min_by/max_by -- NO window, NO sort: at 100 TB a
+    row_number-per-bucket formulation would shuffle and sort every
+    event, while min_by keeps it a map-side-combinable agg, so each
+    partition contributes one candidate per bucket and only bucket
+    cardinality crosses the wire.
+
+    Determinism: events can share a timestamp, so the selection key is
+    (micros within the hour bucket) * 2^31 + event_id -- a single
+    BIGINT (micros-in-hour < 2^32, times 2^31 stays under 2^63; needs
+    event_id < 2^31, true by construction of the fixtures -- pmod the
+    id at larger scales). A BIGINT key, not a padded string or a
+    struct: a non-mutable buffer type (string/struct) silently demotes
+    the whole aggregation to SortAggregate + per-partition sorts, while
+    the BIGINT buffer keeps it a HashAggregate. Integer micros, not
+    epoch-seconds-as-double: the fixtures carry sub-second timestamps,
+    and a fractional-double key would truncate differently per engine.
+    """
+    ev = t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.date_trunc("hour", "ts")))
+            * F.lit(2147483648).cast("long")
+            + F.col("event_id")
+        ).alias("k"),
+    )
+    return (
+        keyed.groupBy("event_type", "hour")
+        .agg(
+            F.min_by("value", "k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "k").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open", "high", "low", "close", "n_events",
+        )
+    )

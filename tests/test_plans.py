@@ -309,3 +309,19 @@ def test_split_and_packing_are_single_shuffle(spark, sf_dir):
     plan = plan_of(q(spark, sf_dir, "sequence_packing_chunks"))
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ohlc_bounds_and_single_aggregation(spark, sf_dir):
+    """open/close lie within [low, high] in every bucket, counts are
+    positive -- and the plan is ONE hash aggregation (map-side combinable
+    min_by/max_by), never a window/sort over the event stream."""
+    df = q(spark, sf_dir, "events_ohlc_hourly")
+    plan = plan_of(df)
+    assert "Window" not in plan, plan
+    assert "Sort" not in plan.replace("SortAggregate", ""), plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] >= 1
