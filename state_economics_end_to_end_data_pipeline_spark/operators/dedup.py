@@ -479,10 +479,17 @@ def dupspan_coverage(
         word_ngrams(F.col("__toks"), n=n, distinct=False).alias("__grams"),
     )
     # posexplode is 0-based; gram at pos p starts at 1-based token p+1
-    # and covers positions p+1 .. p+n.
+    # and covers positions p+1 .. p+n. posexplode_OUTER, deliberately:
+    # for a plain (non-outer) Generate, InferFiltersFromGenerate infers
+    # `size(grams) > 0` and pushes it below the rebalance exchange into
+    # the scan -- re-evaluating the entire tokenize+shingle expression
+    # per row in the (single-partition) scan stage. Outer explode infers
+    # nothing; short docs surface as one null-gram row dropped by a
+    # cheap attribute filter ABOVE the exchange. Measured at sf0.1:
+    # 12.9s -> sub-second for the explode stage.
     g = base.select(
-        "id", "n_tokens", F.posexplode("__grams").alias("pos", "gram")
-    )
+        "id", "n_tokens", F.posexplode_outer("__grams").alias("pos", "gram")
+    ).filter(F.col("gram").isNotNull())
     freq = (
         g.groupBy("gram")
         .agg(F.count_distinct("id").alias("df"))

@@ -650,6 +650,58 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_topk_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ), freq AS (
+      SELECT token, COUNT(*) AS n_occ FROM tok GROUP BY token
+    ), total AS (
+      SELECT SUM(n_occ) AS tot FROM freq
+    ), topk AS (
+      SELECT token, n_occ FROM freq ORDER BY n_occ DESC, token LIMIT 100
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) AS BIGINT) AS rank,
+           token, n_occ,
+           CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, token
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(tot AS DOUBLE) AS cum_share
+    FROM topk, total
+    """,
+)
+def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sizing: top-100 tokens by corpus frequency
+    with cumulative occurrence coverage -- the curve you read off to
+    pick a vocab size (how many types cover 95% of tokens). Scale
+    shape: token frequency is ONE groupBy (shuffle O(vocab)); the
+    top-k is a partial sort (TakeOrderedAndProject -- each task ships
+    its local top-100, never the full vocabulary); the cumulative
+    window then runs over exactly k rows, so the single-partition
+    window that would be a scale bug on the full vocab is bounded at
+    k. The grand total is a one-row broadcast."""
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    # explode_outer: a plain explode would let InferFiltersFromGenerate
+    # push a size(split(...)) > 0 re-evaluation into the scan stage.
+    tok = d.select(F.explode_outer(tokens("text")).alias("token")).filter(
+        F.col("token").isNotNull()
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+    total = freq.agg(F.sum("n_occ").alias("tot"))
+    topk = freq.orderBy(F.desc("n_occ"), "token").limit(100)
+    w = Window.orderBy(F.desc("n_occ"), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return topk.crossJoin(F.broadcast(total)).select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "token",
+        "n_occ",
+        (
+            F.sum("n_occ").over(w).cast("double") / F.col("tot").cast("double")
+        ).alias("cum_share"),
+    )
+
+
+@register(
     "text_lang_id",
     oracle=f"""
     WITH tk AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)

@@ -48,6 +48,10 @@ PROBES = [
     "dedup_bloom_prefilter",
     "bm25_keyword_search",
     "hll_sketch_merge",
+    "dupspan_coverage",
+    "embedding_random_projection",
+    "events_ohlc_hourly",
+    "embedding_ivfpq_topk",
 ]
 
 REPLICAS = 10
