@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.events import (
+    ohlc_bars,
     read_events_stream,
     run_available_now,
     session_windows,
@@ -48,6 +49,37 @@ def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         "total_value",
+    )
+
+
+@register(
+    "stream_ohlc_hourly",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, value,
+             (epoch_us(ts) - epoch_us(date_trunc('hour', ts)))
+               * 2147483648 + event_id AS k
+      FROM events
+    )
+    SELECT event_type, strftime(hour, '{_TS_FMT_DUCK}') AS hour,
+           arg_min(value, k) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, k) AS close,
+           COUNT(*) AS n_events
+    FROM keyed GROUP BY event_type, hour
+    """,
+)
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars (1h event-time windows x event_type), replayed
+    to completion: the stateful min_by/max_by window aggregation must
+    equal the batch OHLC (``events_ohlc_hourly``) on the same input."""
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(ohlc_bars(stream), output_mode="complete")
+    return out.select(
+        "event_type",
+        F.date_format("window.start", _TS_FMT_SPARK).alias("hour"),
+        "open", "high", "low", "close", "n_events",
     )
 
 

@@ -138,6 +138,36 @@ def tumbling_counts(
     )
 
 
+def ohlc_bars(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming OHLC bars per (event-time window, event_type): open /
+    close via min_by/max_by on the same deterministic BIGINT order key
+    as the batch twin (``events_ohlc_hourly``, plans/event_analytics.py)
+    -- micros-within-the-hour * 2^31 + event_id, which both totally
+    orders ties and keeps the aggregation buffer a mutable fixed-width
+    type (string/struct keys demote to SortAggregate in batch and bloat
+    the state row here). State is O(open windows x types); the watermark
+    closes bars one window late."""
+    keyed = stream.withColumn(
+        "__k",
+        (F.unix_micros("ts") - F.unix_micros(F.date_trunc("hour", "ts")))
+        * F.lit(2147483648).cast("long")
+        + F.col("event_id"),
+    )
+    return (
+        keyed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.min_by("value", "__k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "__k").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def session_windows(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -52,6 +52,7 @@ PROBES = [
     "embedding_random_projection",
     "events_ohlc_hourly",
     "embedding_ivfpq_topk",
+    "vocab_topk_coverage",
 ]
 
 REPLICAS = 10
