@@ -450,3 +450,64 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "open", "high", "low", "close", "n_events",
         )
     )
+
+
+@register(
+    "trend_slope_per_group",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             (epoch_us(ts) - 1704067200000000) // 1000000 AS x,
+             CAST(round(value * 1000000) AS BIGINT) AS y
+      FROM events
+    ), sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope_uunits_per_s
+    FROM sums
+    """,
+)
+def trend_slope_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend: slope of value vs event
+    time for each event_type, in micro-units per second. The single-pass
+    sums formulation (n, Sx, Sy, Sxy, Sxx -> slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2)) is ONE map-side-combinable aggregation -- the shape
+    that replaces a per-group sort/window regression at 100 TB.
+
+    Not Spark's regr_slope: that folds doubles in partition order, so
+    the result is run-to-run nondeterministic under repartitioning.
+    Here x is integer seconds since 2024-01-01 (integer `div`, exact in
+    any engine) and y integer micro-units, all four sums in
+    DECIMAL(38,0) -- exact, order-independent, overflow-safe by sizing
+    (x ~ 1e8, x^2 sums ~ 1e20 x group size) -- with ONE double division
+    at the end, bit-identical across engines."""
+    ev = t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr("(unix_micros(ts) - 1704067200000000) div 1000000").alias("x"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("y"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * d("y")).alias("sxy"),
+        F.sum(d("x") * d("x")).alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("slope_uunits_per_s"),
+    )
