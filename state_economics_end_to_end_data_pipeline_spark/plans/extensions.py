@@ -2187,6 +2187,79 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_entropy",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), cnt AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             list_sort(list_transform(list_distinct(toks),
+               t -> CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE))) AS counts
+      FROM tk
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           round(log2(CAST(n_tokens AS DOUBLE))
+             - list_reduce(list_transform(counts, c -> c * log2(c)), (a, b) -> a + b)
+               / CAST(n_tokens AS DOUBLE), 6) AS entropy_bits,
+           CASE WHEN n_distinct <= 1 THEN 0.0
+                ELSE round((log2(CAST(n_tokens AS DOUBLE))
+                  - list_reduce(list_transform(counts, c -> c * log2(c)), (a, b) -> a + b)
+                    / CAST(n_tokens AS DOUBLE))
+                  / log2(CAST(n_distinct AS DOUBLE)), 6) END AS norm_entropy
+    FROM cnt
+    """,
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits) and
+    its normalized form (entropy / log2 distinct types) -- the cheap
+    gibberish / repetition signal: natural text sits high, copy-paste
+    spam and key-mashing sit low. Fully NARROW: counts come from
+    within-row HOFs (O(types x tokens) per row, no shuffle, no UDF), so
+    at 100 TB this runs at scan speed.
+
+    Determinism across engines: the fold runs over the SORTED count
+    array (entropy does not care which token had which count, and
+    Spark's array_distinct is first-occurrence-ordered while DuckDB's
+    list_distinct is not); results round to 6 decimals so 1-ulp libm
+    log2 differences cannot flip the hash."""
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    # stage the token array once -- it is referenced four times below,
+    # and Catalyst does not CSE through HOF lambdas (house pattern, see
+    # minhash_signatures / with_l2_normalized)
+    staged = d.withColumn("__toks", tokens("text"))
+    toks = F.col("__toks")
+    base = staged.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.array_sort(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)).cast("double"),
+            )
+        ).alias("counts"),
+    )
+    clogc = F.aggregate(
+        F.transform("counts", lambda c: c * F.log2(c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ent = F.log2(F.col("n_tokens").cast("double")) - clogc / F.col("n_tokens").cast(
+        "double"
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(ent, 6).alias("entropy_bits"),
+        F.when(F.col("n_distinct") <= 1, F.lit(0.0))
+        .otherwise(F.round(ent / F.log2(F.col("n_distinct").cast("double")), 6))
+        .alias("norm_entropy"),
+    )
+
+
+@register(
     "benchmark_contamination",
     oracle="""
     WITH toks AS (
