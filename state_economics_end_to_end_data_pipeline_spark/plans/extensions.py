@@ -390,6 +390,109 @@ def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src_rows.unionByName(all_row)
 
 
+_CM_DEPTH = 4
+_CM_WIDTH = 1024
+
+
+def _cm_bucket_sql(row: int, token_expr: str) -> str:
+    """DuckDB bucket: first 5 hex nibbles of md5('<row>:'||token) decoded
+    positionally (portable -- no hex-int cast), mod width."""
+    h = f"md5('{row}:' || {token_expr})"
+    val = (
+        f"list_reduce(list_transform(range(1, 6), k -> "
+        f"(strpos('0123456789abcdef', substr({h}, CAST(k AS INT), 1)) - 1)"
+        f" * CAST(16**(5-k) AS BIGINT)), (a, b) -> a + b)"
+    )
+    return f"({val} % {_CM_WIDTH})"
+
+
+@register(
+    "countmin_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ), exact AS (
+      SELECT token, COUNT(*) AS n_occ FROM tok GROUP BY token
+    ), topk AS (
+      SELECT token, n_occ FROM exact ORDER BY n_occ DESC, token LIMIT 20
+    ), pairs AS (
+      {" UNION ALL ".join(f"SELECT {r} AS row, {_cm_bucket_sql(r, 'token')} AS bucket FROM tok" for r in range(_CM_DEPTH))}
+    ), sketch AS (
+      SELECT row, bucket, COUNT(*) AS c FROM pairs GROUP BY row, bucket
+    ), probes AS (
+      {" UNION ALL ".join(f"SELECT token, n_occ, {r} AS row, {_cm_bucket_sql(r, 'token')} AS bucket FROM topk" for r in range(_CM_DEPTH))}
+    )
+    SELECT p.token, p.n_occ, CAST(MIN(s.c) AS BIGINT) AS cm_estimate,
+           CAST(MIN(s.c) - p.n_occ AS BIGINT) AS cm_overestimate
+    FROM probes p JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+    GROUP BY p.token, p.n_occ
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch: estimate token frequencies from a d x w counter
+    grid (d=4, w=1024) and validate against the exact top-20.
+    Completes the repo's mergeable-sketch family (bloom = set membership,
+    HLL = distinct count, CM = frequency): the sketch is a groupBy on
+    (row, md5-bucket) -- shuffle O(d*w), NEVER O(vocab) -- and two
+    sketches merge by adding counters cell-wise, so per-day/per-shard
+    sketches roll up without rescanning history, exactly like
+    `bloom_union` and `hll_sketch_merge`. CM guarantees estimate >=
+    exact (collisions only inflate), surfaced as `cm_overestimate >= 0`.
+    md5 bucketing makes the grid BIT-IDENTICAL in any engine, so the
+    oracle checks the estimates exactly, not as bounds."""
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    tok = d.select(F.explode_outer(tokens("text")).alias("token")).filter(
+        F.col("token").isNotNull()
+    )
+
+    def bucket(row: int, col: F.Column) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"{row}:"), col))
+        return (
+            F.conv(F.substring(h, 1, 5), 16, 10).cast("bigint") % _CM_WIDTH
+        )
+
+    pairs = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("bigint").alias("row"),
+                        bucket(r, F.col("token")).alias("bucket"),
+                    )
+                    for r in range(_CM_DEPTH)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row", "rb.bucket")
+    sketch = pairs.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+    topk = exact.orderBy(F.desc("n_occ"), "token").limit(20)
+    probes = topk.select(
+        "token",
+        "n_occ",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("bigint").alias("row"),
+                        bucket(r, F.col("token")).alias("bucket"),
+                    )
+                    for r in range(_CM_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "n_occ", "rb.row", "rb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("token", "n_occ")
+        .agg(
+            F.min("c").cast("bigint").alias("cm_estimate"),
+            (F.min("c") - F.col("n_occ")).cast("bigint").alias("cm_overestimate"),
+        )
+    )
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle="""
