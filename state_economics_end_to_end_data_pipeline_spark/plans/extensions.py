@@ -494,6 +494,45 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_capped_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 50
+    """,
+)
+def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most 50 docs per source, chosen
+    by deterministic md5 rank -- the web-corpus curation step that stops
+    one domain from dominating the mix (cap-per-domain), reproducible
+    across runs and engines because the 'random' order is a salted hash
+    of the key, not rand(). One shuffle on source + a per-source
+    row_number window.
+
+    Skew note for 100 TB: a hot source (the curation scenario!) puts all
+    its docs in one window partition. The mitigation is a two-phase
+    select: first drop rows whose md5 exceeds a per-source threshold
+    estimated from counts (narrow filter, removes ~all of the hot tail),
+    then run this exact window on the survivors -- same output, bounded
+    partition. At catalog scale the single window states the semantics."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cap"))), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= 50)
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle="""
     WITH tk AS (

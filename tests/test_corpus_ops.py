@@ -210,3 +210,41 @@ def test_random_projection_preserves_distances(spark, sf_dir):
             den += d2(orig[ids[i]], orig[ids[j]])
     ratio = num / den
     assert 0.5 < ratio < 2.0, f"JL distance ratio {ratio} out of band"
+
+
+def test_countmin_sketch_is_mergeable_and_one_sided(spark, sf_dir):
+    """CM contract: building one sketch over A union B equals the
+    cell-wise SUM of the sketches of A and B (the mergeability that lets
+    per-shard grids roll up); estimates never undershoot exact counts."""
+    from pyspark.sql import functions as F2
+
+    from state_economics_end_to_end_data_pipeline_spark.plans import load_all
+
+    rows = load_all()["countmin_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert rows and all(r["cm_overestimate"] >= 0 for r in rows)
+    assert all(r["cm_estimate"] == r["n_occ"] + r["cm_overestimate"] for r in rows)
+
+    # mergeability on a hand-split corpus
+    from state_economics_end_to_end_data_pipeline_spark.operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    tok = docs.select(F2.explode(tokens("text")).alias("token"), "doc_id")
+
+    def cm(df):
+        h = F2.md5(F2.concat(F2.lit("0:"), F2.col("token")))
+        b = F2.conv(F2.substring(h, 1, 5), 16, 10).cast("bigint") % 1024
+        return {
+            r["bucket"]: r["c"]
+            for r in df.groupBy(b.alias("bucket"))
+            .agg(F2.count(F2.lit(1)).alias("c"))
+            .collect()
+        }
+
+    whole = cm(tok)
+    a = cm(tok.filter(F2.col("doc_id") % 2 == 0))
+    b = cm(tok.filter(F2.col("doc_id") % 2 == 1))
+    merged = {}
+    for part in (a, b):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole
