@@ -279,6 +279,41 @@ def json_extract_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "variant_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           COUNT(*) - COUNT(TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT))
+             AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through the Spark 4 VARIANT type:
+    ``parse_json`` once into a binary variant, then typed ``variant_get``
+    path reads -- the engine-native successor to per-field regex/JSON
+    string re-parsing (``json_extract_regex`` is the regex twin). At
+    100 TB the difference is parse-once-read-many: a document parsed to
+    VARIANT at ingest is stored columnar-shredded and every downstream
+    path read skips the string parse entirely. A missing path surfaces
+    as NULL (counted per group), not an error."""
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    staged = ev.select(
+        "event_type",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.variant_get(v, "$.missing", "bigint").alias("missing"),
+    )
+    return staged.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        (F.count(F.lit(1)) - F.count("missing")).alias("n_missing"),
+    )
+
+
 # --------------------------------------------------------------------- joins
 
 
