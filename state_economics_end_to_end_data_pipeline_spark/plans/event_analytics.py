@@ -511,3 +511,72 @@ def trend_slope_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
         ).alias("slope_uunits_per_s"),
     )
+
+
+# ------------------------------------------------------------------ EMA
+
+_EMA_ALPHA = "CAST(0.25 AS DOUBLE)"
+_EMA_KEEP = 16  # trailing events folded per user
+
+
+@register(
+    "ema_trailing_per_user",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    recent AS (SELECT * FROM ranked WHERE rn <= {_EMA_KEEP})
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_recent,
+           list_reduce(list(value ORDER BY ts ASC, event_id ASC),
+                       (acc, x) -> {_EMA_ALPHA} * x
+                                   + (CAST(1 AS DOUBLE) - {_EMA_ALPHA}) * acc)
+             AS ema
+    FROM recent GROUP BY user_id
+    """,
+)
+def ema_trailing_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponential moving average (alpha=0.25) of `value` per
+    user over each user's 16 most-recent events -- the standard decayed
+    signal (engagement score, spend velocity) behind freshness-weighted
+    features.
+
+    Scale shape: the recency filter (row_number <= 16 per user) runs
+    BEFORE any list is built, so the aggregation buffer is bounded at 16
+    rows per user no matter how long a user's history is -- at 100 TB the
+    window sort shuffles on user_id (the natural key) and everything
+    after is narrow. The fold is left-to-right over a deterministically
+    ordered array ((ts, event_id) is unique), the same IEEE op sequence
+    DuckDB's list_reduce runs (DETERMINISM.md rule 6) -- alpha 0.25/0.75
+    are exactly representable, so results match bit-for-bit with no
+    rounding. Spark's aggregate() needs an explicit init: element 1
+    seeds the accumulator and the fold runs over elements 2..n,
+    matching list_reduce's first-element seeding.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _EMA_KEEP)
+    )
+    per_user = recent.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_recent"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s.getField("value"),
+        ).alias("vals"),
+    )
+    fold = (
+        f"aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)), "
+        f"element_at(vals, 1), "
+        f"(acc, x) -> {_EMA_ALPHA} * x + (CAST(1 AS DOUBLE) - {_EMA_ALPHA}) * acc)"
+    )
+    return per_user.select("user_id", "n_recent", F.expr(fold).alias("ema"))

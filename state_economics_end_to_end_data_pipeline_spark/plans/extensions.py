@@ -843,6 +843,98 @@ def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PMI_CAP = 64  # max distinct tokens per doc entering pair expansion
+_PMI_MIN_SUPPORT = 5  # min co-occurring docs for a pair to be reported
+
+
+@register(
+    "token_pmi_pairs",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, list_sort(list_distinct({_TOKS}))[1:{_PMI_CAP}] AS toks
+      FROM documents
+    ),
+    tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 2),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM tk2),
+    pc AS (
+      SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS n_ab
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_SUPPORT}
+    ),
+    docfreq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln((CAST(n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                    / (CAST(da.n AS DOUBLE) * CAST(db.n AS DOUBLE))), 6) AS pmi
+    FROM pc
+    JOIN docfreq da ON pc.tok_a = da.token
+    JOIN docfreq db ON pc.tok_b = db.token
+    CROSS JOIN nd
+    """,
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over token co-occurrence (document
+    level) -- the classic phrase/collocation-mining signal for corpus
+    curation: PMI = ln(P(a,b) / (P(a)P(b))) with doc-frequency estimates.
+
+    Scale shape (same discipline as market_basket_pairs): the per-doc
+    distinct-token list is sorted and CAPPED at 64 BEFORE pair
+    expansion, so per-row fan-out is bounded at C(64,2) regardless of
+    document length; pairs are generated inside the array (slice past
+    each element -- sorted order gives a<b for free), never by a
+    self-join. Doc-frequency and the doc count are vocab-sized /
+    one-row aggregates broadcast onto the pair counts. ln() 1-ulp libm
+    skew is absorbed by round(.,6) (DETERMINISM.md rule 18); the ratio
+    stays in the double domain end-to-end (rule 4).
+    """
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    tk = d.select(
+        "doc_id",
+        F.slice(F.array_sort(F.array_distinct(tokens("text"))), 1, _PMI_CAP).alias(
+            "toks"
+        ),
+    )
+    tk2 = tk.filter(F.size("toks") >= 2)
+    tok = tk2.select(F.explode("toks").alias("token"))
+    pair_structs = F.flatten(
+        F.transform(
+            "toks",
+            lambda x, i: F.transform(
+                F.slice(F.col("toks"), i + F.lit(2), F.size("toks")),
+                lambda y: F.struct(x.alias("tok_a"), y.alias("tok_b")),
+            ),
+        )
+    )
+    pc = (
+        tk2.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_SUPPORT)
+    )
+    docfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    da = docfreq.select(F.col("token").alias("tok_a"), F.col("n").alias("n_a"))
+    db = docfreq.select(F.col("token").alias("tok_b"), F.col("n").alias("n_b"))
+    return (
+        pc.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("n_docs").cast("double"))
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 @register(
     "text_lang_id",
     oracle=f"""

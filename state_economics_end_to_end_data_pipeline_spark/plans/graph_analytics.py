@@ -21,16 +21,16 @@ from . import register
 _DAMP = 0.85
 
 
-def _pair_edges_sql() -> str:
-    """Undirected co-occurrence edges (basket pairs in >=3 orders),
-    emitted in both directions."""
-    return """
+def _pair_edges_sql(threshold: int = 3) -> str:
+    """Undirected co-occurrence edges (basket pairs in >=threshold
+    orders), emitted in both directions."""
+    return f"""
     pairs AS (
       SELECT a.l_partkey AS src, b.l_partkey AS dst
       FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
       JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      GROUP BY 1, 2 HAVING COUNT(*) >= {threshold}
     ),
     edges AS (
       SELECT src, dst FROM pairs
@@ -64,6 +64,87 @@ def _iter_sql(prev: str, out: str) -> str:
       ) s ON s.node = nodes.node
     )
     """
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str, threshold: int) -> DataFrame:
+    """Undirected co-purchase edge list (both directions), mirroring
+    ``_pair_edges_sql``: part pairs sharing >= threshold orders."""
+    li = t(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, (a.k == b.k) & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold)
+        .select("src", "dst")
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+_BFS_MAX_HOPS = 4
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE {_pair_edges_sql(threshold=2)},
+    root AS (SELECT src AS node FROM deg ORDER BY outdeg DESC, src LIMIT 1),
+    r(node, hop) AS (
+      SELECT node, 0 FROM root
+      UNION
+      SELECT e.dst, r.hop + 1
+      FROM r JOIN edges e ON e.src = r.node
+      WHERE r.hop < {_BFS_MAX_HOPS}
+    ),
+    dist AS (SELECT node, MIN(hop) AS hops FROM r GROUP BY node)
+    SELECT CAST(hops AS BIGINT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM dist GROUP BY hops
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-limited BFS from the highest-degree node of the co-purchase
+    graph (>=2 shared orders); returns node counts per shortest-hop
+    distance 0..4.
+
+    The distributed shape for single/multi-source shortest paths on a
+    DataFrame engine: the frontier is expanded one hop per round via an
+    equi-join against the cached edge list, and a left-anti join against
+    the visited set keeps each round's work proportional to the NEW
+    frontier, not the whole reachable set -- at 100x the data, total work
+    is O(edges touched), same as sequential BFS. The loop is fixed-depth
+    (plan-size bounded); ``localCheckpoint`` truncates lineage per round
+    as in `cluster_labels` (operators/dedup.py:280). The root is chosen
+    in-plan (argmax degree, min-id tie-break) -- no driver collect. The
+    oracle states the same fixpoint as a hop-bounded recursive CTE over
+    identical edges.
+    """
+    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    root = (
+        deg.orderBy(F.col("outdeg").desc(), F.col("src").asc())
+        .limit(1)
+        .select(F.col("src").alias("node"))
+    )
+    visited = root.select("node", F.lit(0).alias("hops")).localCheckpoint()
+    frontier = visited.select("node")
+    for h in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(h).alias("hops"))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited.groupBy(F.col("hops").cast("bigint").alias("hops")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
 
 
 @register(
