@@ -580,3 +580,118 @@ def ema_trailing_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(acc, x) -> {_EMA_ALPHA} * x + (CAST(1 AS DOUBLE) - {_EMA_ALPHA}) * acc)"
     )
     return per_user.select("user_id", "n_recent", F.expr(fold).alias("ema"))
+
+
+# --------------------------------------------------------- item-item cosine
+
+
+@register(
+    "item_item_cosine_topk",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    capped AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n
+        FROM basket
+      ) WHERE basket_n <= {MAX_BASKET_SIZE}
+    ),
+    pc AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_ab
+      FROM capped a JOIN capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+      SELECT part_a AS part, part_b AS other, n_ab FROM pc
+      UNION ALL
+      SELECT part_b AS part, part_a AS other, n_ab FROM pc
+    ),
+    deg AS (SELECT l_partkey AS part, COUNT(*) AS n FROM capped GROUP BY 1),
+    scored AS (
+      SELECT s.part, s.other, CAST(s.n_ab AS BIGINT) AS n_ab,
+             CAST(s.n_ab AS DOUBLE)
+               / sqrt(CAST(da.n AS DOUBLE) * CAST(db.n AS DOUBLE)) AS cosine
+      FROM sym s
+      JOIN deg da ON da.part = s.part
+      JOIN deg db ON db.part = s.other
+    )
+    SELECT part, other, n_ab, cosine, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY part ORDER BY cosine DESC, other ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-3 neighbors per part by
+    co-occurrence cosine n_ab / sqrt(n_a * n_b) over order baskets --
+    the classic "customers who bought X also bought Y" scorer, and the
+    memory-based recsys baseline a training pipeline mines for
+    retrieval-augmentation candidates.
+
+    Scale shape: reuses market_basket_pairs' join-free capped in-array
+    expansion for the co-occurrence counts (per-key fan-out bounded at
+    C(cap,2)); part degrees are one narrow groupBy; the per-part top-3
+    is a window over each part's neighbor list, which the >=2 support
+    floor keeps orders of magnitude smaller than the raw pair space.
+    Cross-engine exactness needs NO rounding: IEEE sqrt and division are
+    correctly rounded in both engines, and n_ab * degrees stay under
+    2^53 as doubles."""
+    from pyspark.sql import Window
+
+    baskets = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts").between(1, MAX_BASKET_SIZE))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pc = (
+        baskets.filter(F.size("parts") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    sym = pc.select(
+        F.col("part_a").alias("part"), F.col("part_b").alias("other"), "n_ab"
+    ).unionByName(
+        pc.select(
+            F.col("part_b").alias("part"), F.col("part_a").alias("other"), "n_ab"
+        )
+    )
+    deg = baskets.select(F.explode("parts").alias("part")).groupBy("part").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    da = deg.select(F.col("part"), F.col("n").alias("n_part"))
+    db = deg.select(F.col("part").alias("other"), F.col("n").alias("n_other"))
+    scored = (
+        sym.join(da, "part")
+        .join(db, "other")
+        .select(
+            "part",
+            "other",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            (
+                F.col("n_ab").cast("double")
+                / F.sqrt(F.col("n_part").cast("double") * F.col("n_other").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.col("cosine").desc(), F.col("other").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+    )

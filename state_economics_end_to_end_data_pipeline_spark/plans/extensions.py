@@ -573,6 +573,76 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_containment_pairs",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, lang, {toks} AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS id, lang AS block,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]))) AS gram
+      FROM tk WHERE len(toks) >= 3
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n_grams FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.block = b.block AND a.gram = b.gram AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT id_a, id_b, n_inter, sa.n_grams AS n_a, sb.n_grams AS n_b,
+             CAST(n_inter AS DOUBLE)
+               / CAST(LEAST(sa.n_grams, sb.n_grams) AS DOUBLE) AS containment,
+             CASE WHEN sa.n_grams <= sb.n_grams THEN 'a_in_b'
+                  ELSE 'b_in_a' END AS direction
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    ) WHERE containment >= 0.5
+    """.format(toks=_TOKS),
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: trigram CONTAINMENT
+    |A&B| / min(|A|,|B|) instead of Jaccard. Catches the sub-document
+    case symmetric Jaccard misses -- a short doc wholly embedded in a
+    long one (boilerplate wrapping, quote-with-commentary, truncated
+    mirrors) scores containment ~1.0 while its Jaccard ~|A|/|B| can be
+    arbitrarily small, so a Jaccard threshold never fires. `direction`
+    names which side is the contained one.
+
+    Same inverted-index scale shape as ngram_jaccard_pairs (pairs meet
+    only on shared grams, blocked by lang; swap an LSH bucket in as the
+    block at 100 TB); only the final scoring projection differs --
+    jaccard_pairs already carries (n_inter, n_a, n_b), so containment is
+    a narrow rescore on top."""
+    pairs = jaccard_pairs(
+        rebalance_for_cpu(t(spark, sf_dir, "documents")),
+        text_col="text",
+        id_col="doc_id",
+        shingle_n=3,
+        min_jaccard=0.0,
+        block_col="lang",
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_inter").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+            F.when(F.col("n_a") <= F.col("n_b"), F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+        )
+        .filter(F.col("containment") >= 0.5)
+    )
+
+
+@register(
     "dupspan_coverage",
     oracle="""
     WITH tk AS (

@@ -329,3 +329,47 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the unbounded event stream joined to the
+    static customer dimension (user_id -> c_custkey), rolled up per
+    market segment x event type.
+
+    The canonical lookup-table pattern in Structured Streaming: a
+    stream-static join is STATELESS (no watermark, no join state store)
+    because the static side is re-resolved per micro-batch -- which is
+    also how dimension updates between batches become visible. The dim is
+    broadcast, so enrichment adds zero shuffle to the stream; the only
+    stateful operator is the downstream aggregation. Replayed to
+    completion, the result must equal the batch join+GROUP BY the oracle
+    states. Value sums ride DECIMAL(38,6) (DETERMINISM.md rule 1).
+    """
+    from ..io.readers import read_parquet_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id")
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("total_value"),
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return out.select(
+        "c_mktsegment",
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
