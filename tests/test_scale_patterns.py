@@ -415,3 +415,47 @@ def test_round5_entries_have_scale_shaped_plans(spark, sf_dir):
     )
     assert "Union" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_round5_late_entries_have_scale_shaped_plans(spark, sf_dir):
+    """Same pinning for the late round-5 additions: the shapes their
+    docstrings promise must survive refactors."""
+    from state_economics_end_to_end_data_pipeline_spark.plans import load_all
+
+    qs = load_all()
+
+    # PMI: pairs come from in-array expansion (Generate/explode), never a
+    # token-level self-join; the doc-frequency joins are broadcast
+    plan = (
+        qs["token_pmi_pairs"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    # item-item cosine: same in-array expansion; the degree joins shuffle
+    # on the part key only (no cartesian/broadcast-nested-loop anywhere)
+    plan = (
+        qs["item_item_cosine_topk"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+    # EMA: the recency cap is a window BEFORE the list aggregate, so the
+    # plan has exactly the user_id exchange feeding a bounded aggregation
+    # -- and the fold stays JVM-side (no python UDF)
+    plan = (
+        qs["ema_trailing_per_user"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    # containment: rescore on top of the inverted-index join -- candidate
+    # generation stays an equi-join on (block, gram)
+    plan = (
+        qs["ngram_containment_pairs"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
