@@ -2742,3 +2742,126 @@ def corpus_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_weighted"),
         )
     )
+
+
+# ------------------------------------------------- LM-based quality scoring
+
+
+@register(
+    "class_balance_weights",
+    oracle="""
+    WITH cc AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    k AS (SELECT COUNT(*) AS n_classes, CAST(SUM(n) AS BIGINT) AS n_total FROM cc)
+    SELECT CAST(label AS INT) AS label, CAST(n AS BIGINT) AS n,
+           CAST(n_total AS DOUBLE)
+             / (CAST(n_classes AS DOUBLE) * CAST(n AS DOUBLE)) AS weight
+    FROM cc CROSS JOIN k
+    """,
+)
+def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights w_c = N / (K * n_c) from the
+    labeled embeddings table -- the standard imbalance correction fed to
+    a weighted sampler or loss. One O(classes) aggregate plus a one-row
+    broadcast; arithmetic is integer counts pushed through
+    correctly-rounded double ops (DETERMINISM.md rule 19), so no
+    rounding is needed."""
+    cc = t(spark, sf_dir, "embeddings").groupBy("label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    k = cc.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return cc.crossJoin(F.broadcast(k)).select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.col("n_total").cast("double")
+            / (F.col("n_classes").cast("double") * F.col("n").cast("double"))
+        ).alias("weight"),
+    )
+
+
+@register(
+    "bigram_logprob_quality",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               j -> {{'w1': toks[j], 'gram': toks[j] || ' ' || toks[j+1]}})) AS s
+      FROM tk WHERE len(toks) >= 2
+    ),
+    inst AS (SELECT doc_id, s.w1 AS w1, s.gram AS gram FROM bg),
+    cbig AS (SELECT gram, COUNT(*) AS c_big FROM inst GROUP BY gram),
+    cctx AS (SELECT w1, COUNT(*) AS c_ctx FROM inst GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT unnest.t) AS vocab
+          FROM (SELECT unnest(toks) AS t FROM tk) unnest)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(floor(ln(
+                 CAST(c_big + 1 AS DOUBLE) / CAST(c_ctx + vocab AS DOUBLE)
+               ) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*)
+             AS avg_logprob
+    FROM inst
+    JOIN cbig USING (gram)
+    JOIN cctx USING (w1)
+    CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-one-smoothed
+    corpus bigram LM -- the perplexity-proxy quality filter (a la
+    CCNet/Gopher curation): documents whose token transitions are
+    improbable under the corpus model score low and get culled or
+    down-weighted before training.
+
+    Scale shape: bigram instances explode narrowly from each doc; the LM
+    tables (bigram counts, context counts) are two groupBys with
+    map-side partial aggregation, shuffle O(distinct grams); scoring
+    joins instances to both count tables on the gram/context key (hash
+    joins -- broadcastable when the vocab is bounded, shuffle joins on
+    the gram key otherwise) and re-aggregates per doc_id. Cross-engine
+    exactness: each ln() is snapped to nano-units (floor(x*1e9+0.5),
+    rules 7+18 -- absorbing 1-ulp libm skew) and summed as exact BIGINTs,
+    so the per-doc sum is order-insensitive; the final two divisions are
+    correctly-rounded double ops (rule 19)."""
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", tokens("text").alias("toks"))
+    bigram_structs = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "j -> struct(element_at(toks, j) AS w1, "
+        "concat(element_at(toks, j), ' ', element_at(toks, j + 1)) AS gram))"
+    )
+    inst = (
+        tk.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigram_structs).alias("s"))
+        .select("doc_id", F.col("s.w1").alias("w1"), F.col("s.gram").alias("gram"))
+    )
+    cbig = inst.groupBy("gram").agg(F.count(F.lit(1)).alias("c_big"))
+    cctx = inst.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    v = tk.select(F.explode("toks").alias("tkn")).agg(
+        F.countDistinct("tkn").alias("vocab")
+    )
+    nano = F.floor(
+        F.log(
+            (F.col("c_big") + 1).cast("double")
+            / (F.col("c_ctx") + F.col("vocab")).cast("double")
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        inst.join(cbig, "gram")
+        .join(cctx, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(nano).cast("double") / F.lit(1e9) / F.count(F.lit(1))
+            ).alias("avg_logprob"),
+        )
+    )
