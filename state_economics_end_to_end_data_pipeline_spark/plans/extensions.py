@@ -2865,3 +2865,80 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+@register(
+    "embedding_sim_histogram",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id AS id, embedding AS vec,
+             {_dot_sql('embedding', 'embedding')} AS d2
+      FROM embeddings
+      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':simh'), 1, 6))::BIGINT
+              % 5 = 0
+    ),
+    vg AS (SELECT * FROM v WHERE d2 > 0),
+    pairs AS (
+      SELECT {_dot_sql('a.vec', 'b.vec')} / sqrt(a.d2 * b.d2) AS cos_sim
+      FROM vg a JOIN vg b ON a.id < b.id
+    )
+    SELECT CAST(least(floor((cos_sim + CAST(1 AS DOUBLE))
+                            * CAST(10 AS DOUBLE)), 19) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+)
+def embedding_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram over a deterministic 20% sample of the
+    embedding table (20 bins on [-1, 1]) -- the collapse/anisotropy
+    diagnostic run before using an embedding space for dedup or
+    retrieval: a healthy space spreads mass across bins; a collapsed one
+    piles into the top bins and near-dup thresholds stop meaning
+    anything.
+
+    Scale shape: the md5-bucket sample (reproducible, content-free --
+    the train_val_test_split idiom) bounds the quadratic BEFORE any pair
+    forms; squared self-norms are staged once per sampled row so each
+    pair costs ONE fold; the sample self-join is the only quadratic and
+    its size is set by the sample rate, not the corpus. Exactness: dot
+    folds are left-to-right (rule 6; Spark's 0.0-seeded aggregate equals
+    list_reduce's first-element seeding because x + 0.0 is exact), and
+    sqrt/divide are correctly rounded (rule 19), so binning at
+    floor((cos+1)*10) is bit-stable across engines with no rounding
+    step. Zero vectors are excluded (d2 > 0) on both sides rather than
+    relying on engine-specific divide-by-zero behavior."""
+    from ..operators.similarity import dot, norm2
+
+    emb = t(spark, sf_dir, "embeddings")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":simh"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    v = (
+        emb.filter(bucket == 0)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("vec"),
+            norm2(F.col("embedding")).alias("d2"),
+        )
+        .filter(F.col("d2") > 0)
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("d2").alias("d2_a"))
+    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("d2").alias("d2_b"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
+        (
+            dot(F.col("vec_a"), F.col("vec_b"))
+            / F.sqrt(F.col("d2_a") * F.col("d2_b"))
+        ).alias("cos_sim")
+    )
+    bin_ = F.least(
+        F.floor((F.col("cos_sim") + F.lit(1.0)) * F.lit(10.0)), F.lit(19)
+    ).cast("bigint")
+    return pairs.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )

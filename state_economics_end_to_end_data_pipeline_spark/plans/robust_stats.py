@@ -453,3 +453,156 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+# ------------------------------------------------------------- drift tests
+
+
+@register(
+    "ks_drift_event_values",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    pv AS (
+      SELECT value, SUM(ia) AS ca, SUM(ib) AS cb FROM s GROUP BY value
+    ),
+    cum AS (
+      SELECT value,
+             SUM(ca) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+             SUM(cb) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      FROM pv
+    ),
+    tot AS (SELECT CAST(SUM(ia) AS BIGINT) AS n, CAST(SUM(ib) AS BIGINT) AS m FROM s)
+    SELECT n, m,
+           CAST(MAX(abs(cuma * m - cumb * n)) AS BIGINT) AS d_num,
+           CAST(MAX(abs(cuma * m - cumb * n)) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) AS ks
+    FROM cum CROSS JOIN tot GROUP BY n, m
+    """,
+)
+def ks_drift_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the `value`
+    distributions of click vs purchase events -- the standard
+    distribution-drift test run between a reference window and a live
+    window before features feed a model.
+
+    Exact by construction: D = max |F_a - F_b| is computed as an INTEGER
+    maximum max|cumA*m - cumB*n| over the merged support, divided once
+    at the end -- no float accumulates across rows, so engines agree
+    bit-for-bit (cross-multiplication stays far under 2^53). Scale
+    shape: one groupBy(value) collapses the data to its distinct support
+    BEFORE the cumulative pass; the global-order window here states the
+    semantics -- at 100 TB the same cumulative is a range-repartition by
+    value + per-partition prefix sums offset by broadcast partition
+    totals (two narrow passes, no single-partition sort)."""
+    s = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ia"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ib"),
+        )
+    )
+    pv = s.groupBy("value").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pv.select(
+        "value",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    tot = s.agg(
+        F.sum("ia").cast("bigint").alias("n"), F.sum("ib").cast("bigint").alias("m")
+    )
+    metric = F.abs(F.col("cuma") * F.col("m") - F.col("cumb") * F.col("n"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n", "m")
+        .agg(
+            F.max(metric).cast("bigint").alias("d_num"),
+            (
+                F.max(metric).cast("double")
+                / (F.col("n").cast("double") * F.col("m").cast("double"))
+            ).alias("ks"),
+        )
+    )
+
+
+@register(
+    "chisq_lang_source",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2
+    ),
+    r AS (SELECT lang, SUM(obs) AS rn FROM o GROUP BY lang),
+    c AS (SELECT source, SUM(obs) AS cn FROM o GROUP BY source),
+    nt AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    grid AS (
+      SELECT r.lang, c.source, r.rn, c.cn, COALESCE(o.obs, 0) AS obs
+      FROM r CROSS JOIN c
+      LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
+    ),
+    terms AS (
+      SELECT CAST(floor(
+               (CAST(obs AS DOUBLE)
+                  - CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(obs AS DOUBLE)
+                  - CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1e9 + 0.5) AS BIGINT) AS tn
+      FROM grid CROSS JOIN nt
+    )
+    SELECT CAST(SUM(tn) AS DOUBLE) / 1e9 AS chi2,
+           CAST(((SELECT COUNT(*) FROM r) - 1)
+              * ((SELECT COUNT(*) FROM c) - 1) AS BIGINT) AS dof,
+           (SELECT n FROM nt) AS n
+    FROM terms
+    """,
+)
+def chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the lang x source contingency
+    table -- the drift/leakage check for categorical structure (is a
+    corpus source over-contributing one language? did a split break
+    stratification?).
+
+    The full grid (row-marginals x col-marginals, zero-filled via left
+    join) is used so empty observed cells still contribute their
+    expectation. Every per-cell term is a fixed sequence of
+    correctly-rounded double ops (rule 19) snapped to nano-units
+    (rule 7), then summed as exact integers -- order-insensitive,
+    engine-exact. Marginals are category-sized aggregates; everything
+    broadcasts."""
+    o = t(spark, sf_dir, "documents").groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("cn"))
+    nt = o.agg(F.sum("obs").cast("bigint").alias("n"))
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .join(o, ["lang", "source"], "left")
+        .select("lang", "source", "rn", "cn", F.coalesce("obs", F.lit(0)).alias("obs"))
+    )
+    e = (F.col("rn") * F.col("cn")).cast("double") / F.col("n").cast("double")
+    diff = F.col("obs").cast("double") - e
+    tn = F.floor(diff * diff / e * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    n_r = r.agg(F.count(F.lit(1)).alias("kr"))
+    n_c = c.agg(F.count(F.lit(1)).alias("kc"))
+    return (
+        grid.crossJoin(F.broadcast(nt))
+        .agg(F.sum(tn).alias("tsum"))
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_c))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            (F.col("tsum").cast("double") / F.lit(1e9)).alias("chi2"),
+            ((F.col("kr") - 1) * (F.col("kc") - 1)).cast("bigint").alias("dof"),
+            F.col("n"),
+        )
+    )
