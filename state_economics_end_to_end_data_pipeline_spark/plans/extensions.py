@@ -2942,3 +2942,122 @@ def embedding_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(bin_.alias("bin")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
+
+
+_KMV_K = 64
+_KMV_SPACE = float(2**48)  # hash space: 12 hex chars
+
+
+@register(
+    "kmv_intersection_estimate",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':kmv'),
+                       1, 12))::BIGINT AS h
+      FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':kmv'),
+                       1, 12))::BIGINT AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+    ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+           ORDER BY h LIMIT {_KMV_K}),
+    tau AS (SELECT MAX(h) AS tau, COUNT(*) AS ku_n FROM ku),
+    rho AS (
+      SELECT COUNT(*) AS rho FROM ka JOIN kb USING (h) CROSS JOIN tau
+      WHERE h <= tau.tau
+    ),
+    exact AS (
+      SELECT COUNT(*) AS n_exact FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           CAST(rho AS BIGINT) AS rho,
+           CAST((CAST(ku_n AS DOUBLE) - CAST(1 AS DOUBLE))
+                * CAST({_KMV_SPACE!r} AS DOUBLE)
+                / CAST(tau AS DOUBLE) AS DOUBLE) AS est_union,
+           CAST(rho AS DOUBLE) / CAST(ku_n AS DOUBLE)
+             * ((CAST(ku_n AS DOUBLE) - CAST(1 AS DOUBLE))
+                * CAST({_KMV_SPACE!r} AS DOUBLE) / CAST(tau AS DOUBLE))
+             AS est_inter,
+           CAST(n_exact AS BIGINT) AS n_exact
+    FROM tau CROSS JOIN rho CROSS JOIN exact
+    """,
+)
+def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketch intersection: estimated distinct users in
+    click AND purchase audiences from two k=64 sketches -- the set
+    OPERATION sketches HLL cannot do (HLL unions; only KMV/theta-style
+    sketches intersect), and the shape behind audience-overlap and
+    cross-corpus contamination estimates at 100 TB: each side compresses
+    to k 48-bit hashes (TakeOrderedAndProject partial top-k -- tasks
+    ship only their local k minima), the combine works on 2k rows.
+
+    Every step is deterministic (md5 hashes, integer order statistics,
+    then a fixed sequence of correctly-rounded double ops -- rule 19),
+    so the oracle reproduces the estimate EXACTLY, no tolerance band
+    needed; n_exact rides along as the accuracy reference."""
+    ev = t(spark, sf_dir, "events")
+
+    def hashes(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id")
+            .distinct()
+            .select(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":kmv"))),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias("h")
+            )
+        )
+
+    ka = hashes("click").orderBy("h").limit(_KMV_K)
+    kb = hashes("purchase").orderBy("h").limit(_KMV_K)
+    ku = ka.unionByName(kb).distinct().orderBy("h").limit(_KMV_K)
+    tau = ku.agg(F.max("h").alias("tau"), F.count(F.lit(1)).alias("ku_n"))
+    rho = (
+        ka.join(kb, "h")
+        .crossJoin(F.broadcast(tau))
+        .filter(F.col("h") <= F.col("tau"))
+        .agg(F.count(F.lit(1)).alias("rho"))
+    )
+    exact = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    est_union = (
+        (F.col("ku_n").cast("double") - F.lit(1.0))
+        * F.lit(_KMV_SPACE)
+        / F.col("tau").cast("double")
+    )
+    return (
+        tau.crossJoin(F.broadcast(rho))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(_KMV_K).cast("bigint").alias("k"),
+            F.col("rho").cast("bigint").alias("rho"),
+            est_union.alias("est_union"),
+            (F.col("rho").cast("double") / F.col("ku_n").cast("double") * est_union).alias(
+                "est_inter"
+            ),
+            "n_exact",
+        )
+    )

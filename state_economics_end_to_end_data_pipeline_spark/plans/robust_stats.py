@@ -606,3 +606,134 @@ def chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n"),
         )
     )
+
+
+# ------------------------------------------------------------- bootstrap
+
+import math as _math
+
+_BOOT_B = 32  # bootstrap replicates
+# Poisson(1) CDF thresholds for inverse-CDF sampling of per-row weights;
+# computed once and inlined as identical literals into BOTH engines'
+# expressions (repr round-trips exactly).
+_POIS_CDF = [
+    _math.exp(-1) * sum(1 / _math.factorial(k) for k in range(j + 1))
+    for j in range(7)
+]
+
+
+def _boot_weight_sql(u: str) -> str:
+    """Poisson(1) weight from a uniform via inverse CDF -- portable SQL."""
+    cases = " ".join(
+        f"WHEN {u} < {t!r} THEN {j}" for j, t in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {cases} ELSE 7 END)"
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    rep AS (
+      SELECT b.b, base.event_id, base.value,
+             CAST(('0x' || substr(md5(CAST(base.event_id AS VARCHAR) || ':'
+                     || CAST(b.b AS VARCHAR) || ':boot'), 1, 6))::BIGINT
+                  AS DOUBLE) / CAST(16777216 AS DOUBLE) AS u
+      FROM base CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+    ),
+    means AS (
+      SELECT b,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))
+                      * {_boot_weight_sql('u')}) AS DOUBLE)
+               / CAST(SUM({_boot_weight_sql('u')}) AS DOUBLE) AS mean_b
+      FROM rep GROUP BY b
+    ),
+    ranked AS (
+      SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn FROM means
+    ),
+    pt AS (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_full,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM base
+    )
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_reps, n_rows, mean_full,
+           (SELECT mean_b FROM ranked WHERE rn = 2) AS ci_lo,
+           (SELECT mean_b FROM ranked WHERE rn = {_BOOT_B - 1}) AS ci_hi
+    FROM pt
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 93.75% confidence interval for the mean purchase
+    value (B=32 replicates; CI = 2nd/31st order statistics of the
+    replicate means) -- the uncertainty quantification a metrics pipeline
+    attaches to every point estimate.
+
+    The Poisson bootstrap is THE distributed bootstrap: instead of
+    resampling n rows with replacement (which needs global coordination),
+    each row independently draws a Poisson(1) multiplicity per replicate
+    -- a narrow per-row expression, embarrassingly parallel, one shuffle
+    per replicate batch (here a single groupBy over the exploded
+    replicate index; at 100 TB the B weights ride ONE pass as B weighted
+    partial aggregates, data read once). Determinism: the 'random' draw
+    is an md5 inverse-CDF lookup (u exact as a 24-bit integer over 2^24;
+    thresholds inlined as identical literals in both engines), weighted
+    sums ride DECIMAL(38,6) (rule 1), and the final divisions are
+    correctly rounded (rule 19) -- the whole CI is reproducible
+    bit-for-bit across engines, runs, and partitionings."""
+    base = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "value")
+    )
+    rep = base.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                        F.lit(":boot"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(16777216.0),
+    )
+    wexpr = F.expr(_boot_weight_sql("u"))
+    means = rep.groupBy("b").agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)") * wexpr).cast("double")
+            / F.sum(wexpr).cast("double")
+        ).alias("mean_b")
+    )
+    rn = F.row_number().over(Window.orderBy("mean_b", "b"))
+    ranked = means.select("mean_b", rn.alias("rn"))
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("mean_b").alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == _BOOT_B - 1).select(
+        F.col("mean_b").alias("ci_hi")
+    )
+    pt = base.agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_full"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return (
+        pt.select(F.lit(_BOOT_B).cast("bigint").alias("n_reps"), "n_rows", "mean_full")
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )
