@@ -1,0 +1,173 @@
+"""Semantic invariants for the second-half round-5 catalog entries.
+
+The oracle gate proves Spark == DuckDB; these tests prove both engines
+compute the STATISTIC the entry claims (a KS in [0,1], a chi-square with
+the right dof, an EMA inside its inputs' range) -- the class of bug a
+differential oracle cannot see because both sides would share it.
+Runs at sf0.001 (smoke scale).
+"""
+
+from __future__ import annotations
+
+import math
+
+from state_economics_end_to_end_data_pipeline_spark.plans import load_all
+
+
+def _rows(qs, name, spark, sf_dir):
+    return qs[name].fn(spark, sf_dir).collect()
+
+
+def test_ks_statistic_is_a_probability_distance(spark, sf_dir):
+    qs = load_all()
+    [r] = _rows(qs, "ks_drift_event_values", spark, sf_dir)
+    assert r.n > 0 and r.m > 0
+    assert 0.0 <= r.ks <= 1.0
+    # d_num is the exact integer numerator of ks over n*m
+    assert math.isclose(r.ks, r.d_num / (r.n * r.m), rel_tol=0, abs_tol=0)
+
+
+def test_chisq_grid_dof_and_nonnegativity(spark, sf_dir):
+    qs = load_all()
+    [r] = _rows(qs, "chisq_lang_source", spark, sf_dir)
+    assert r.chi2 >= 0.0
+    # dof must equal (distinct langs - 1) * (distinct sources - 1)
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    kl = d.select("lang").distinct().count()
+    ks_ = d.select("source").distinct().count()
+    assert r.dof == (kl - 1) * (ks_ - 1)
+
+
+def test_sim_histogram_bins_partition_the_sample_pairs(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "embedding_sim_histogram", spark, sf_dir)
+    assert all(0 <= r.bin <= 19 for r in rows)
+    # total pairs == C(k, 2) over the deterministic sample (no pair lost
+    # to binning edge cases)
+    from pyspark.sql import functions as F
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":simh"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    k = emb.filter(bucket == 0).count()
+    assert sum(r.n_pairs for r in rows) == k * (k - 1) // 2
+
+
+def test_ema_lies_within_its_inputs_range(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "ema_trailing_per_user", spark, sf_dir)
+    assert rows and all(1 <= r.n_recent <= 16 for r in rows)
+    # EMA is a convex combination of the folded values: check against the
+    # per-user min/max of the SAME recency window
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 16)
+            .groupBy("user_id")
+            .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+            .collect()
+        )
+    }
+    for r in rows:
+        lo, hi = bounds[r.user_id]
+        assert lo - 1e-9 <= r.ema <= hi + 1e-9, (r.user_id, r.ema, lo, hi)
+
+
+def test_bfs_level_zero_is_the_single_root(spark, sf_dir):
+    qs = load_all()
+    rows = {r.hops: r.n_nodes for r in _rows(qs, "graph_bfs_hops", spark, sf_dir)}
+    assert rows.get(0) == 1  # exactly the root
+    assert all(0 <= h <= 4 for h in rows)
+
+
+def test_bootstrap_ci_is_ordered_and_brackets_plausibly(spark, sf_dir):
+    qs = load_all()
+    [r] = _rows(qs, "bootstrap_mean_ci", spark, sf_dir)
+    assert r.n_reps == 32
+    assert r.ci_lo <= r.ci_hi
+    # the point estimate should not sit far outside the replicate band
+    width = max(r.ci_hi - r.ci_lo, 1e-12)
+    assert r.ci_lo - 2 * width <= r.mean_full <= r.ci_hi + 2 * width
+
+
+def test_kmv_estimates_track_exact_overlap(spark, sf_dir):
+    qs = load_all()
+    [r] = _rows(qs, "kmv_intersection_estimate", spark, sf_dir)
+    assert r.rho <= r.k
+    assert r.est_union > 0
+    # with k=64 over ~150 users the sketch saturates the set, so the
+    # estimate should be within a loose multiplicative band of exact
+    if r.n_exact:
+        assert 0.2 * r.n_exact <= r.est_inter <= 5.0 * r.n_exact
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "ngram_containment_pairs", spark, sf_dir)
+    for r in rows:
+        union = r.n_a + r.n_b - r.n_inter
+        jac = r.n_inter / union
+        assert r.containment >= jac - 1e-12
+        assert 0.5 <= r.containment <= 1.0 + 1e-12
+        assert r.direction in ("a_in_b", "b_in_a")
+
+
+def test_item_item_cosine_is_symmetric_in_score(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "item_item_cosine_topk", spark, sf_dir)
+    assert rows and all(1 <= r.rk <= 3 for r in rows)
+    assert all(0.0 < r.cosine <= 1.0 + 1e-12 for r in rows)
+    # the score of (a->b) equals (b->a) whenever both survived top-3
+    score = {(r.part, r.other): r.cosine for r in rows}
+    for (a, b), s in score.items():
+        if (b, a) in score:
+            assert score[(b, a)] == s
+
+
+def test_pmi_support_floor_and_symmetric_inputs(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "token_pmi_pairs", spark, sf_dir)
+    assert rows and all(r.n_ab >= 5 for r in rows)
+    assert all(r.tok_a < r.tok_b for r in rows)
+
+
+def test_class_weights_are_inverse_frequency(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "class_balance_weights", spark, sf_dir)
+    n_total = sum(r.n for r in rows)
+    k = len(rows)
+    for r in rows:
+        assert math.isclose(r.weight, n_total / (k * r.n), rel_tol=1e-12)
+
+
+def test_bigram_logprob_is_a_valid_mean_logprob(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "bigram_logprob_quality", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert r.avg_logprob < 0.0  # probabilities < 1 -> negative logs
