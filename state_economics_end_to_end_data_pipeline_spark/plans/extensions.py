@@ -3061,3 +3061,67 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
         )
     )
+
+
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(
+               (len(toks) - {_CHUNK_LEN} + {_CHUNK_STRIDE} - 1)
+                 // {_CHUNK_STRIDE}, 0) + 1)) AS chunk_ix,
+             toks
+      FROM tk WHERE len(toks) >= 1
+    )
+    SELECT doc_id, CAST(chunk_ix AS BIGINT) AS chunk_ix,
+           CAST(len(toks[chunk_ix * {_CHUNK_STRIDE} + 1 :
+                      chunk_ix * {_CHUNK_STRIDE} + {_CHUNK_LEN}]) AS BIGINT)
+             AS n_tokens,
+           md5(list_aggregate(toks[chunk_ix * {_CHUNK_STRIDE} + 1 :
+                      chunk_ix * {_CHUNK_STRIDE} + {_CHUNK_LEN}],
+                      'string_agg', ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking: each document split into token
+    windows of 32 with stride 24 (8-token overlap), emitting
+    (doc_id, chunk_ix, n_tokens, md5 of the joined chunk) -- the
+    retrieval twin of sequence_packing_chunks (which concatenates for
+    TRAINING; this windows per-doc for INDEXING, where overlap keeps
+    boundary sentences findable).
+
+    Fully narrow at any scale: chunk indices come from an in-row
+    sequence, slices are in-array, and nothing shuffles -- output size is
+    the only cost, set by len/stride. The md5 content digest makes the
+    row self-verifying across engines without shipping chunk text."""
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") >= 1)
+    n_chunks = F.greatest(
+        F.ceil(
+            (F.size("toks") - F.lit(_CHUNK_LEN)).cast("double") / F.lit(_CHUNK_STRIDE)
+        ).cast("int"),
+        F.lit(0),
+    ) + F.lit(1)
+    chunks = tk.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_ix"),
+    )
+    sl = F.slice(
+        F.col("toks"), F.col("chunk_ix") * _CHUNK_STRIDE + 1, _CHUNK_LEN
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_ix").cast("bigint").alias("chunk_ix"),
+        F.size(sl).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
+    )

@@ -53,6 +53,13 @@ PROBES = [
     "events_ohlc_hourly",
     "embedding_ivfpq_topk",
     "vocab_topk_coverage",
+    "token_pmi_pairs",
+    "item_item_cosine_topk",
+    "ema_trailing_per_user",
+    "bigram_logprob_quality",
+    "ks_drift_event_values",
+    "graph_bfs_hops",
+    "bootstrap_mean_ci",
 ]
 
 REPLICAS = 10
