@@ -112,15 +112,27 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The distributed shape for single/multi-source shortest paths on a
     DataFrame engine: the frontier is expanded one hop per round via an
-    equi-join against the cached edge list, and a left-anti join against
-    the visited set keeps each round's work proportional to the NEW
+    equi-join against the edge list, and a left-anti join against the
+    visited set keeps each round's work proportional to the NEW
     frontier, not the whole reachable set -- at 100x the data, total work
-    is O(edges touched), same as sequential BFS. The loop is fixed-depth
-    (plan-size bounded); ``localCheckpoint`` truncates lineage per round
-    as in `cluster_labels` (operators/dedup.py:280). The root is chosen
+    is O(edges touched), same as sequential BFS. The root is chosen
     in-plan (argmax degree, min-id tie-break) -- no driver collect. The
     oracle states the same fixpoint as a hop-bounded recursive CTE over
     identical edges.
+
+    NOTE -- building this plan EXECUTES the traversal (like
+    mad_per_group_approx's sketch collect): each round is materialized
+    via ``localCheckpoint`` exactly as `cluster_labels`
+    (operators/dedup.py:280) does. This is a measured necessity, not
+    convenience: a fully lazy 4-hop unroll references every round's
+    frame twice (anti-join + union), and the resulting subtree
+    duplication is exponential in depth -- AQE's ReusedExchange does NOT
+    collapse the distinct/anti-join exchanges across unroll depths
+    (measured at sf0.01: lazy 14.5s, edges-only checkpoint 18.9s,
+    per-round checkpoint ~2s). Iterative traversals on DataFrame
+    engines need per-round materialization; plan-only consumers should
+    skip this entry (it is the catalog's one traversal-at-build entry
+    alongside mad_per_group_approx's documented build-time action).
     """
     edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))

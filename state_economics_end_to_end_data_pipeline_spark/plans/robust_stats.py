@@ -721,9 +721,11 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rn = F.row_number().over(Window.orderBy("mean_b", "b"))
     ranked = means.select("mean_b", rn.alias("rn"))
-    lo = ranked.filter(F.col("rn") == 2).select(F.col("mean_b").alias("ci_lo"))
-    hi = ranked.filter(F.col("rn") == _BOOT_B - 1).select(
-        F.col("mean_b").alias("ci_hi")
+    # both order statistics in ONE pass over the replicate means (two
+    # rn-filters would execute the 32-replicate aggregation twice)
+    ci = ranked.agg(
+        F.max(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("mean_b"))).alias("ci_hi"),
     )
     pt = base.agg(
         (
@@ -732,8 +734,6 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_full"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
-    return (
-        pt.select(F.lit(_BOOT_B).cast("bigint").alias("n_reps"), "n_rows", "mean_full")
-        .crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
-    )
+    return pt.select(
+        F.lit(_BOOT_B).cast("bigint").alias("n_reps"), "n_rows", "mean_full"
+    ).crossJoin(F.broadcast(ci))
