@@ -37,6 +37,7 @@ from ..operators.text import (
     quality_features,
     token_count,
     tokens,
+    word_ngrams,
 )
 from . import register
 
@@ -3125,3 +3126,114 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sl).cast("bigint").alias("n_tokens"),
         F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
     )
+
+
+_PREFIX_JACCARD_T = "0.8"  # threshold as exact literal in both engines
+
+
+@register(
+    "jaccard_prefix_filter_pairs",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_distinct(list_transform(range(1, len(toks)),
+               j -> toks[j] || ' ' || toks[j+1]))) AS gram
+      FROM tk WHERE len(toks) >= 2
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n_grams FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT id_a, id_b, n_inter, sa.n_grams AS n_a, sb.n_grams AS n_b,
+             CAST(n_inter AS DOUBLE)
+               / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    ) WHERE jaccard >= {t}
+    """.format(toks=_TOKS, t=_PREFIX_JACCARD_T),
+)
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-threshold set-similarity join with PREFIX FILTERING (the
+    PPJoin family's core idea): for Jaccard >= t, two sets MUST share at
+    least one gram among each set's first (n - ceil(t*n) + 1) grams under
+    any agreed global ordering -- so only that prefix is indexed, and the
+    candidate space collapses while remaining provably LOSSLESS. The
+    oracle states the exact all-pairs semantics (every pair >= 0.8, no
+    prefix mechanics), so the gate itself verifies losslessness.
+
+    Scale shape: grams are ordered rarest-first (ascending corpus
+    document frequency -- the standard choice, making prefix collisions
+    rare); the inverted index holds ONLY prefixes (at t=0.8 that is
+    ~20% of grams, and the rarest 20% at that); surviving candidates are
+    verified by one sorted-array intersection per pair. Versus the plain
+    inverted-index join (ngram_jaccard_pairs), which meets on EVERY
+    shared gram, the candidate-generating join here shrinks by both the
+    prefix fraction and the rare-gram selectivity -- the difference
+    between feasible and not at 100 TB for high-threshold dedup. The
+    jaccard division is exact-int over double (rule 19): no rounding."""
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") >= 2)
+    sh = tk.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_ngrams(F.col("toks"), n=2, distinct=True)).alias("gram"),
+    ).dropDuplicates()
+    gfreq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("gf"))
+    wpos = Window.partitionBy("id").orderBy("gf", "gram")
+    wcnt = Window.partitionBy("id")
+    ranked = sh.join(gfreq, "gram").select(
+        "id",
+        "gram",
+        F.row_number().over(wpos).alias("pos"),
+        F.count(F.lit(1)).over(wcnt).alias("n"),
+    )
+    # prefix length n - ceil(t*n) + 1 with t=0.8, integer-exact:
+    # ceil(4n/5) == (4n + 4) div 5
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "gram")
+        .join(prefix.select(F.col("id").alias("id_b"), "gram"), "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    arrs = sh.groupBy("id").agg(
+        F.array_sort(F.collect_list("gram")).alias("grams"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    aa = arrs.select(
+        F.col("id").alias("id_a"), F.col("grams").alias("g_a"), F.col("n_grams").alias("n_a")
+    )
+    bb = arrs.select(
+        F.col("id").alias("id_b"), F.col("grams").alias("g_b"), F.col("n_grams").alias("n_b")
+    )
+    scored = (
+        cand.join(aa, "id_a")
+        .join(bb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("g_a", "g_b")).alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= F.expr(_PREFIX_JACCARD_T))

@@ -171,3 +171,29 @@ def test_bigram_logprob_is_a_valid_mean_logprob(spark, sf_dir):
     for r in rows:
         assert r.n_bigrams >= 1
         assert r.avg_logprob < 0.0  # probabilities < 1 -> negative logs
+
+
+def test_prefix_filter_join_is_lossless_and_thresholded(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "jaccard_prefix_filter_pairs", spark, sf_dir)
+    for r in rows:
+        assert r.jaccard >= 0.8
+        assert r.n_inter <= min(r.n_a, r.n_b)
+        assert r.id_a < r.id_b
+    # losslessness vs the exact operator: same pair set as an unfiltered
+    # exact jaccard at the same threshold (no blocking)
+    from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    exact = jaccard_pairs(
+        read_parquet_table(spark, sf_dir, "documents"),
+        text_col="text",
+        id_col="doc_id",
+        shingle_n=2,
+        min_jaccard=0.8,
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(r.id_a, r.id_b) for r in exact}
