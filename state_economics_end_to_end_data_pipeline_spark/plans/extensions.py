@@ -3138,9 +3138,10 @@ _PREFIX_JACCARD_T = "0.8"  # threshold as exact literal in both engines
       SELECT doc_id, {toks} AS toks FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id AS id,
-             unnest(list_distinct(list_transform(range(1, len(toks)),
-               j -> toks[j] || ' ' || toks[j+1]))) AS gram
-      FROM tk WHERE len(toks) >= 2
+             unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+               j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]
+                    || ' ' || toks[j+3]))) AS gram
+      FROM tk WHERE len(toks) >= 4
     ), sizes AS (
       SELECT id, COUNT(*) AS n_grams FROM sh GROUP BY id
     ), inter AS (
@@ -3176,12 +3177,20 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared gram, the candidate-generating join here shrinks by both the
     prefix fraction and the rare-gram selectivity -- the difference
     between feasible and not at 100 TB for high-threshold dedup. The
-    jaccard division is exact-int over double (rule 19): no rounding."""
+    jaccard division is exact-int over double (rule 19): no rounding.
+
+    Shingle width is itself a scale lever: the first cut of this entry
+    used word BIGRAMS, and this corpus's tiny vocabulary (~900 distinct
+    bigrams across 5k docs) made every gram frequent -- the "rarest 20%"
+    still collided into 1.5M candidate pairs and 57s at sf0.1. At 4-gram
+    shingles the gram space is ~210k and the same prefix logic yields
+    255 candidates (0.8s). Prefix filtering presumes a heavy-tailed gram
+    distribution; pick the shingle width that makes the tail heavy."""
     d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
-    tk = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") >= 2)
+    tk = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") >= 4)
     sh = tk.select(
         F.col("doc_id").alias("id"),
-        F.explode(word_ngrams(F.col("toks"), n=2, distinct=True)).alias("gram"),
+        F.explode(word_ngrams(F.col("toks"), n=4, distinct=True)).alias("gram"),
     ).dropDuplicates()
     gfreq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("gf"))
     wpos = Window.partitionBy("id").orderBy("gf", "gram")
@@ -3197,10 +3206,20 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
     )
+    # PPJoin length filter rides the candidate join: J >= 4/5 forces
+    # 5*min(n_a, n_b) >= 4*max(n_a, n_b) -- integer-exact, kills pairs of
+    # very different sizes before they reach verification.
     cand = (
-        prefix.select(F.col("id").alias("id_a"), "gram")
-        .join(prefix.select(F.col("id").alias("id_b"), "gram"), "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
+        prefix.select(F.col("id").alias("id_a"), "gram", F.col("n").alias("na"))
+        .join(
+            prefix.select(F.col("id").alias("id_b"), "gram", F.col("n").alias("nb")),
+            "gram",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("na") * 5 >= F.col("nb") * 4)
+            & (F.col("nb") * 5 >= F.col("na") * 4)
+        )
         .select("id_a", "id_b")
         .distinct()
     )

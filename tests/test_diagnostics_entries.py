@@ -193,7 +193,7 @@ def test_prefix_filter_join_is_lossless_and_thresholded(spark, sf_dir):
         read_parquet_table(spark, sf_dir, "documents"),
         text_col="text",
         id_col="doc_id",
-        shingle_n=2,
+        shingle_n=4,
         min_jaccard=0.8,
     ).collect()
     assert {(r.id_a, r.id_b) for r in rows} == {(r.id_a, r.id_b) for r in exact}
