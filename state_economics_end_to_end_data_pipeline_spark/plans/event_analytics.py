@@ -695,3 +695,269 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 3)
     )
+
+
+# -------------------------------------------------- graph/funnel analytics
+
+
+@register(
+    "clustering_coefficient_parts",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    capped AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n
+        FROM basket
+      ) WHERE basket_n <= {MAX_BASKET_SIZE}
+    ),
+    e AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM capped a JOIN capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+      SELECT ab.pa AS part_a, ab.pb AS part_b, bc.pb AS part_c
+      FROM e ab
+      JOIN e bc ON bc.pa = ab.pb
+      JOIN e ac ON ac.pa = ab.pa AND ac.pb = bc.pb
+    ),
+    deg AS (
+      SELECT p, COUNT(*) AS d FROM (
+        SELECT pa AS p FROM e UNION ALL SELECT pb AS p FROM e
+      ) GROUP BY p
+    ),
+    tv AS (
+      SELECT p, COUNT(*) AS ntri FROM (
+        SELECT part_a AS p FROM tri
+        UNION ALL SELECT part_b AS p FROM tri
+        UNION ALL SELECT part_c AS p FROM tri
+      ) GROUP BY p
+    )
+    SELECT deg.p AS part, CAST(d AS BIGINT) AS degree,
+           CAST(COALESCE(ntri, 0) AS BIGINT) AS n_triangles,
+           CAST(2 * COALESCE(ntri, 0) AS DOUBLE)
+             / CAST(d * (d - 1) AS DOUBLE) AS cc
+    FROM deg LEFT JOIN tv ON tv.p = deg.p
+    WHERE d >= 2
+    """,
+)
+def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part: cc = 2T / (d(d-1)) over the
+    co-purchase graph -- how tightly each product's neighborhood closes
+    into cliques (bundle detection; also the homophily feature graph ML
+    pipelines attach per node).
+
+    Reuses the degree-oriented triangle enumeration (copurchase_triangles
+    -- wedge fan-out bounded by arboricity) and the market-basket capped
+    edge build; on top of those, this adds only two O(nodes) aggregates
+    and a left join (nodes in no triangle keep cc = 0). The division is
+    exact-int over double (DETERMINISM.md rule 19): no rounding."""
+    e = market_basket_pairs(spark, sf_dir, min_orders=2).select("part_a", "part_b")
+    deg = (
+        e.select(F.explode(F.array("part_a", "part_b")).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 2)
+    )
+    tri = copurchase_triangles(spark, sf_dir)
+    tv = (
+        tri.select(F.explode(F.array("part_a", "part_b", "part_c")).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("ntri"))
+    )
+    return deg.join(tv, "p", "left").select(
+        F.col("p").alias("part"),
+        F.col("d").cast("bigint").alias("degree"),
+        F.coalesce(F.col("ntri"), F.lit(0)).cast("bigint").alias("n_triangles"),
+        (
+            (F.lit(2) * F.coalesce(F.col("ntri"), F.lit(0))).cast("double")
+            / (F.col("d") * (F.col("d") - 1)).cast("double")
+        ).alias("cc"),
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS c_ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id, epoch_us(p_ts) - epoch_us(c_ts) AS delta_us
+      FROM firsts WHERE c_ts IS NOT NULL AND p_ts IS NOT NULL AND p_ts > c_ts
+    ),
+    ranked AS (
+      SELECT delta_us,
+             ROW_NUMBER() OVER (ORDER BY delta_us, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM conv
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN delta_us END) AS BIGINT)
+             AS p50_us,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN delta_us END) AS BIGINT)
+             AS p90_us
+    FROM ranked
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, first click -> first
+    purchase latency; reported as EXACT median and p90 order statistics
+    (index = ceil(q*n), integer-computed, so both engines select the
+    same row -- approx-percentile sketches would need a bounds oracle,
+    rule 14).
+
+    Scale shape: the funnel collapses to one conditional-MIN aggregate
+    per user (shuffle on user_id, the natural key); the global order
+    statistics run over the CONVERTED-USERS vector only, orders of
+    magnitude smaller than the event stream. The single-partition window
+    states the semantics; at 100 TB the same selection is a
+    range-repartition + offset prefix counts, or approx-percentile with
+    a rank-guarantee oracle (quantiles_grouped_approx shows that
+    pattern)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p_ts"),
+    )
+    conv = firsts.filter(
+        F.col("c_ts").isNotNull()
+        & F.col("p_ts").isNotNull()
+        & (F.col("p_ts") > F.col("c_ts"))
+    ).select(
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delta_us"),
+    )
+    w = Window.orderBy("delta_us", "user_id")
+    ranked = conv.select(
+        "delta_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("delta_us")))
+        .cast("bigint")
+        .alias("p50_us"),
+        F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("delta_us")))
+        .cast("bigint")
+        .alias("p90_us"),
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS r_date,
+             COUNT(*) AS f,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(5) OVER (ORDER BY r_date DESC, o_custkey) AS r_q,
+             NTILE(5) OVER (ORDER BY f DESC, o_custkey) AS f_q,
+             NTILE(5) OVER (ORDER BY m DESC, o_custkey) AS m_q
+      FROM rfm
+    )
+    SELECT CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quintiles per
+    customer (1 = best), combined into a 3-digit segment code and
+    counted -- the classic marketing-analytics rollup, and a stand-in
+    for any rank-then-bucket feature binning.
+
+    NTILE is SQL-standard (first buckets absorb remainders) and
+    deterministic here because every ORDER BY carries the customer key
+    as a total-order tie-break -- without it, equal frequencies would
+    make bucket assignment engine-dependent. Monetary sums ride
+    DECIMAL (rule 1). The three global windows state the semantics; at
+    100 TB each becomes approx-percentile cut points broadcast as a
+    narrow bucketing expression (quality_filter_lang_percentile shows
+    that twin)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("r_date"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(5).over(Window.orderBy(F.col("r_date").desc(), "o_custkey")).alias("r_q"),
+        F.ntile(5).over(Window.orderBy(F.col("f").desc(), "o_custkey")).alias("f_q"),
+        F.ntile(5).over(Window.orderBy(F.col("m").desc(), "o_custkey")).alias("m_q"),
+    )
+    return scored.groupBy(
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("int")
+        .alias("segment")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+
+@register(
+    "events_dod_change",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(38,6))) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+           CAST(total AS DOUBLE) AS total_value,
+           (CAST(total AS DOUBLE)
+              - CAST(LAG(total) OVER w AS DOUBLE))
+             / CAST(LAG(total) OVER w AS DOUBLE) * CAST(100 AS DOUBLE)
+             AS pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def events_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day percent change of total value per event type -- the
+    reporting-layer growth metric (the fixture spans one month, so a
+    daily grid is what exercises the lag). One O(type x day) aggregate
+    (decimal-exact sums, rule 1) then a lag over the tiny daily grid;
+    the ratio runs in the double domain with both operands cast from
+    decimal first (rule 4), the same op sequence in both engines; dates
+    publish as strings (rule 10). First day per type is NULL by
+    definition."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("total"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cur = F.col("total").cast("double")
+    prev = F.lag("total").over(w).cast("double")
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        cur.alias("total_value"),
+        ((cur - prev) / prev * F.lit(100.0)).alias("pct_change"),
+    )
