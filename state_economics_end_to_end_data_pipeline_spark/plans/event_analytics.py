@@ -961,3 +961,108 @@ def events_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur.alias("total_value"),
         ((cur - prev) / prev * F.lit(100.0)).alias("pct_change"),
     )
+
+
+@register(
+    "orders_open_by_day",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey, o.o_orderdate AS start_day,
+             MAX(l.l_shipdate) AS end_day
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT start_day AS day, 1 AS d FROM spans
+      UNION ALL
+      SELECT end_day + INTERVAL 1 DAY, -1 FROM spans
+    ),
+    daily AS (
+      SELECT CAST(day AS DATE) AS day, SUM(d) AS delta FROM deltas GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(delta) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_open
+    FROM daily
+    """,
+)
+def orders_open_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting by SWEEP LINE: how many orders are
+    open (placed, not yet fully shipped) on each day. The
+    interval-stabbing shape behind concurrency dashboards, license-seat
+    counting, and connection-pool audits.
+
+    The scale trick: never join days x intervals (that is O(days *
+    open)); emit +1 at each interval start and -1 after its end, collapse
+    to one delta per day (shuffle O(distinct days)), and prefix-sum the
+    tiny daily grid. All integer arithmetic -- engine-exact with no
+    float anywhere. The global running sum states the semantics over the
+    O(days) grid; the 100 TB variant range-partitions the timeline and
+    offsets per-partition prefix sums by broadcast partition totals
+    (same two-pass pattern as ks_drift_event_values)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("end_day"))
+    )
+    deltas = spans.select(
+        F.col("o_orderdate").alias("day"), F.lit(1).alias("d")
+    ).unionByName(
+        spans.select(F.date_add("end_day", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.sum("delta").over(w).cast("bigint").alias("n_open"),
+    )
+
+
+@register(
+    "dau_new_vs_returning",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(day) AS first_day FROM act GROUP BY user_id
+    )
+    SELECT strftime(a.day, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN a.day = f.first_day THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_returning
+    FROM act a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY 1
+    """,
+)
+def dau_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: daily active users split into new (first-ever
+    active day) vs returning -- the first chart on any growth dashboard,
+    and the acquisition/retention decomposition cohort_retention rolls
+    up from.
+
+    Two shuffles, both on user_id (the distinct day-activity collapse
+    and the first-seen aggregate); the classifying join is
+    user-partitioned too, so no re-shuffle -- then one O(days x 2)
+    rollup. Pure integer counts, engine-exact."""
+    ev = t(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+    )
