@@ -3256,3 +3256,91 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.filter(F.col("jaccard") >= F.expr(_PREFIX_JACCARD_T))
+
+
+_SKIPGRAM_WINDOW = 2  # tokens to the right paired with each position
+_SKIPGRAM_MIN_N = 25
+
+
+@register(
+    "skipgram_cooccurrence",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    pairs AS (
+      SELECT CASE WHEN toks[i] <= toks[i + k] THEN toks[i] ELSE toks[i + k] END AS w1,
+             CASE WHEN toks[i] <= toks[i + k] THEN toks[i + k] ELSE toks[i] END AS w2
+      FROM tk,
+           LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i),
+           LATERAL (SELECT unnest(range(1, {_SKIPGRAM_WINDOW} + 1)) AS k)
+      WHERE i + k <= len(toks)
+    )
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_cooc
+    FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= {_SKIPGRAM_MIN_N}
+    """,
+)
+def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts within a +-2 token window -- the
+    counting pass behind word2vec/GloVe-style embedding training and the
+    positional companion to document-level PMI (token_pmi_pairs counts
+    presence per doc; this counts proximity per position, weighting
+    frequent near-neighbors).
+
+    Fully narrow until the final count: each position pairs with at most
+    WINDOW following tokens via in-array index arithmetic (fan-out fixed
+    at 2 per token -- no cap needed, unlike basket/PMI expansion), pairs
+    are canonically ordered in-row (unordered co-occurrence), and the
+    single shuffle is the O(vocab^2-bounded) count itself, floored at
+    n >= 25 to keep the result reporting-sized."""
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    tk = d.select(tokens("text").alias("toks"))
+    pair_structs = F.flatten(
+        F.transform(
+            "toks",
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("toks"),
+                    i + F.lit(2),
+                    F.least(F.lit(_SKIPGRAM_WINDOW), F.size("toks") - i - 1),
+                ),
+                lambda y: F.struct(
+                    F.least(x, y).alias("w1"), F.greatest(x, y).alias("w2")
+                ),
+            ),
+        )
+    )
+    return (
+        tk.filter(F.size("toks") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cooc"))
+        .filter(F.col("n_cooc") >= _SKIPGRAM_MIN_N)
+    )
+
+
+@register(
+    "events_heatmap_dow_hour",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: ISO weekday (1=Monday) x hour-of-day grid of
+    event counts and value -- the seasonality view behind staffing and
+    anomaly baselines. Deliberately keyed on ISO weekday because plain
+    dayofweek is an engine trap (Spark says 1=Sunday, DuckDB 0=Sunday --
+    DETERMINISM.md rule 12); Spark's weekday() (0=Monday) + 1 equals
+    DuckDB's isodow. One bounded 7x24 aggregate; value sums ride
+    DECIMAL (rule 1)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.weekday("ts") + F.lit(1)).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+    )
