@@ -3344,3 +3344,86 @@ def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "minhash_jaccard_estimate",
+    oracle=_minhash_sig_cte()
+    + """
+    , cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST((a.mh0 = b.mh0) AS INT) + CAST((a.mh1 = b.mh1) AS INT)
+           + CAST((a.mh2 = b.mh2) AS INT) + CAST((a.mh3 = b.mh3) AS INT)
+           + CAST((a.mh4 = b.mh4) AS INT) + CAST((a.mh5 = b.mh5) AS INT)
+           + CAST((a.mh6 = b.mh6) AS INT) + CAST((a.mh7 = b.mh7) AS INT)
+             AS n_match
+      FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND (
+           (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR
+           (a.mh2 = b.mh2 AND a.mh3 = b.mh3) OR
+           (a.mh4 = b.mh4 AND a.mh5 = b.mh5) OR
+           (a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+    )
+    SELECT c.id_a, c.id_b, CAST(c.n_match AS BIGINT) AS n_match,
+           CAST(c.n_match AS DOUBLE) / CAST(8 AS DOUBLE) AS est_jaccard,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / CAST(len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             AS exact_jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    """,
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash pipeline: per LSH candidate
+    pair, the signature-agreement estimate (matches/8) NEXT TO the exact
+    shingle-set Jaccard -- the calibration table you read before trusting
+    an estimated-similarity threshold at corpus scale (E[est] = J, sd =
+    sqrt(J(1-J)/k); with k=8 one hash is 0.125 of estimate, which is why
+    production LSH verifies candidates exactly, as dedup_cluster
+    _survivors does).
+
+    Scale shape: candidates come from the banded bucket join (never
+    all-pairs); exact verification joins each candidate to its two
+    shingle ARRAYS and intersects in-row -- per-pair O(len) with no
+    further shuffle. All divisions are exact-int over double (rule 19):
+    the estimate, the exact value, and their gap match bit-for-bit
+    across engines."""
+    docs = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_n=3)
+    cand = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    mh_a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    )
+    mh_b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    )
+    from ..operators.dedup import shingles as shingle_set
+
+    sh = docs.select(
+        "doc_id", shingle_set("text", n=3).alias("shingles")
+    ).filter(F.size("shingles") >= 1)
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    )
+    ni = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(mh_a, "id_a")
+        .join(mh_b, "id_b")
+        .join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_match.cast("bigint").alias("n_match"),
+            (n_match.cast("double") / F.lit(8.0)).alias("est_jaccard"),
+            (
+                ni.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - ni).cast("double")
+            ).alias("exact_jaccard"),
+        )
+    )
