@@ -197,3 +197,71 @@ def test_prefix_filter_join_is_lossless_and_thresholded(spark, sf_dir):
         min_jaccard=0.8,
     ).collect()
     assert {(r.id_a, r.id_b) for r in rows} == {(r.id_a, r.id_b) for r in exact}
+
+
+def test_open_orders_sweep_is_nonnegative_and_closes(spark, sf_dir):
+    qs = load_all()
+    rows = sorted(_rows(qs, "orders_open_by_day", spark, sf_dir), key=lambda r: r.day)
+    assert rows
+    assert all(r.n_open >= 0 for r in rows)
+    # every interval that opens eventually closes: the running count
+    # returns to zero after the last end-day delta
+    assert rows[-1].n_open == 0
+
+
+def test_dau_split_sums_to_distinct_actives(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "dau_new_vs_returning", spark, sf_dir)
+    from pyspark.sql import functions as F
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    per_day = {
+        r.day: r.n
+        for r in ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r.day: r.n_new + r.n_returning for r in rows} == per_day
+    # each user is new exactly once
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_new for r in rows) == n_users
+
+
+def test_skipgram_pairs_are_canonical(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "skipgram_cooccurrence", spark, sf_dir)
+    assert rows and all(r.w1 <= r.w2 and r.n_cooc >= 25 for r in rows)
+
+
+def test_minhash_estimate_candidates_share_a_band(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "minhash_jaccard_estimate", spark, sf_dir)
+    assert rows
+    for r in rows:
+        # LSH candidacy requires one full band (2 consecutive hashes)
+        assert r.n_match >= 2
+        assert abs(r.est_jaccard - r.n_match / 8) < 1e-15
+        assert 0.0 <= r.exact_jaccard <= 1.0
+
+
+def test_rfm_segments_cover_all_customers(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "customer_rfm_segments", spark, sf_dir)
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    n_cust = (
+        read_parquet_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 111 <= r.segment <= 555
+        digits = [r.segment // 100, (r.segment // 10) % 10, r.segment % 10]
+        assert all(1 <= d <= 5 for d in digits)
