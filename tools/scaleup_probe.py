@@ -60,6 +60,11 @@ PROBES = [
     "ks_drift_event_values",
     "graph_bfs_hops",
     "bootstrap_mean_ci",
+    "jaccard_prefix_filter_pairs",
+    "clustering_coefficient_parts",
+    "orders_open_by_day",
+    "skipgram_cooccurrence",
+    "dau_new_vs_returning",
 ]
 
 REPLICAS = 10
