@@ -737,3 +737,84 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pt.select(
         F.lit(_BOOT_B).cast("bigint").alias("n_reps"), "n_rows", "mean_full"
     ).crossJoin(F.broadcast(ci))
+
+
+# ------------------------------------------------ distributed selection
+
+_MEDIAN_BUCKET = 16384  # cents per phase-1 bucket
+
+
+@register(
+    "distributed_exact_median",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+             COUNT(*) OVER () AS n
+      FROM c
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+             AS median_cents
+    FROM ranked
+    """,
+)
+def distributed_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median with NO global sort and NO single-partition
+    window -- the two-phase distributed selection that several catalog
+    docstrings cite as the 100 TB twin of their stated-semantics
+    windows, implemented and gated here.
+
+    Phase 1 bins values into fixed-width integer buckets (cents div
+    {_MEDIAN_BUCKET}) and aggregates counts -- one narrow shuffle of
+    O(buckets) rows; the cumulative scan and rank targeting run on that
+    tiny grid. Phase 2 touches ONLY the bucket containing the target
+    rank: its rows (a 1/buckets fraction of data) are ranked locally and
+    the offset row selected. Both phases are lazy dataframe ops -- the
+    target bucket travels as a broadcast one-row relation, never a
+    driver collect. Oracle: the naive global order statistic. Values
+    snap to integer cents via floor(x*100+0.5) (rule 7) so ranking is
+    integer-exact in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents")
+    )
+    grid = c.groupBy(F.expr(f"cents div {_MEDIAN_BUCKET}").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        "bucket", "cnt", F.sum("cnt").over(wcum).alias("cum")
+    )
+    n = c.agg(F.count(F.lit(1)).alias("n"))
+    target = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .orderBy("bucket")
+        .limit(1)
+        .select(
+            "bucket",
+            (F.expr("(n + 1) div 2") - (F.col("cum") - F.col("cnt"))).alias("offset"),
+            "n",
+        )
+    )
+    in_bucket = c.join(
+        F.broadcast(target),
+        F.expr(f"cents div {_MEDIAN_BUCKET}") == F.col("bucket"),
+    )
+    wlocal = Window.partitionBy("bucket").orderBy("cents")
+    return (
+        in_bucket.withColumn("rn", F.row_number().over(wlocal))
+        .filter(F.col("rn") == F.col("offset"))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("cents").cast("bigint").alias("median_cents"),
+        )
+    )
