@@ -818,3 +818,122 @@ def distributed_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("bigint").alias("median_cents"),
         )
     )
+
+
+# --------------------------------------------------------- digit auditing
+
+_BENFORD = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+# literals wrapped in CAST(.. AS DOUBLE): bare decimal literals parse as
+# DECIMAL in BOTH Spark SQL and DuckDB (DETERMINISM.md rule 5)
+_BENFORD_SQL = "CASE digit " + " ".join(
+    f"WHEN {d + 1} THEN CAST({p!r} AS DOUBLE)" for d, p in enumerate(_BENFORD)
+) + " END"
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice >= 0.005
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM c
+    ),
+    agg AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM agg)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_share,
+           {_BENFORD_SQL} AS exp_share,
+           abs(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+               - {_BENFORD_SQL}) AS abs_dev
+    FROM agg CROSS JOIN tot
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals -- the classic
+    fabricated-numbers / unit-mixup detector a data-quality pipeline
+    runs on monetary columns (organic multiplicative amounts follow
+    log10(1+1/d); flat or spiked digit histograms flag synthetic or
+    corrupted feeds).
+
+    Digit extraction stays integer/string-exact: values snap to cents
+    (floor(x*100+0.5), rule 7) and the leading digit is the first char
+    of the BIGINT's decimal rendering -- no log10, so no libm hazard
+    anywhere; expected shares are inlined as identical repr literals in
+    both engines and the share arithmetic is correctly-rounded division
+    and subtraction (rule 19). One O(9)-row aggregate; TPC-H totals are
+    range-bounded (~1k-500k) so their Benford fit is itself a data
+    property the table reports, not assumes."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 0.005)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    d = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    agg = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = agg.agg(F.sum("n").cast("bigint").alias("n_total"))
+    exp = F.expr(_BENFORD_SQL)
+    obs = F.col("n").cast("double") / F.col("n_total").cast("double")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        obs.alias("obs_share"),
+        exp.alias("exp_share"),
+        F.abs(obs - exp).alias("abs_dev"),
+    )
+
+
+@register(
+    "user_behavior_entropy",
+    oracle="""
+    WITH ct AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             list_sort(list(CAST(c AS DOUBLE))) AS counts
+      FROM ct GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           round(log2(CAST(n_events AS DOUBLE))
+             - list_reduce(list_transform(counts, c -> c * log2(c)), (a, b) -> a + b)
+               / CAST(n_events AS DOUBLE), 6) AS entropy_bits
+    FROM per_user
+    """,
+)
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy over event-type usage (bits) -- the
+    behavioral-diversity feature: bots and single-purpose scripts sit
+    near 0, organic users spread across types. The events-table sibling
+    of token_entropy, same determinism discipline: the log2 fold runs
+    over the SORTED per-user count array (rule 17 -- aggregation order
+    is engine-specific otherwise) and rounds to 6 decimals (rule 18).
+    Two shuffles, both keyed on user_id; output O(users)."""
+    ev = t(spark, sf_dir, "events")
+    ct = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    per_user = ct.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.array_sort(F.collect_list(F.col("c").cast("double"))).alias("counts"),
+    )
+    clogc = F.aggregate(
+        F.transform("counts", lambda c: c * F.log2(c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ent = F.log2(F.col("n_events").cast("double")) - clogc / F.col("n_events").cast(
+        "double"
+    )
+    return per_user.select(
+        "user_id", "n_events", "n_types", F.round(ent, 6).alias("entropy_bits")
+    )
