@@ -1066,3 +1066,117 @@ def dau_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_returning"),
         )
     )
+
+
+@register(
+    "timeseries_gapfill_linear",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS h0,
+             max(date_trunc('hour', ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds, (SELECT DISTINCT event_type FROM events)
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM events WHERE value > 30 GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT s.event_type, s.hour, h.total,
+             last_value(h.total IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN h.total IS NOT NULL THEN s.hour END
+                        IGNORE NULLS) OVER wb AS ph,
+             first_value(h.total IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN h.total IS NOT NULL THEN s.hour END
+                         IGNORE NULLS) OVER wf AS nh
+      FROM spine s LEFT JOIN hourly h
+        ON s.event_type = h.event_type AND s.hour = h.hour
+      WINDOW wb AS (PARTITION BY s.event_type ORDER BY s.hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY s.event_type ORDER BY s.hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           total IS NULL AS was_gap,
+           CASE WHEN total IS NOT NULL THEN total
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv)
+                     * (CAST(epoch_us(hour) - epoch_us(ph) AS DOUBLE)
+                        / CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE))
+           END AS total_interp
+    FROM ctx
+    """,
+)
+def timeseries_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling by LINEAR INTERPOLATION -- the smooth
+    sibling of timeseries_gapfill_ffill (step fill) for signals where a
+    gap means 'sensor missed a reading', not 'value held': each missing
+    hour gets pv + (nv - pv) * elapsed-fraction between its bracketing
+    observations; leading/trailing edges degrade to nearest-value fill.
+
+    Same scale shape as the ffill twin (distributed spine, per-series
+    windows), plus a mirrored FORWARD window (first_value ignorenulls)
+    for the right bracket. The fraction is exact-integer epoch
+    arithmetic pushed through correctly-rounded double ops in the same
+    sequence on both engines (rule 19) -- no rounding step needed."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        e.select("event_type").distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+        )
+    )
+    hourly = (
+        e.filter(F.col("value") > 30)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total"))
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("total").isNotNull(), F.col("hour"))
+    ctx = spine.join(hourly, ["event_type", "hour"], "left_outer").select(
+        "event_type",
+        "hour",
+        "total",
+        F.last("total", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(wb).alias("ph"),
+        F.first("total", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(wf).alias("nh"),
+    )
+    frac = (
+        (F.unix_micros("hour") - F.unix_micros("ph")).cast("double")
+        / (F.unix_micros("nh") - F.unix_micros("ph")).cast("double")
+    )
+    interp = (
+        F.when(F.col("total").isNotNull(), F.col("total"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return ctx.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("total").isNull().alias("was_gap"),
+        interp.alias("total_interp"),
+    )
