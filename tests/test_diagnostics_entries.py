@@ -265,3 +265,61 @@ def test_rfm_segments_cover_all_customers(spark, sf_dir):
         assert 111 <= r.segment <= 555
         digits = [r.segment // 100, (r.segment // 10) % 10, r.segment % 10]
         assert all(1 <= d <= 5 for d in digits)
+
+
+def test_distributed_median_equals_naive_selection(spark, sf_dir):
+    qs = load_all()
+    [r] = _rows(qs, "distributed_exact_median", spark, sf_dir)
+    from pyspark.sql import functions as F
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    cents = (
+        read_parquet_table(spark, sf_dir, "lineitem")
+        .select(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("c")
+        )
+        .collect()
+    )
+    vals = sorted(x.c for x in cents)
+    assert r.n == len(vals)
+    assert r.median_cents == vals[(len(vals) + 1) // 2 - 1]
+
+
+def test_benford_shares_form_a_distribution(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "benford_first_digit", spark, sf_dir)
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.exp_share for r in rows) - 1.0) < 1e-9
+
+
+def test_behavior_entropy_bounds(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "user_behavior_entropy", spark, sf_dir)
+    for r in rows:
+        assert -1e-9 <= r.entropy_bits <= math.log2(max(r.n_types, 1)) + 1e-9
+
+
+def test_linear_interp_brackets_its_neighbors(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "timeseries_gapfill_linear", spark, sf_dir)
+    by_series: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.hour)):
+        by_series.setdefault(r.event_type, []).append(r)
+    for series in by_series.values():
+        obs = [
+            (i, r.total_interp) for i, r in enumerate(series) if not r.was_gap
+        ]
+        assert obs, "every series must have at least one observation"
+        for i, r in enumerate(series):
+            if r.was_gap:
+                # interpolated values must lie within [min, max] of the
+                # bracketing observed values (convexity of linear interp)
+                lo_candidates = [v for j, v in obs if j < i][-1:] or [v for j, v in obs if j > i][:1]
+                hi_candidates = [v for j, v in obs if j > i][:1] or [v for j, v in obs if j < i][-1:]
+                lo, hi = lo_candidates[0], hi_candidates[0]
+                assert min(lo, hi) - 1e-9 <= r.total_interp <= max(lo, hi) + 1e-9
