@@ -2137,6 +2137,65 @@ def upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed_or_kept.unionByName(new_rows)
 
 
+@register(
+    "scd2_as_of",
+    oracle="""
+    WITH tgt AS (
+      SELECT s_suppkey, s_acctbal, TIMESTAMP '2024-01-01' AS valid_from
+      FROM supplier
+    ), changes AS (
+      SELECT s_suppkey, CAST(s_acctbal + 1000 AS DOUBLE) AS s_acctbal,
+             TIMESTAMP '2024-06-01' AS valid_from
+      FROM supplier WHERE s_suppkey % 10 = 0
+    ), scd AS (
+      SELECT t.s_suppkey, t.s_acctbal, t.valid_from,
+             c.valid_from AS valid_to
+      FROM tgt t LEFT JOIN changes c ON t.s_suppkey = c.s_suppkey
+      UNION ALL
+      SELECT s_suppkey, s_acctbal, valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM changes
+    ), probes AS (
+      SELECT unnest([TIMESTAMP '2024-03-01', TIMESTAMP '2024-07-01']) AS probe_ts
+    )
+    SELECT strftime(probe_ts, '%Y-%m-%d') AS probe_date,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_acctbal
+    FROM scd JOIN probes
+      ON valid_from <= probe_ts AND (valid_to IS NULL OR valid_to > probe_ts)
+    GROUP BY 1
+    """,
+)
+def scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel READ over the SCD2 history upsert_scd2 builds: for
+    each probe timestamp, select the rows whose [valid_from, valid_to)
+    interval contains it and roll them up -- 2024-03-01 sees every
+    supplier at its original balance, 2024-07-01 sees the changed keys
+    at their +1000 versions. The as-of predicate is the query half of
+    slowly-changing dimensions (the write half is upsert_scd2); at
+    100 TB it rides valid_from partitioning, so a probe prunes to the
+    partitions at or before its date. The probe relation broadcasts
+    (2 rows); balance sums ride DECIMAL (rule 1)."""
+    scd = upsert_scd2(spark, sf_dir)
+    probes = spark.createDataFrame(
+        [("2024-03-01",), ("2024-07-01",)], ["probe_date"]
+    ).select(F.col("probe_date"), F.col("probe_date").cast("timestamp").alias("probe_ts"))
+    return (
+        scd.join(
+            F.broadcast(probes),
+            (F.col("valid_from") <= F.col("probe_ts"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("probe_ts"))),
+        )
+        .groupBy("probe_date")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("s_acctbal").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
 
 @register(
     "xml_region_scan",
