@@ -3388,7 +3388,16 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle ARRAYS and intersects in-row -- per-pair O(len) with no
     further shuffle. All divisions are exact-int over double (rule 19):
     the estimate, the exact value, and their gap match bit-for-bit
-    across engines."""
+    across engines.
+
+    Plan-shape note: signatures are recomputed on each join-back (3
+    narrow passes). The tempting alternative -- carrying the shingle
+    and signature arrays through the band-join shuffle so they compute
+    once -- measured SLOWER at sf0.1 (9.2s vs 7.5s warm): the payload
+    replicates x4 bands x2 sides through the exchange, and shuffle
+    bytes beat recompute here. Narrow recompute is the right default on
+    columnar scans; ship payloads only when the operator downstream of
+    the shuffle needs them more than once."""
     docs = rebalance_for_cpu(t(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs, num_hashes=8, shingle_n=3)
     cand = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
