@@ -3436,3 +3436,67 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+@register(
+    "brand_share_topn_other",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand AS brand,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT brand, revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, brand) AS rk
+      FROM rev
+    ),
+    labeled AS (
+      SELECT CASE WHEN rk <= 5 THEN brand ELSE 'OTHER' END AS brand,
+             revenue FROM ranked
+    ),
+    agg AS (
+      SELECT brand, SUM(revenue) AS revenue FROM labeled GROUP BY brand
+    ),
+    tot AS (SELECT SUM(revenue) AS t FROM agg)
+    SELECT brand, CAST(revenue AS DOUBLE) AS revenue,
+           CAST(revenue AS DOUBLE) / CAST(t AS DOUBLE) AS share
+    FROM agg CROSS JOIN tot
+    """,
+)
+def brand_share_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 brands by revenue with everything else collapsed into an
+    'OTHER' bucket, plus share-of-total -- the reporting-layer rollup
+    every dashboard needs and most engines hand-roll badly (a full sort,
+    or a driver-side relabel).
+
+    Scale shape: revenue per brand is one fact-sized aggregate (shuffle
+    O(brands)); ranking and relabeling happen on the O(brands) grid; the
+    OTHER re-aggregation and the grand total are grid-sized too. The
+    window is bounded by brand cardinality, never the fact table.
+    Revenue rides DECIMAL end-to-end and the tie-break (revenue desc,
+    brand asc) makes the top-5 cut engine-deterministic even on exactly
+    equal revenues; the share division follows rule 4 (both operands to
+    double first)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "brand")
+    labeled = rev.select(
+        F.when(F.row_number().over(w) <= 5, F.col("brand"))
+        .otherwise(F.lit("OTHER"))
+        .alias("brand"),
+        "revenue",
+    )
+    agg = labeled.groupBy("brand").agg(F.sum("revenue").alias("revenue"))
+    tot = agg.agg(F.sum("revenue").alias("t"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "brand",
+        F.col("revenue").cast("double").alias("revenue"),
+        (F.col("revenue").cast("double") / F.col("t").cast("double")).alias("share"),
+    )
