@@ -323,3 +323,38 @@ def test_linear_interp_brackets_its_neighbors(spark, sf_dir):
                 hi_candidates = [v for j, v in obs if j > i][:1] or [v for j, v in obs if j < i][-1:]
                 lo, hi = lo_candidates[0], hi_candidates[0]
                 assert min(lo, hi) - 1e-9 <= r.total_interp <= max(lo, hi) + 1e-9
+
+
+def test_scd2_as_of_sees_versions_correctly(spark, sf_dir):
+    qs = load_all()
+    rows = {r.probe_date: r for r in _rows(qs, "scd2_as_of", spark, sf_dir)}
+    before, after = rows["2024-03-01"], rows["2024-07-01"]
+    # every supplier has exactly one active version at each probe
+    assert before.n_rows == after.n_rows
+    # changed keys carry +1000 after the effective date
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+    from pyspark.sql import functions as F
+
+    n_changed = (
+        read_parquet_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .count()
+    )
+    assert abs((after.total_acctbal - before.total_acctbal) - 1000 * n_changed) < 1e-6
+
+
+def test_brand_share_partitions_revenue(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "brand_share_topn_other", spark, sf_dir)
+    assert len(rows) <= 6
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    named = [r for r in rows if r.brand != "OTHER"]
+    other = [r for r in rows if r.brand == "OTHER"]
+    assert len(named) <= 5
+    if other:
+        # every named (top-5) brand out-earns the residual bucket's
+        # largest constituent by construction; weaker sanity: named
+        # brands each have positive revenue
+        assert all(r.revenue > 0 for r in named)
