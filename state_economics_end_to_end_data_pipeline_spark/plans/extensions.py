@@ -3500,3 +3500,96 @@ def brand_share_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("double").alias("revenue"),
         (F.col("revenue").cast("double") / F.col("t").cast("double")).alias("share"),
     )
+
+
+@register(
+    "label_outlier_mining",
+    oracle="""
+    WITH pe AS (
+      SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS val
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS pos)
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(floor(val * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e9 / COUNT(*) AS c
+      FROM pe GROUP BY label, pos
+    ),
+    carr AS (
+      SELECT label, list(c ORDER BY pos) AS cent FROM cent GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             list_reduce(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - ca.cent[i])
+                    * (CAST(e.embedding[i] AS DOUBLE) - ca.cent[i])),
+               (a, b) -> a + b) AS dist2
+      FROM embeddings e JOIN carr ca ON ca.label = e.label
+    )
+    SELECT label, vec_id, dist2, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def label_outlier_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-example mining: for each class, the 3 vectors farthest
+    (squared L2) from their class centroid -- the standard first pass of
+    label-noise auditing before training on weakly-labeled data (cheap
+    to compute, and the far tail is where annotation errors live).
+
+    Scale shape: centroids come from a posexplode + per-(label,dim)
+    aggregate -- shuffle O(labels x dims), with per-dim sums snapped to
+    exact nano-integers (rule 7) so the centroid is identical across
+    engines AND partitionings (a raw double SUM would be
+    partition-order-dependent). The labels x dims centroid table is
+    broadcast back; each row's distance is one in-row fold over
+    identically-ordered arrays (rule 6), and the per-label top-3 window
+    runs over class-sized groups. No rounding anywhere: every op after
+    the nano snap is correctly rounded in a fixed sequence (rule 19)."""
+    e = t(spark, sf_dir, "embeddings")
+    pe = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "val_f"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    cent = pe.groupBy("label", "pos").agg(
+        (
+            F.sum(F.floor(F.col("val") * F.lit(1e9) + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("cent")
+    )
+    scored = e.join(F.broadcast(carr), "label").select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "cent",
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("label", "vec_id", "dist2", "rk")
+    )
