@@ -290,3 +290,73 @@ def test_incremental_dedup_flags_partition_the_batch(spark):
     assert rows
     for r in rows:
         assert r["n_batch"] == r["n_exact_dup"] + r["n_near_dup"] + r["n_kept"], r
+
+
+finite_vals = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+    min_size=1, max_size=16,
+)
+
+
+@given(vals=finite_vals)
+@settings(**_SETTINGS)
+def test_ema_fold_matches_python_reference(spark, vals):
+    """The JVM-side EMA fold (aggregate over an ordered array, alpha=0.25)
+    must equal a sequential Python fold bit-for-bit: both are the same
+    left-to-right IEEE op sequence (DETERMINISM.md rules 6/19), so no
+    tolerance is allowed."""
+    expected = vals[0]
+    for x in vals[1:]:
+        expected = 0.25 * x + 0.75 * expected
+    df = spark.createDataFrame([(vals,)], "vals array<double>")
+    fold = (
+        "aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)), "
+        "element_at(vals, 1), "
+        "(acc, x) -> CAST(0.25 AS DOUBLE) * x "
+        "+ (CAST(1 AS DOUBLE) - CAST(0.25 AS DOUBLE)) * acc)"
+    )
+    [row] = df.select(F.expr(fold).alias("ema")).collect()
+    assert row.ema == expected
+
+
+@given(
+    pv=st.floats(-1e6, 1e6, allow_nan=False, width=64),
+    nv=st.floats(-1e6, 1e6, allow_nan=False, width=64),
+    num=st.integers(1, 99),
+)
+@settings(**_SETTINGS)
+def test_linear_interp_expression_matches_python(spark, pv, nv, num):
+    """The gap-fill interpolation expression pv + (nv-pv)*(num/100) must
+    equal the identical Python arithmetic bit-for-bit -- same three
+    correctly-rounded IEEE ops in the same order."""
+    expected = pv + (nv - pv) * (float(num) / float(100))
+    df = spark.createDataFrame([(pv, nv, num)], "pv double, nv double, num int")
+    expr = (
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("num").cast("double") / F.lit(100).cast("double"))
+    )
+    [row] = df.select(expr.alias("v")).collect()
+    assert row.v == expected
+
+
+@given(counts=st.lists(st.integers(1, 50), min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_entropy_fold_bounds_hold_for_any_counts(spark, counts):
+    """Shannon entropy computed by the catalog's sorted-fold shape stays
+    within [0, log2(k)] for ANY positive count multiset (the invariant
+    the fixture-bound test can't cover)."""
+    import math
+
+    n = sum(counts)
+    df = spark.createDataFrame(
+        [(sorted(float(c) for c in counts),)], "counts array<double>"
+    )
+    clogc = F.aggregate(
+        F.transform("counts", lambda c: c * F.log2(c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ent = F.log2(F.lit(float(n))) - clogc / F.lit(float(n))
+    [row] = df.select(ent.alias("h")).collect()
+    assert -1e-9 <= row.h <= math.log2(len(counts)) + 1e-9
