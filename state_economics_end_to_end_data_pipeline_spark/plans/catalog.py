@@ -299,13 +299,16 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the difference is parse-once-read-many: a document parsed to
     VARIANT at ingest is stored columnar-shredded and every downstream
     path read skips the string parse entirely. A missing path surfaces
-    as NULL (counted per group), not an error."""
+    as NULL (counted per group), not an error; so does an ill-typed
+    value: ``try_variant_get`` degrades a failed cast to NULL exactly
+    like the oracle's TRY_CAST, where strict ``variant_get`` would throw
+    and diverge from the oracle on non-integral payloads."""
     ev = t(spark, sf_dir, "events")
     v = F.parse_json("props")
     staged = ev.select(
         "event_type",
-        F.variant_get(v, "$.k", "bigint").alias("k"),
-        F.variant_get(v, "$.missing", "bigint").alias("missing"),
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing"),
     )
     return staged.groupBy("event_type").agg(
         F.count("k").alias("n_with_k"),

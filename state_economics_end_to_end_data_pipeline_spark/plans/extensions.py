@@ -3006,6 +3006,10 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
 
     def hashes(etype: str) -> DataFrame:
+        # distinct() AFTER hashing (mirroring the oracle's
+        # SELECT DISTINCT ... AS h): the sketch is over the hash SET, so
+        # an md5-prefix collision between two user_ids must collapse to
+        # one h in both engines, or the k-minima diverge.
         return (
             ev.filter(F.col("event_type") == etype)
             .select("user_id")
@@ -3023,6 +3027,7 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("h")
             )
+            .distinct()
         )
 
     ka = hashes("click").orderBy("h").limit(_KMV_K)

@@ -138,20 +138,46 @@ def tumbling_counts(
     )
 
 
+# Windows ohlc_bars supports: tumbling windows that align with a
+# date_trunc unit AND whose micros-within-window * 2^31 + event_id key
+# stays inside int64 (window <= ~71 min; '1 day' would need 1.9e20).
+_OHLC_WINDOW_TRUNC = {
+    "1 hour": "hour",
+    "1 minute": "minute",
+    "1 second": "second",
+}
+
+
 def ohlc_bars(
     stream: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
 ) -> DataFrame:
     """Streaming OHLC bars per (event-time window, event_type): open /
     close via min_by/max_by on the same deterministic BIGINT order key
     as the batch twin (``events_ohlc_hourly``, plans/event_analytics.py)
-    -- micros-within-the-hour * 2^31 + event_id, which both totally
+    -- micros-within-the-WINDOW * 2^31 + event_id, which both totally
     orders ties and keeps the aggregation buffer a mutable fixed-width
     type (string/struct keys demote to SortAggregate in batch and bloat
     the state row here). State is O(open windows x types); the watermark
-    closes bars one window late."""
+    closes bars one window late.
+
+    The truncation unit of the order key is DERIVED from ``window`` (an
+    unsupported window raises rather than silently ordering opens/closes
+    only within the wrong sub-bucket), and like the batch twin the key
+    requires event_id < 2^31 -- pinned for the fixtures by
+    tests/test_diagnostics_entries.py::test_event_id_fits_ohlc_key."""
+    if window not in _OHLC_WINDOW_TRUNC:
+        raise ValueError(
+            f"ohlc_bars supports windows {sorted(_OHLC_WINDOW_TRUNC)}; got "
+            f"{window!r}. Larger windows overflow the int64 order key "
+            "(micros-in-window * 2^31 + event_id) -- add an aligned unit "
+            "to _OHLC_WINDOW_TRUNC only if it keeps the key in range."
+        )
     keyed = stream.withColumn(
         "__k",
-        (F.unix_micros("ts") - F.unix_micros(F.date_trunc("hour", "ts")))
+        (
+            F.unix_micros("ts")
+            - F.unix_micros(F.date_trunc(_OHLC_WINDOW_TRUNC[window], "ts"))
+        )
         * F.lit(2147483648).cast("long")
         + F.col("event_id"),
     )

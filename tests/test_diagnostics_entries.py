@@ -358,3 +358,35 @@ def test_brand_share_partitions_revenue(spark, sf_dir):
         # largest constituent by construction; weaker sanity: named
         # brands each have positive revenue
         assert all(r.revenue > 0 for r in named)
+
+
+def test_event_id_fits_ohlc_key():
+    """Pin the OHLC order-key precondition (ADVICE r5): the batch and
+    streaming OHLC entries encode ties as micros-in-window * 2^31 +
+    event_id, which silently wraps in Spark (and errors in DuckDB) if
+    any event_id >= 2^31. Verify the bound across every generated
+    fixture scale so a regenerated fixture that breaks it fails loudly
+    here instead of diverging the two engines."""
+    import glob
+
+    import duckdb
+
+    paths = sorted(glob.glob("/root/testdata/sf*/events.parquet"))
+    assert paths, "no events fixtures found"
+    for p in paths:
+        [(mx,)] = duckdb.sql(
+            f"SELECT MAX(event_id) FROM read_parquet('{p}')"
+        ).fetchall()
+        assert mx < 2**31, f"{p}: max event_id {mx} overflows the OHLC key"
+
+
+def test_ohlc_bars_rejects_unsupported_window():
+    """ohlc_bars must refuse windows whose order key would be wrong or
+    overflow (ADVICE r5: '1 day' used to silently order within the
+    hour only)."""
+    import pytest
+
+    from state_economics_end_to_end_data_pipeline_spark.streaming import events as se
+
+    with pytest.raises(ValueError, match="1 day"):
+        se.ohlc_bars(None, window="1 day")
