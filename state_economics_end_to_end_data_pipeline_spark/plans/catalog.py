@@ -1672,8 +1672,9 @@ def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE decile assignment over a total order (unique-key tie-break),
     rolled up to per-decile bounds. The un-partitioned window is the one
     shape that single-threads -- acceptable here because the rollup keeps
-    it out of hot paths; at scale, percentile cutpoints + a bucket join
-    replace it (see profile_histogram)."""
+    it out of hot paths; the CODED production twin is
+    ``window_ntile_deciles_approx`` below (percentile cutpoints + a
+    broadcast bucket expression -- zero windows)."""
     o = t(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
@@ -1685,6 +1686,90 @@ def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "window_ntile_deciles_approx",
+    oracle="""
+    SELECT CAST(p AS DOUBLE) / 10 AS p, CAST(n AS BIGINT) AS n,
+           TRUE AS lt_ok, TRUE AS le_ok, TRUE AS buckets_ok
+    FROM (SELECT COUNT(*) AS n FROM orders)
+    CROSS JOIN (SELECT unnest(range(1, 10)) AS p)
+    """,
+)
+def window_ntile_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION decile bucketing -- the coded 100 TB twin that
+    ``window_ntile_deciles``'s docstring promises: NO global window.
+    One percentile_approx aggregate (GK sketch) yields the nine decile
+    cutpoints, broadcast back as a 1-row relation; each order buckets
+    via a narrow sum-of-comparisons expression (ties at a cutpoint fall
+    to the lower bucket, deterministically). Two passes, both fully
+    partial-agg combinable; the plan contains zero WindowExec nodes
+    (pinned in tests/test_scale_patterns.py).
+
+    Oracle, in the quantiles_grouped_approx style: value-bucketing on
+    tied data cannot reproduce NTILE's forced-equal buckets, so the
+    check asserts the sketch's actual guarantee per cutpoint p --
+    count(x < q_p)/n <= p + eps and count(x <= q_p)/n >= p - eps
+    (eps = 0.005 + 1/n vs the sketch's 1e-4) -- plus bucket invariants
+    (every row bucketed into 1..10, cutpoints non-decreasing)."""
+    o = t(spark, sf_dir, "orders").select("o_totalprice")
+    ps = [i / 10 for i in range(1, 10)]
+    cuts = o.agg(
+        F.percentile_approx(
+            "o_totalprice", F.array(*[F.lit(p) for p in ps]), F.lit(10000)
+        ).alias("cs")
+    )
+    x = F.col("o_totalprice")
+    decile = F.lit(1)
+    for i in range(9):
+        decile = decile + F.when(x > F.col("cs")[i], 1).otherwise(0)
+    staged = o.crossJoin(F.broadcast(cuts)).withColumn(
+        "decile", decile.cast("int")
+    )
+    checks = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("decile").alias("n_bucketed"),
+        F.min("decile").alias("dmin"),
+        F.max("decile").alias("dmax"),
+        F.first(F.col("cs") == F.sort_array(F.col("cs"))).alias("cs_sorted"),
+        *[
+            c
+            for i in range(9)
+            for c in (
+                F.count(F.when(x < F.col("cs")[i], 1)).alias(f"lt{i}"),
+                F.count(F.when(x <= F.col("cs")[i], 1)).alias(f"le{i}"),
+            )
+        ],
+    )
+    nd = F.col("n").cast("double")
+    eps = F.lit(0.005) + F.lit(1.0) / nd
+    buckets_ok = (
+        (F.col("n_bucketed") == F.col("n"))
+        & (F.col("dmin") >= 1)
+        & (F.col("dmax") <= 10)
+        & F.col("cs_sorted")
+    )
+    staged2 = checks.select(
+        F.col("n").cast("bigint").alias("n"),
+        buckets_ok.alias("buckets_ok"),
+        *[
+            c
+            for i, p in enumerate(ps)
+            for c in (
+                (F.col(f"lt{i}") / nd <= F.lit(p) + eps).alias(f"lt{i}_ok"),
+                (F.col(f"le{i}") / nd >= F.lit(p) - eps).alias(f"le{i}_ok"),
+            )
+        ],
+    )
+    stack_args = ", ".join(
+        f"cast({p!r} as double), lt{i}_ok, le{i}_ok" for i, p in enumerate(ps)
+    )
+    return staged2.select(
+        F.expr(f"stack(9, {stack_args}) AS (p, lt_ok, le_ok)"),
+        "n",
+        "buckets_ok",
+    ).select("p", "n", "lt_ok", "le_ok", "buckets_ok")
 
 
 @register(

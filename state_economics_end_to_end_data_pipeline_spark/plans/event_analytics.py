@@ -889,10 +889,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic here because every ORDER BY carries the customer key
     as a total-order tie-break -- without it, equal frequencies would
     make bucket assignment engine-dependent. Monetary sums ride
-    DECIMAL (rule 1). The three global windows state the semantics; at
-    100 TB each becomes approx-percentile cut points broadcast as a
-    narrow bucketing expression (quality_filter_lang_percentile shows
-    that twin)."""
+    DECIMAL (rule 1). The three global windows state the semantics; the
+    CODED production twin is ``customer_rfm_segments_approx`` below
+    (approx-percentile cutpoints broadcast as a narrow bucketing
+    expression -- zero windows)."""
     from pyspark.sql import Window
 
     o = t(spark, sf_dir, "orders")
@@ -912,6 +912,119 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("segment")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+
+@register(
+    "customer_rfm_segments_approx",
+    oracle="""
+    WITH rfm AS (SELECT o_custkey FROM orders GROUP BY o_custkey)
+    SELECT 'f' AS dim, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           TRUE AS cuts_ok, TRUE AS segments_ok FROM rfm
+    UNION ALL
+    SELECT 'm', CAST(COUNT(*) AS BIGINT), TRUE, TRUE FROM rfm
+    UNION ALL
+    SELECT 'r', CAST(COUNT(*) AS BIGINT), TRUE, TRUE FROM rfm
+    """,
+)
+def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION RFM segmentation -- the coded 100 TB twin that
+    ``customer_rfm_segments``'s docstring promises: NO global NTILE
+    windows (the exact entry moves the whole customer aggregate to one
+    partition three times). Instead each dimension's quintile cutpoints
+    come from ONE percentile_approx aggregate (GK sketch, bounded
+    memory), broadcast back as a 1-row relation, and each customer is
+    bucketed by a narrow CASE-style expression -- two passes over the
+    O(customers) aggregate, zero windows, every shuffle partial-agg
+    combinable.
+
+    Semantics note: value-based quintiles cannot split ties (all
+    customers with frequency 7 share a bucket), so per-bucket counts
+    differ from NTILE's forced-equal buckets on tied data -- that is the
+    production-correct behavior, and it is exactly what the GK sketch
+    guarantees. The oracle therefore checks what IS guaranteed, in the
+    quantiles_grouped_approx style: for every cutpoint q_p of every
+    dimension, count(x < q_p)/n <= p + eps and count(x <= q_p)/n >=
+    p - eps (tie-safe two-sided rank bound, eps = 0.005 + 1/n against
+    the sketch's 1e-4), plus segment-level invariants (every customer
+    segmented, all digits in 1..5) -- asserted as booleans the oracle
+    pins TRUE."""
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.unix_micros(F.max("o_orderdate")).cast("double").alias("r"),
+        F.count(F.lit(1)).cast("double").alias("f"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("m"),
+    )
+    ps = [0.2, 0.4, 0.6, 0.8]
+    parr = F.array(*[F.lit(p) for p in ps])
+    cuts = rfm.agg(
+        *[
+            F.percentile_approx(d, parr, F.lit(10000)).alias(f"{d}_cuts")
+            for d in ("r", "f", "m")
+        ]
+    )
+
+    def quintile(d: str):
+        # bigger = better: top 20% by value -> bucket 1 (NTILE-DESC's 1)
+        q = F.lit(5)
+        for i in range(4):
+            q = q - F.when(F.col(d) >= F.col(f"{d}_cuts")[i], 1).otherwise(0)
+        return q.alias(f"{d}_q")
+
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
+        "r", "f", "m",
+        *[F.col(f"{d}_cuts") for d in ("r", "f", "m")],
+        quintile("r"), quintile("f"), quintile("m"),
+    )
+    seg = (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("int")
+    checks = scored.withColumn("seg", seg).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("seg").alias("n_seg"),
+        *[
+            c
+            for d in ("r", "f", "m")
+            for i in range(4)
+            for c in (
+                F.count(F.when(F.col(d) < F.col(f"{d}_cuts")[i], 1)).alias(f"{d}_lt{i}"),
+                F.count(F.when(F.col(d) <= F.col(f"{d}_cuts")[i], 1)).alias(f"{d}_le{i}"),
+            )
+        ],
+        *[
+            c
+            for d in ("r", "f", "m")
+            for c in (
+                F.min(f"{d}_q").alias(f"{d}_qmin"),
+                F.max(f"{d}_q").alias(f"{d}_qmax"),
+            )
+        ],
+    )
+    nd = F.col("n").cast("double")
+
+    def cuts_ok(d: str):
+        ok = F.lit(True)
+        for i, p in enumerate(ps):
+            eps = F.lit(0.005) + F.lit(1.0) / nd
+            ok = (
+                ok
+                & (F.col(f"{d}_lt{i}") / nd <= F.lit(p) + eps)
+                & (F.col(f"{d}_le{i}") / nd >= F.lit(p) - eps)
+            )
+        return ok.alias(f"{d}_ok")
+
+    segments_ok = (
+        (F.col("n_seg") == F.col("n"))
+        & (F.least(*[F.col(f"{d}_qmin") for d in ("r", "f", "m")]) >= 1)
+        & (F.greatest(*[F.col(f"{d}_qmax") for d in ("r", "f", "m")]) <= 5)
+    )
+    staged = checks.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        cuts_ok("r"), cuts_ok("f"), cuts_ok("m"),
+        segments_ok.alias("segments_ok"),
+    )
+    return staged.select(
+        F.expr("stack(3, 'r', r_ok, 'f', f_ok, 'm', m_ok) AS (dim, cuts_ok)"),
+        "n_customers",
+        "segments_ok",
+    ).select("dim", "n_customers", "cuts_ok", "segments_ok")
 
 
 @register(

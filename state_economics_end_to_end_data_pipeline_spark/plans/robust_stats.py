@@ -458,9 +458,9 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- drift tests
 
 
-@register(
-    "ks_drift_event_values",
-    oracle="""
+# Shared by the exact entry and its distributed twin: both compute the
+# SAME statistic, so both check against the same naive-cumulative SQL.
+_KS_ORACLE = """
     WITH s AS (
       SELECT value,
              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
@@ -484,8 +484,10 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(abs(cuma * m - cumb * n)) AS DOUBLE)
              / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) AS ks
     FROM cum CROSS JOIN tot GROUP BY n, m
-    """,
-)
+    """
+
+
+@register("ks_drift_event_values", oracle=_KS_ORACLE)
 def ks_drift_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic between the `value`
     distributions of click vs purchase events -- the standard
@@ -498,9 +500,10 @@ def ks_drift_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (cross-multiplication stays far under 2^53). Scale
     shape: one groupBy(value) collapses the data to its distinct support
     BEFORE the cumulative pass; the global-order window here states the
-    semantics -- at 100 TB the same cumulative is a range-repartition by
+    semantics -- the CODED 100 TB twin is
+    ``ks_drift_event_values_distributed`` below (range-repartition by
     value + per-partition prefix sums offset by broadcast partition
-    totals (two narrow passes, no single-partition sort)."""
+    totals; same oracle, same exact result)."""
     s = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "purchase"))
@@ -516,6 +519,92 @@ def ks_drift_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.sum("ca").over(w).alias("cuma"),
         F.sum("cb").over(w).alias("cumb"),
+    )
+    tot = s.agg(
+        F.sum("ia").cast("bigint").alias("n"), F.sum("ib").cast("bigint").alias("m")
+    )
+    metric = F.abs(F.col("cuma") * F.col("m") - F.col("cumb") * F.col("n"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n", "m")
+        .agg(
+            F.max(metric).cast("bigint").alias("d_num"),
+            (
+                F.max(metric).cast("double")
+                / (F.col("n").cast("double") * F.col("m").cast("double"))
+            ).alias("ks"),
+        )
+    )
+
+
+@register("ks_drift_event_values_distributed", oracle=_KS_ORACLE)
+def ks_drift_event_values_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION two-sample KS -- the coded 100 TB twin of
+    ``ks_drift_event_values``, same EXACT statistic and the SAME oracle,
+    with the global-order cumulative replaced by the distributed prefix
+    sum the exact entry's docstring names:
+
+    1. collapse to the distinct value support (one hash shuffle);
+    2. ``repartitionByRange(32, value)`` -- contiguous value slices, one
+       per partition (boundary placement is sampled, but any contiguous
+       split yields identical cumulative sums, so the result is
+       deterministic);
+    3. per-slice prefix sums via a window PARTITIONED by
+       ``spark_partition_id()`` -- parallel, never single-partition
+       (pinned in tests/test_scale_patterns.py);
+    4. per-slice totals (32 rows) broadcast through a pid-ordered
+       theta-join to form each slice's starting offset -- cumulative
+       across slices without any global sort;
+    5. final cum = local prefix + slice offset, then the same integer
+       max |cumA*m - cumB*n| / (n*m).
+
+    Exactness is untouched: every accumulation is integer, so this plan
+    matches the naive-cumulative oracle bit-for-bit while scaling the
+    sort to the number of range slices."""
+    s = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ia"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ib"),
+        )
+    )
+    pv = s.groupBy("value").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    pvr = pv.repartitionByRange(32, "value").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = pvr.select(
+        "pid",
+        "value",
+        F.sum("ca").over(wloc).alias("la"),
+        F.sum("cb").over(wloc).alias("lb"),
+    )
+    slice_tot = pvr.groupBy("pid").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    prior = slice_tot.select(
+        F.col("pid").alias("ppid"),
+        F.col("ta").alias("pta"),
+        F.col("tb").alias("ptb"),
+    )
+    offsets = (
+        slice_tot.join(F.broadcast(prior), F.col("ppid") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(
+            F.coalesce(F.sum("pta"), F.lit(0)).alias("oa"),
+            F.coalesce(F.sum("ptb"), F.lit(0)).alias("ob"),
+        )
+    )
+    cum = loc.join(F.broadcast(offsets), "pid").select(
+        "value",
+        (F.col("la") + F.col("oa")).alias("cuma"),
+        (F.col("lb") + F.col("ob")).alias("cumb"),
     )
     tot = s.agg(
         F.sum("ia").cast("bigint").alias("n"), F.sum("ib").cast("bigint").alias("m")

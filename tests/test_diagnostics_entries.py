@@ -390,3 +390,31 @@ def test_ohlc_bars_rejects_unsupported_window():
 
     with pytest.raises(ValueError, match="1 day"):
         se.ohlc_bars(None, window="1 day")
+
+
+def test_ks_distributed_twin_matches_exact(spark, sf_dir):
+    """The distributed prefix-sum KS must equal the global-window KS
+    bit-for-bit -- both are exact integer arithmetic over the same
+    support, so any divergence is an offset bug."""
+    qs = load_all()
+    [a] = _rows(qs, "ks_drift_event_values", spark, sf_dir)
+    [b] = _rows(qs, "ks_drift_event_values_distributed", spark, sf_dir)
+    assert (a.n, a.m, a.d_num) == (b.n, b.m, b.d_num)
+    assert a.ks == b.ks
+
+
+def test_rfm_approx_guarantees_hold(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "customer_rfm_segments_approx", spark, sf_dir)
+    assert sorted(r.dim for r in rows) == ["f", "m", "r"]
+    assert all(r.cuts_ok and r.segments_ok for r in rows)
+    assert len({r.n_customers for r in rows}) == 1
+
+
+def test_ntile_deciles_approx_guarantees_hold(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "window_ntile_deciles_approx", spark, sf_dir)
+    assert sorted(round(r.p, 3) for r in rows) == [
+        0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9,
+    ]
+    assert all(r.lt_ok and r.le_ok and r.buckets_ok for r in rows)

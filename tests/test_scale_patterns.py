@@ -459,3 +459,49 @@ def test_round5_late_entries_have_scale_shaped_plans(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_window_trio_distributed_twins_have_no_global_windows(spark, sf_dir):
+    """Round-6 pin: the single-partition-window trio's coded production
+    twins must never contain an UNPARTITIONED WindowExec (the one shape
+    that single-threads at 100 TB). An unpartitioned spec renders as
+    windowspecdefinition(<sort item> ASC/DESC ...) -- the first argument
+    is an order item, not a partition expression."""
+    import re
+
+    from state_economics_end_to_end_data_pipeline_spark.plans import load_all
+
+    qs = load_all()
+
+    def unpartitioned_specs(plan: str) -> list[str]:
+        return [
+            m.group(0)
+            for m in re.finditer(
+                r"windowspecdefinition\([^,()]* (?:ASC|DESC)", plan
+            )
+        ]
+
+    # rfm + deciles twins: zero windows of any kind (pure agg + broadcast
+    # bucket expression)
+    for name in ("customer_rfm_segments_approx", "window_ntile_deciles_approx"):
+        plan = (
+            qs[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan, (name, plan)
+
+    # distributed KS: windows allowed, but every spec must be partitioned
+    # (by the range-slice pid)
+    plan = (
+        qs["ks_drift_event_values_distributed"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan, plan
+    assert unpartitioned_specs(plan) == [], plan
+
+    # the regex itself must still catch the exact entry's global window
+    exact_plan = (
+        qs["ks_drift_event_values"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert unpartitioned_specs(exact_plan), exact_plan
