@@ -1580,9 +1580,15 @@ def ivf_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_ivf_kmeans_recall")  # rows-only: KMeans training is
-# iterative and sketch-like -- not SQL-expressible; quality is pinned in
-# tests/test_robust_stats.py instead of a value oracle.
+@register(
+    "embedding_ivf_kmeans_recall",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           TRUE AS n_hits_ok, TRUE AS n_approx_ok, TRUE AS hits_subset_ok,
+           TRUE AS mean_recall_ok, TRUE AS n_cells_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 def embedding_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION IVF index end-to-end: centroids trained with Spark
     ML KMeans (seeded -- reproducible for a fixed input) instead of the
@@ -1590,8 +1596,19 @@ def embedding_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_ivf_topk, measured as recall@5 against the exact brute
     force. Training is a corpus-sample job; assignment stays one narrow
     pass; the trained centers travel via the fitted model (k vectors on
-    the driver by definition)."""
-    from ..operators.similarity import ivf_topk, kmeans_centroids
+    the driver by definition).
+
+    Oracle (bounds, hll_sketch_merge style -- KMeans means are
+    float-nondeterministic ACROSS engines, so a value oracle is
+    impossible, but the index's structural guarantees are not): per
+    query, 0 <= n_hits <= 5, the probed candidate list is non-empty and
+    at most k (1 <= n_approx <= 5), and hits are a subset of the
+    candidates (n_hits <= n_approx); globally, the trained index uses
+    EXACTLY k=8 cells and mean recall@5 >= 0.2 (seeded runs measure
+    ~0.5; random guessing is ~5/corpus ~ 0). Raw per-query recalls stay
+    observable through ``ivf_recall_at_5``, the fixed-centroid
+    oracle-parity variant."""
+    from ..operators.similarity import assign_cells, ivf_topk, kmeans_centroids
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -1606,9 +1623,43 @@ def embedding_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (exact.neighbor_id == approx.ivf_neighbor),
         "left",
     ).select(exact.query_id, approx.ivf_neighbor)
-    return hits.groupBy("query_id").agg(
-        F.count("ivf_neighbor").alias("n_hits"),
-        (F.count("ivf_neighbor").cast("double") / 5.0).alias("recall_at_5"),
+    per_q = (
+        hits.groupBy("query_id")
+        .agg(F.count("ivf_neighbor").alias("n_hits"))
+        .join(
+            approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id", "n_hits", F.coalesce("n_approx", F.lit(0)).alias("n_approx")
+        )
+    )
+    mean_r = per_q.agg(
+        (
+            F.sum("n_hits").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(5.0))
+        ).alias("mean_recall")
+    )
+    n_cells = (
+        assign_cells(emb, cents, n_probe=1)
+        .select("cell")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+    return (
+        per_q.crossJoin(F.broadcast(mean_r))
+        .crossJoin(F.broadcast(n_cells))
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            ((F.col("n_hits") >= 0) & (F.col("n_hits") <= 5)).alias("n_hits_ok"),
+            ((F.col("n_approx") >= 1) & (F.col("n_approx") <= 5)).alias(
+                "n_approx_ok"
+            ),
+            (F.col("n_hits") <= F.col("n_approx")).alias("hits_subset_ok"),
+            (F.col("mean_recall") >= 0.2).alias("mean_recall_ok"),
+            (F.col("n_cells") == 8).alias("n_cells_ok"),
+        )
     )
 
 
