@@ -3446,41 +3446,48 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate, the exact value, and their gap match bit-for-bit
     across engines.
 
-    Plan-shape note: signatures are recomputed on each join-back (3
-    narrow passes). The tempting alternative -- carrying the shingle
-    and signature arrays through the band-join shuffle so they compute
-    once -- measured SLOWER at sf0.1 (9.2s vs 7.5s warm): the payload
-    replicates x4 bands x2 sides through the exchange, and shuffle
-    bytes beat recompute here. Narrow recompute is the right default on
-    columnar scans; ship payloads only when the operator downstream of
-    the shuffle needs them more than once."""
+    Plan-shape note (round-6 rework, measured at sf0.1 warm): the
+    round-5 formulation joined FOUR separately-built relations back onto
+    the candidates (signatures x2, shingle sets x2 -- 9.5s, the suite's
+    heaviest entry). Staging ONE combined feature relation (doc_id,
+    shingle array, mh0..mh7 -- shingles computed once, signatures
+    derived from that same array) and joining it back per side cuts the
+    query to 1.8s (5.4x): the candidate generator and both verify
+    join-backs now share a single narrow build, and the optimizer reuses
+    its exchange across the two sides. Persisting the feature relation
+    measured 0.7s more but caches corpus-sized state inside a catalog
+    entry and flatters min-of-2 bench timings, so the lazy shape is
+    kept. The earlier ship-the-arrays-through-the-band-join variant
+    remains slower (payload replicates x4 bands x2 sides through the
+    exchange)."""
+    from ..operators.dedup import minhash_cols
+    from ..operators.text import tokens, word_ngrams
+
     docs = rebalance_for_cpu(t(spark, sf_dir, "documents"))
-    sigs = minhash_signatures(docs, num_hashes=8, shingle_n=3)
-    cand = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
-    mh_a = sigs.select(
+    feat = (
+        docs.withColumn("__toks", tokens("text"))
+        .filter(F.size("__toks") >= 3)
+        .withColumn("sh", word_ngrams(F.col("__toks"), n=3, distinct=True))
+        .select("doc_id", "sh", *minhash_cols(F.col("sh"), 8))
+    )
+    cand = lsh_candidate_pairs(feat, num_hashes=8, band_size=2)
+    feat_a = feat.select(
         F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
     )
-    mh_b = sigs.select(
+    feat_b = feat.select(
         F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
         *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
     )
-    from ..operators.dedup import shingles as shingle_set
-
-    sh = docs.select(
-        "doc_id", shingle_set("text", n=3).alias("shingles")
-    ).filter(F.size("shingles") >= 1)
-    sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     n_match = sum(
         (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
     )
     ni = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cand.join(mh_a, "id_a")
-        .join(mh_b, "id_b")
-        .join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        cand.join(feat_a, "id_a")
+        .join(feat_b, "id_b")
         .select(
             "id_a",
             "id_b",
