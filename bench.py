@@ -62,6 +62,28 @@ def main() -> int:
     }
     print(json.dumps(payload))
     _persist_full_bench(payload)
+    # The driver records only the LAST ~2000 chars of stdout, which used
+    # to truncate the full per-query line mid-JSON (BENCH_r*.json showed
+    # parsed=null and an alphabetic slice of the catalog). Emit a compact
+    # summary LAST so the graded artifact self-contains the headline
+    # numbers -- suite total, query count, and the top-20 heaviest
+    # queries -- and stays parseable however much of the tail survives.
+    top20 = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:20]
+    )
+    compact = {
+        "metric": "catalog_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for v in timings.values() if v < 0),
+        "queries": top20,
+    }
+    print(json.dumps(compact))
     return 0
 
 
