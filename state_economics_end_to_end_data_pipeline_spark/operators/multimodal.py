@@ -131,3 +131,122 @@ def sample_frame_indexes(n_frames: Column, every: int = 24) -> Column:
     return F.sequence(
         F.lit(0), n_frames - 1, F.lit(every)
     )
+
+
+# ------------------------------------------------------------- real pixels
+
+BMP_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("first_r", T.IntegerType()),
+        T.StructField("first_g", T.IntegerType()),
+        T.StructField("first_b", T.IntegerType()),
+    ]
+)
+
+
+def synth_bmp_payload(doc_id: int) -> bytes:
+    """Deterministic REAL 24-bit BMP payload for a document id: geometry
+    and base colors derive from md5(f"{doc_id}:bmp"), pixel channel
+    values vary per image row ((r0+y)%256, (g0+2y)%256, (b0+3y)%256).
+    A genuine byte-for-byte BITMAPFILEHEADER + BITMAPINFOHEADER +
+    bottom-up padded pixel array -- so the decoder below must honor row
+    stride padding and bottom-up row order or its stats diverge from
+    the closed-form oracle."""
+    import struct
+
+    h = hashlib.md5(f"{doc_id}:bmp".encode()).hexdigest()
+    r0, g0, b0 = int(h[0:2], 16), int(h[2:4], 16), int(h[4:6], 16)
+    w = 1 + int(h[6:8], 16) % 8
+    ht = 1 + int(h[8:10], 16) % 8
+    stride = (3 * w + 3) // 4 * 4
+    rows = []
+    for j in range(ht):  # stored bottom-up: first stored row is y = ht-1
+        y = ht - 1 - j
+        px = bytes(
+            (
+                (b0 + 3 * y) % 256,
+                (g0 + 2 * y) % 256,
+                (r0 + y) % 256,
+            )
+        ) * w
+        rows.append(px + b"\x00" * (stride - 3 * w))
+    pixels = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, w, ht, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return file_hdr + info + pixels
+
+
+def parse_bmp_pixels(raw: bytes) -> tuple:
+    """Stdlib-only REAL BMP decode (struct.unpack, no media libs): parse
+    both headers, walk the padded bottom-up pixel array, return
+    (width, height, mean_r, mean_g, mean_b, first_r, first_g, first_b)
+    where `first_*` is the top-left pixel in IMAGE coordinates (stored
+    LAST in a bottom-up BMP -- an order-sensitive probe that catches a
+    decoder ignoring the row direction)."""
+    import struct
+
+    magic, _fsize, _r1, _r2, off = struct.unpack("<2sIHHI", raw[:14])
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    (_hsz, w, ht, _planes, bpp, comp, _isz, _xp, _yp, _nc, _ni) = struct.unpack(
+        "<IiiHHIIiiII", raw[14:54]
+    )
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    bottom_up = ht > 0
+    ht = abs(ht)
+    stride = (3 * w + 3) // 4 * 4
+    sr = sg = sb = 0
+    first = None
+    for j in range(ht):
+        y = (ht - 1 - j) if bottom_up else j
+        row = raw[off + j * stride : off + j * stride + 3 * w]
+        for x in range(w):
+            b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+            sr += r
+            sg += g
+            sb += b
+            if y == 0 and x == 0:
+                first = (r, g, b)
+    n = w * ht
+    return (w, ht, sr / n, sg / n, sb / n, first[0], first[1], first[2])
+
+
+def synth_bmp_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload binary) table of synthesized real BMPs -- the encode
+    half of the pixel round-trip, Arrow-batched."""
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame({id_col: pdf[id_col].values})
+            out["payload"] = [synth_bmp_payload(int(i)) for i in pdf[id_col]]
+            yield out
+
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+def decode_bmp_pixels(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pixel-level decode of a BMP binary column via mapInPandas: the
+    REAL decode path (headers + padded pixel rows via struct), running
+    everywhere -- no optional media library, no env gate."""
+    out_schema = T.StructType([df.schema[id_col]] + list(BMP_PIXEL_SCHEMA.fields))
+    cols = [f.name for f in BMP_PIXEL_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = [parse_bmp_pixels(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(stats, columns=cols)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)

@@ -23,9 +23,11 @@ from ..operators.dedup import (
     simhash_table,
 )
 from ..operators.multimodal import (
+    decode_bmp_pixels,
     decode_media,
     media_table,
     sample_frame_indexes,
+    synth_bmp_table,
     thumbnail_dims,
 )
 from ..operators.partitioning import rebalance_for_cpu
@@ -1214,6 +1216,63 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planned.groupBy("doc_id", "n_frames").agg(
         F.count(F.lit(1)).alias("n_sampled")
     )
+
+
+_BMP_H = "md5(CAST(doc_id AS VARCHAR) || ':bmp')"
+
+
+@register(
+    "multimodal_pixels",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             {_hex_to_int_sql(_BMP_H, 1, 2)} AS r0,
+             {_hex_to_int_sql(_BMP_H, 3, 2)} AS g0,
+             {_hex_to_int_sql(_BMP_H, 5, 2)} AS b0,
+             1 + {_hex_to_int_sql(_BMP_H, 7, 2)} % 8 AS w,
+             1 + {_hex_to_int_sql(_BMP_H, 9, 2)} % 8 AS hh
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, hh, r0, g0, b0, y
+      FROM dims, LATERAL (SELECT unnest(range(hh)) AS y) t
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(hh AS INT) AS height,
+           CAST(SUM((r0 + y) % 256) AS DOUBLE) / CAST(hh AS DOUBLE) AS mean_r,
+           CAST(SUM((g0 + 2 * y) % 256) AS DOUBLE) / CAST(hh AS DOUBLE) AS mean_g,
+           CAST(SUM((b0 + 3 * y) % 256) AS DOUBLE) / CAST(hh AS DOUBLE) AS mean_b,
+           CAST(r0 AS INT) AS first_r,
+           CAST(g0 AS INT) AS first_g,
+           CAST(b0 AS INT) AS first_b
+    FROM px GROUP BY doc_id, w, hh, r0, g0, b0
+    """,
+)
+def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIXEL-LEVEL multimodal round-trip with NO env gate (round-6): a
+    real 24-bit BMP is synthesized per document (genuine
+    BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up padded pixel rows,
+    geometry/colors derived from md5(doc_id)), then decoded back to
+    width/height/per-channel means/top-left pixel by a stdlib
+    struct-based parser -- both halves Arrow-batched mapInPandas, no
+    Pillow anywhere, so the family's decode evidence executes in every
+    environment.
+
+    The oracle is the CLOSED FORM of the pixel generator (per-row
+    channel values enumerated via a lateral range over image rows), so
+    a decoder that mishandles the 4-byte row stride padding, the
+    bottom-up row order (first_* probes the top-left pixel, stored
+    LAST), or the header offsets diverges from it. Means are exact:
+    integer channel sums, one double division per channel (rule 19);
+    mean-over-pixels equals mean-over-rows because rows are constant
+    across x, and (w*s)/(w*n) and s/n round to the SAME double (one
+    correctly-rounded division of the same real value).
+
+    At 100 TB the payload column never shuffles: synth and decode are
+    back-to-back narrow Arrow passes; only the derived fixed-width
+    stats flow downstream (the derive-then-drop discipline in the
+    module docstring)."""
+    docs = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    return decode_bmp_pixels(synth_bmp_table(docs))
 
 
 @register(

@@ -87,6 +87,34 @@ def test_decode_media_mapinpandas(spark, sf_dir):
     assert (got["width"], got["height"], got["n_frames"], got["format"]) == expect
 
 
+def test_bmp_roundtrip_pixel_exact():
+    """The BMP synth/parse pair (round-6 pixel-level path, no env gate):
+    a real bottom-up padded 24-bit BMP must decode back to the exact
+    closed-form stats, the top-left probe must catch row-order bugs,
+    and malformed payloads must fail loudly."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from state_economics_end_to_end_data_pipeline_spark.operators.multimodal import (
+        parse_bmp_pixels,
+        synth_bmp_payload,
+    )
+
+    for doc_id in (0, 7, 12345, 99999):
+        h = hashlib.md5(f"{doc_id}:bmp".encode()).hexdigest()
+        r0, g0, b0 = int(h[0:2], 16), int(h[2:4], 16), int(h[4:6], 16)
+        w, ht = 1 + int(h[6:8], 16) % 8, 1 + int(h[8:10], 16) % 8
+        got = parse_bmp_pixels(synth_bmp_payload(doc_id))
+        assert got[0:2] == (w, ht)
+        assert got[2] == sum((r0 + y) % 256 for y in range(ht)) / ht
+        assert got[3] == sum((g0 + 2 * y) % 256 for y in range(ht)) / ht
+        assert got[4] == sum((b0 + 3 * y) % 256 for y in range(ht)) / ht
+        assert got[5:8] == (r0, g0, b0)  # top-left = image row 0
+    with _pytest.raises(ValueError, match="not a BMP"):
+        parse_bmp_pixels(b"PNG\x00" + b"\x00" * 60)
+
+
 def test_decode_media_pillow_gate(spark, sf_dir):
     docs = read_parquet_table(spark, sf_dir, "documents").limit(1)
     try:
