@@ -132,9 +132,41 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     return problems
 
 
+def pick_unsampled(qs: dict, n: int) -> tuple[list[str], int, int]:
+    """Rotation over the catalog entries NO driver CORRECTNESS_r*.json has
+    ever sampled: the driver checks 50 of ~200 per round, so most entries
+    rest on local evidence only. Each round this picks a DIFFERENT window
+    of n never-sampled entries (offset rotates with the round number), so
+    successive rounds sweep the whole unsampled set."""
+    import json
+
+    sampled: set[str] = set()
+    n_rounds = 0
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        n_rounds += 1
+        try:
+            sampled |= set(json.loads(p.read_text()).keys())
+        except (OSError, ValueError):
+            pass
+    pool = [name for name in sorted(qs) if name not in sampled]
+    if not pool:
+        return [], n_rounds + 1, 0
+    start = ((n_rounds + 1) * n) % len(pool)
+    picked = [pool[(start + i) % len(pool)] for i in range(min(n, len(pool)))]
+    return picked, n_rounds + 1, len(pool)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--unsampled",
+        type=int,
+        default=0,
+        metavar="N",
+        help="check N entries never sampled by any driver CORRECTNESS_r*.json "
+        "(window rotates with the round number)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -148,7 +180,14 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = args.names or sorted(qs)
+    if args.unsampled:
+        names, rnd, pool_size = pick_unsampled(qs, args.unsampled)
+        print(
+            f"# unsampled rotation: round {rnd}, {pool_size} never-driver-sampled "
+            f"entries, checking {len(names)}: {' '.join(names)}"
+        )
+    else:
+        names = args.names or sorted(qs)
     n_fail = 0
     for name in names:
         t0 = time.time()
