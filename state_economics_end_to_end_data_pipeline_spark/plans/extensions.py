@@ -865,6 +865,76 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_topk_terms",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf,
+             round(CAST(t.tf AS DOUBLE)
+                   * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+      FROM tf t JOIN dfq USING (term) CROSS JOIN nd
+      WHERE t.doc_id < 100
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: top-3 terms per document
+    by tf * ln(N/df) -- the classic summarization/tagging primitive and
+    BM25's unsaturated ancestor (kept alongside it because corpus
+    pipelines use TF-IDF for doc->keyword extraction and BM25 for
+    query->doc retrieval).
+
+    Scale shape: term frequencies and document frequencies are two
+    hash aggregates over the exploded token stream (df computed on the
+    FULL corpus -- the per-doc output filter applies after); N is a
+    broadcast one-row relation; ranking is a window PARTITIONED by
+    doc_id (parallel by document, never global). Scores round to 6
+    decimals before ranking (the bm25_keyword_search discipline) so
+    1-ulp libm ln() differences can neither flip the oracle nor reorder
+    the top-3; remaining ties break on term ASC -- a total order, so
+    both engines select the identical set."""
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tk.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 100)
+        .join(dfq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"), "score", "rk")
+    )
+
+
+@register(
     "vocab_topk_coverage",
     oracle=f"""
     WITH tok AS (

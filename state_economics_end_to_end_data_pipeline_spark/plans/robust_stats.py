@@ -624,6 +624,105 @@ def ks_drift_event_values_distributed(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "psi_drift_event_values",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(least(floor(value / 50.0), 9) AS INT) AS bin,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    c AS (SELECT bin, SUM(ia) AS na_b, SUM(ib) AS nb_b FROM s GROUP BY bin),
+    spine AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+    grid AS (
+      SELECT spine.bin, COALESCE(na_b, 0) AS na_b, COALESCE(nb_b, 0) AS nb_b
+      FROM spine LEFT JOIN c ON c.bin = spine.bin
+    ),
+    tot AS (SELECT CAST(SUM(ia) AS BIGINT) AS na, CAST(SUM(ib) AS BIGINT) AS nb
+            FROM s),
+    terms AS (
+      SELECT bin, na_b, nb_b,
+             CAST(floor(
+               ((CAST(na_b AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0)
+                - (CAST(nb_b AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0))
+               * ln(((CAST(na_b AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0))
+                    / ((CAST(nb_b AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0)))
+               * 1e9 + 0.5) AS BIGINT) AS tn
+      FROM grid CROSS JOIN tot
+    ),
+    tots AS (SELECT CAST(SUM(tn) AS BIGINT) AS tsum FROM terms)
+    SELECT bin, CAST(na_b AS BIGINT) AS n_ref, CAST(nb_b AS BIGINT) AS n_live,
+           CAST(tn AS DOUBLE) / 1e9 AS psi_term,
+           CAST(tsum AS DOUBLE) / 1e9 AS psi
+    FROM terms CROSS JOIN tots
+    """,
+)
+def psi_drift_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the click (reference) and
+    purchase (live) `value` distributions -- the ML-ops drift score run
+    before features feed a model, complementing KS: KS is the max CDF
+    gap (sensitive to one sharp shift), PSI sums per-bin share
+    divergence (sensitive to broad reshaping), and production monitors
+    report both.
+
+    Ten fixed-width bins over the known value range (width 50, top bin
+    open) with +0.5 Laplace smoothing so empty bins contribute finitely.
+    Each term (p-q)*ln(p/q) >= 0 is a fixed sequence of correctly-rounded
+    double ops snapped to nano-units (rule 7, the chisq discipline --
+    1-ulp libm ln() differences cannot flip the integer), then summed as
+    exact integers -- order-insensitive, engine-exact.
+
+    Scale shape: ONE fact-sized aggregate (groupBy bin), then all
+    arithmetic on the 10-row grid with the totals as a broadcast one-row
+    relation. Fixed bins are the deliberate choice at 100 TB (a second
+    quantile pass is the alternative; the reference-decile variant would
+    reuse the percentile_approx broadcast-cutpoint pattern of
+    customer_rfm_segments_approx)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ia"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ib"),
+    )
+    c = s.groupBy("bin").agg(F.sum("ia").alias("na_b"), F.sum("ib").alias("nb_b"))
+    spine = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    grid = spine.join(F.broadcast(c), "bin", "left").select(
+        "bin",
+        F.coalesce("na_b", F.lit(0)).alias("na_b"),
+        F.coalesce("nb_b", F.lit(0)).alias("nb_b"),
+    )
+    tot = s.agg(
+        F.sum("ia").cast("bigint").alias("na"), F.sum("ib").cast("bigint").alias("nb")
+    )
+    pa = (F.col("na_b").cast("double") + F.lit(0.5)) / (
+        F.col("na").cast("double") + F.lit(5.0)
+    )
+    pb = (F.col("nb_b").cast("double") + F.lit(0.5)) / (
+        F.col("nb").cast("double") + F.lit(5.0)
+    )
+    terms = grid.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "na_b",
+        "nb_b",
+        F.floor((pa - pb) * F.log(pa / pb) * F.lit(1e9) + F.lit(0.5))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tots = terms.agg(F.sum("tn").cast("bigint").alias("tsum"))
+    return terms.crossJoin(F.broadcast(tots)).select(
+        "bin",
+        F.col("na_b").cast("bigint").alias("n_ref"),
+        F.col("nb_b").cast("bigint").alias("n_live"),
+        (F.col("tn").cast("double") / F.lit(1e9)).alias("psi_term"),
+        (F.col("tsum").cast("double") / F.lit(1e9)).alias("psi"),
+    )
+
+
+@register(
     "chisq_lang_source",
     oracle="""
     WITH o AS (

@@ -418,3 +418,29 @@ def test_ntile_deciles_approx_guarantees_hold(spark, sf_dir):
         0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9,
     ]
     assert all(r.lt_ok and r.le_ok and r.buckets_ok for r in rows)
+
+
+def test_psi_is_nonnegative_and_sums_terms(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "psi_drift_event_values", spark, sf_dir)
+    assert sorted(r.bin for r in rows) == list(range(10))
+    assert all(r.psi_term >= 0.0 for r in rows)  # (p-q)ln(p/q) >= 0 always
+    psi = rows[0].psi
+    assert all(r.psi == psi for r in rows)
+    assert math.isclose(psi, sum(r.psi_term for r in rows), abs_tol=1e-8)
+    assert psi >= 0.0
+
+
+def test_tfidf_topk_ranks_and_monotonic(spark, sf_dir):
+    qs = load_all()
+    rows = _rows(qs, "tfidf_topk_terms", spark, sf_dir)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc  # at least one doc under the id cutoff
+    for doc_id, rs in by_doc.items():
+        rs = sorted(rs, key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True), doc_id
