@@ -65,6 +65,16 @@ PROBES = [
     "orders_open_by_day",
     "skipgram_cooccurrence",
     "dau_new_vs_returning",
+    # round-6 additions: the coded global-window twins (the point is the
+    # ratio vs their exact counterparts), the reworked minhash
+    # calibration, and the new drift/retrieval/pixel entries
+    "customer_rfm_segments_approx",
+    "window_ntile_deciles_approx",
+    "ks_drift_event_values_distributed",
+    "minhash_jaccard_estimate",
+    "psi_drift_event_values",
+    "tfidf_topk_terms",
+    "multimodal_pixels",
 ]
 
 REPLICAS = 10
