@@ -182,13 +182,19 @@ def synth_bmp_payload(doc_id: int) -> bytes:
 
 
 def parse_bmp_pixels(raw: bytes) -> tuple:
-    """Stdlib-only REAL BMP decode (struct.unpack, no media libs): parse
-    both headers, walk the padded bottom-up pixel array, return
+    """REAL BMP decode, numpy-vectorized (no media libs): struct-parse
+    both headers, then ``np.frombuffer`` + stride reshape + slice over
+    the padded bottom-up pixel array -- the production decode shape
+    (ADVICE r6: the former per-pixel Python loop was fine for 8x8 test
+    images but is exactly what dies first on megapixel media). Returns
     (width, height, mean_r, mean_g, mean_b, first_r, first_g, first_b)
     where `first_*` is the top-left pixel in IMAGE coordinates (stored
     LAST in a bottom-up BMP -- an order-sensitive probe that catches a
-    decoder ignoring the row direction)."""
+    decoder ignoring the row direction).  Channel sums accumulate as
+    int64 (exact), so means are identical to the scalar loop's."""
     import struct
+
+    import numpy as np
 
     magic, _fsize, _r1, _r2, off = struct.unpack("<2sIHHI", raw[:14])
     if magic != b"BM":
@@ -201,20 +207,23 @@ def parse_bmp_pixels(raw: bytes) -> tuple:
     bottom_up = ht > 0
     ht = abs(ht)
     stride = (3 * w + 3) // 4 * 4
-    sr = sg = sb = 0
-    first = None
-    for j in range(ht):
-        y = (ht - 1 - j) if bottom_up else j
-        row = raw[off + j * stride : off + j * stride + 3 * w]
-        for x in range(w):
-            b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
-            sr += r
-            sg += g
-            sb += b
-            if y == 0 and x == 0:
-                first = (r, g, b)
+    if len(raw) < off + stride * ht:
+        raise ValueError(
+            f"truncated BMP pixel array: need {off + stride * ht} bytes, "
+            f"have {len(raw)}"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8, offset=off, count=stride * ht)
+    # rows as stored -> drop stride padding -> (ht, w, BGR)
+    px = arr.reshape(ht, stride)[:, : 3 * w].reshape(ht, w, 3)
+    if bottom_up:
+        px = px[::-1]  # image coordinates: row 0 = top
+    sb, sg, sr = (int(s) for s in px.reshape(-1, 3).sum(axis=0, dtype=np.int64))
+    first = px[0, 0]
     n = w * ht
-    return (w, ht, sr / n, sg / n, sb / n, first[0], first[1], first[2])
+    return (
+        w, ht, sr / n, sg / n, sb / n,
+        int(first[2]), int(first[1]), int(first[0]),
+    )
 
 
 def synth_bmp_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -1713,8 +1713,7 @@ def ivf_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_ivf_kmeans_recall",
     oracle="""
     SELECT CAST(vec_id AS BIGINT) AS query_id,
-           TRUE AS n_hits_ok, TRUE AS n_approx_ok, TRUE AS hits_subset_ok,
-           TRUE AS mean_recall_ok, TRUE AS n_cells_ok
+           TRUE AS n_hits_ok, TRUE AS n_approx_ok, TRUE AS hits_subset_ok
     FROM embeddings WHERE vec_id < 10
     """,
 )
@@ -1732,12 +1731,18 @@ def embedding_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     impossible, but the index's structural guarantees are not): per
     query, 0 <= n_hits <= 5, the probed candidate list is non-empty and
     at most k (1 <= n_approx <= 5), and hits are a subset of the
-    candidates (n_hits <= n_approx); globally, the trained index uses
-    EXACTLY k=8 cells and mean recall@5 >= 0.2 (seeded runs measure
-    ~0.5; random guessing is ~5/corpus ~ 0). Raw per-query recalls stay
-    observable through ``ivf_recall_at_5``, the fixed-centroid
-    oracle-parity variant."""
-    from ..operators.similarity import assign_cells, ivf_topk, kmeans_centroids
+    candidates (n_hits <= n_approx).  The THRESHOLD-style assertions
+    (mean recall@5 >= 0.2, cell census) live in the pytest invariant
+    layer instead (tests/test_diagnostics_entries.py,
+    test_kmeans_ivf_thresholds_hold) -- ADVICE r6: a different
+    JVM/BLAS/Spark can legitimately produce an empty cluster or lower
+    recall, and oracle-pinning an environment-sensitive boolean turns
+    correct behavior into a hard gate failure; moving them also removes
+    the duplicated full-corpus ``assign_cells`` census pass this entry
+    paid for n_cells (the round-6 suite's heaviest query).  Raw
+    per-query recalls stay observable through ``ivf_recall_at_5``, the
+    fixed-centroid oracle-parity variant."""
+    from ..operators.similarity import ivf_topk, kmeans_centroids
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -1764,31 +1769,13 @@ def embedding_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "n_hits", F.coalesce("n_approx", F.lit(0)).alias("n_approx")
         )
     )
-    mean_r = per_q.agg(
-        (
-            F.sum("n_hits").cast("double")
-            / (F.count(F.lit(1)).cast("double") * F.lit(5.0))
-        ).alias("mean_recall")
-    )
-    n_cells = (
-        assign_cells(emb, cents, n_probe=1)
-        .select("cell")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_cells"))
-    )
-    return (
-        per_q.crossJoin(F.broadcast(mean_r))
-        .crossJoin(F.broadcast(n_cells))
-        .select(
-            F.col("query_id").cast("bigint").alias("query_id"),
-            ((F.col("n_hits") >= 0) & (F.col("n_hits") <= 5)).alias("n_hits_ok"),
-            ((F.col("n_approx") >= 1) & (F.col("n_approx") <= 5)).alias(
-                "n_approx_ok"
-            ),
-            (F.col("n_hits") <= F.col("n_approx")).alias("hits_subset_ok"),
-            (F.col("mean_recall") >= 0.2).alias("mean_recall_ok"),
-            (F.col("n_cells") == 8).alias("n_cells_ok"),
-        )
+    return per_q.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        ((F.col("n_hits") >= 0) & (F.col("n_hits") <= 5)).alias("n_hits_ok"),
+        ((F.col("n_approx") >= 1) & (F.col("n_approx") <= 5)).alias(
+            "n_approx_ok"
+        ),
+        (F.col("n_hits") <= F.col("n_approx")).alias("hits_subset_ok"),
     )
 
 

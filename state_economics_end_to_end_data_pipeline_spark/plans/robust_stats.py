@@ -545,14 +545,22 @@ def ks_drift_event_values_distributed(spark: SparkSession, sf_dir: str) -> DataF
     sum the exact entry's docstring names:
 
     1. collapse to the distinct value support (one hash shuffle);
-    2. ``repartitionByRange(32, value)`` -- contiguous value slices, one
-       per partition (boundary placement is sampled, but any contiguous
-       split yields identical cumulative sums, so the result is
-       deterministic);
-    3. per-slice prefix sums via a window PARTITIONED by
-       ``spark_partition_id()`` -- parallel, never single-partition
-       (pinned in tests/test_scale_patterns.py);
-    4. per-slice totals (32 rows) broadcast through a pid-ordered
+    2. slice ids come from broadcast ``percentile_approx`` cutpoints
+       (the rfm/decile-twin pattern): ``pid = #cutpoints < value`` is a
+       DETERMINISTIC function of the value itself, so every subtree that
+       references the sliced relation computes identical slice ids --
+       no dependence on physical partition placement or on Catalyst's
+       ReuseExchange deduplicating two range exchanges (the round-6
+       ``spark_partition_id()``-over-``repartitionByRange`` variant was
+       silently reuse-dependent; any contiguous split still yields
+       identical cumulative sums, so exactness never depended on WHICH
+       boundaries the sampler picked -- only on both references seeing
+       the SAME ones, which a value-derived pid guarantees by
+       construction);
+    3. per-slice prefix sums via a window PARTITIONED by ``pid`` --
+       parallel, never single-partition (pinned in
+       tests/test_scale_patterns.py);
+    4. per-slice totals (<=32 rows) broadcast through a pid-ordered
        theta-join to form each slice's starting offset -- cumulative
        across slices without any global sort;
     5. final cum = local prefix + slice offset, then the same integer
@@ -560,7 +568,7 @@ def ks_drift_event_values_distributed(spark: SparkSession, sf_dir: str) -> DataF
 
     Exactness is untouched: every accumulation is integer, so this plan
     matches the naive-cumulative oracle bit-for-bit while scaling the
-    sort to the number of range slices."""
+    sort to the number of value slices."""
     s = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "purchase"))
@@ -571,9 +579,22 @@ def ks_drift_event_values_distributed(spark: SparkSession, sf_dir: str) -> DataF
         )
     )
     pv = s.groupBy("value").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
-    pvr = pv.repartitionByRange(32, "value").withColumn(
-        "pid", F.spark_partition_id()
-    )
+    # Driver-bounded by definition: 31 doubles.  Which boundaries the
+    # approx sampler picks is irrelevant to the result (any contiguous
+    # split works); collecting them ONCE and folding them into a literal
+    # makes the slice id deterministic across all downstream subtrees.
+    cut_row = pv.select(
+        F.percentile_approx(
+            "value", [i / 32.0 for i in range(1, 32)], 10000
+        ).alias("cuts")
+    ).first()
+    cuts = sorted(set(cut_row["cuts"] or [])) if cut_row is not None else []
+    if cuts:
+        cuts_lit = F.array(*[F.lit(float(c)) for c in cuts])
+        pid_col = F.size(F.filter(cuts_lit, lambda c: c < F.col("value")))
+    else:
+        pid_col = F.lit(0)
+    pvr = pv.withColumn("pid", pid_col.cast("int"))
     wloc = (
         Window.partitionBy("pid")
         .orderBy("value")
@@ -668,9 +689,12 @@ def psi_drift_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ten fixed-width bins over the known value range (width 50, top bin
     open) with +0.5 Laplace smoothing so empty bins contribute finitely.
     Each term (p-q)*ln(p/q) >= 0 is a fixed sequence of correctly-rounded
-    double ops snapped to nano-units (rule 7, the chisq discipline --
-    1-ulp libm ln() differences cannot flip the integer), then summed as
-    exact integers -- order-insensitive, engine-exact.
+    double ops snapped to nano-units (rule 7, the chisq discipline -- a
+    1-ulp libm ln() difference flips the snapped integer only if a term
+    lands within ~1 ulp of a half-nano boundary, which would surface as
+    an oracle diff of exactly 1e-9; improbable, not impossible, same
+    probabilistic guarantee chisq documents), then summed as exact
+    integers -- order-insensitive, engine-exact.
 
     Scale shape: ONE fact-sized aggregate (groupBy bin), then all
     arithmetic on the 10-row grid with the totals as a broadcast one-row

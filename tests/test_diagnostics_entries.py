@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from state_economics_end_to_end_data_pipeline_spark.plans import load_all
 
 
@@ -360,19 +362,25 @@ def test_brand_share_partitions_revenue(spark, sf_dir):
         assert all(r.revenue > 0 for r in named)
 
 
-def test_event_id_fits_ohlc_key():
+def test_event_id_fits_ohlc_key(sf_dir):
     """Pin the OHLC order-key precondition (ADVICE r5): the batch and
     streaming OHLC entries encode ties as micros-in-window * 2^31 +
     event_id, which silently wraps in Spark (and errors in DuckDB) if
     any event_id >= 2^31. Verify the bound across every generated
     fixture scale so a regenerated fixture that breaks it fails loudly
-    here instead of diverging the two engines."""
+    here instead of diverging the two engines.  The fixture root is
+    derived from the sf_dir fixture (ADVICE r6: a hardcoded path tested
+    nothing when fixtures moved)."""
     import glob
+    from pathlib import Path
 
     import duckdb
 
-    paths = sorted(glob.glob("/root/testdata/sf*/events.parquet"))
-    assert paths, "no events fixtures found"
+    root = Path(sf_dir).parent
+    paths = sorted(glob.glob(str(root / "sf*" / "events.parquet")))
+    if not paths:
+        paths = sorted(glob.glob(str(Path(sf_dir) / "events.parquet")))
+    assert paths, f"no events fixtures found under {root}"
     for p in paths:
         [(mx,)] = duckdb.sql(
             f"SELECT MAX(event_id) FROM read_parquet('{p}')"
@@ -429,6 +437,47 @@ def test_psi_is_nonnegative_and_sums_terms(spark, sf_dir):
     assert all(r.psi == psi for r in rows)
     assert math.isclose(psi, sum(r.psi_term for r in rows), abs_tol=1e-8)
     assert psi >= 0.0
+
+
+def test_kmeans_ivf_thresholds_hold(spark, sf_dir):
+    """ADVICE r6: the environment-sensitive thresholds that used to be
+    oracle-pinned booleans in embedding_ivf_kmeans_recall live here
+    instead -- on a fixed platform the seeded run is reproducible, so
+    pytest asserts them, while the driver oracle keeps only the
+    structural per-query bounds a different JVM/BLAS could never break.
+    Cell census is relaxed to 1..8 (KMeans may legitimately leave a
+    cluster empty); mean recall@5 >= 0.2 (seeded runs measure ~0.5,
+    random guessing ~0)."""
+    from state_economics_end_to_end_data_pipeline_spark.operators.similarity import (
+        assign_cells,
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.plans.catalog import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = kmeans_centroids(emb, k=8, seed=42, max_iter=10)
+
+    n_cells = (
+        assign_cells(emb, cents, n_probe=1).select("cell").distinct().count()
+    )
+    assert 1 <= n_cells <= 8, n_cells
+
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        corpus=emb, queries=queries, centroids=cents, k=5, n_probe=2
+    ).select("query_id", F.col("neighbor_id").alias("ivf_neighbor"))
+    n_queries = queries.count()
+    n_hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.ivf_neighbor),
+        "inner",
+    ).count()
+    mean_recall = n_hits / (n_queries * 5.0)
+    assert mean_recall >= 0.2, mean_recall
 
 
 def test_tfidf_topk_ranks_and_monotonic(spark, sf_dir):
