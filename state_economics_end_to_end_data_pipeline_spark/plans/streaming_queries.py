@@ -332,6 +332,136 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_psi_drift",
+    oracle=f"""
+    WITH ref AS (
+      SELECT CAST(least(floor(value / 50.0), 9) AS INT) AS bin,
+             COUNT(*) AS na_b
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    na_t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS na
+      FROM events WHERE event_type = 'click'
+    ),
+    live AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(least(floor(value / 50.0), 9) AS INT) AS bin,
+             COUNT(*) AS nb_b
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM live),
+    nb_t AS (SELECT day, CAST(SUM(nb_b) AS BIGINT) AS nb FROM live GROUP BY day),
+    spine AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+    grid AS (
+      SELECT d.day, s.bin, COALESCE(r.na_b, 0) AS na_b,
+             COALESCE(l.nb_b, 0) AS nb_b
+      FROM days d CROSS JOIN spine s
+      LEFT JOIN ref r ON r.bin = s.bin
+      LEFT JOIN live l ON l.day = d.day AND l.bin = s.bin
+    ),
+    terms AS (
+      SELECT g.day,
+             CAST(floor(
+               ((CAST(na_b AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0)
+                - (CAST(nb_b AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0))
+               * ln(((CAST(na_b AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0))
+                    / ((CAST(nb_b AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0)))
+               * 1e9 + 0.5) AS BIGINT) AS tn
+      FROM grid g CROSS JOIN na_t JOIN nb_t ON nb_t.day = g.day
+    )
+    SELECT strftime(t.day, '{_TS_FMT_DUCK}') AS window_start,
+           nb_t.nb AS n_live,
+           CAST(SUM(tn) AS DOUBLE) / 1e9 AS psi
+    FROM terms t JOIN nb_t ON nb_t.day = t.day
+    GROUP BY 1, 2
+    """,
+)
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: per-day PSI of the live purchase `value`
+    distribution against a STATIC reference histogram (all clicks) --
+    the production shape of ``psi_drift_event_values``: drift checks in
+    ML ops run on a stream, scoring each arriving window against a
+    frozen training-time distribution (the profiling DAG's recurring
+    data-inspection purpose, reference DAG2:41-55, moved to where it
+    runs in production).
+
+    The ONLY stateful streaming operator is the windowed bin count
+    (groupBy(window('1 day'), bin)): state is O(windows x 10 bins), the
+    minimum possible. The broadcast reference histogram joins AFTER the
+    replayed aggregation, on the tiny (day, bin) relation -- joining it
+    per-event pre-agg (stream_static_enrich's shape) would buy nothing
+    and 10x the rows flowing into state. Same +0.5/+5.0 Laplace
+    smoothing and per-term nano-snap as the batch entry, so the PSI is
+    engine-exact; replayed to completion it must equal the batch SQL
+    the oracle states."""
+    from ..io.readers import read_parquet_table
+
+    def bin_of(c):
+        return F.least(F.floor(c / F.lit(50.0)), F.lit(9)).cast("int")
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    ref = (
+        clicks.select(bin_of(F.col("value")).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("na_b"))
+    )
+    na = clicks.agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    agg = (
+        stream.withColumn("bin", bin_of(F.col("value")))
+        .groupBy(F.window("ts", "1 day"), "bin")
+        .agg(F.count(F.lit(1)).alias("nb_b"))
+    )
+    out = run_available_now(agg, output_mode="complete")
+    live = out.select(F.col("window.start").alias("day"), "bin", "nb_b")
+
+    days = live.select("day").distinct()
+    spine = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    nb_t = live.groupBy("day").agg(F.sum("nb_b").cast("bigint").alias("nb"))
+    grid = (
+        days.crossJoin(F.broadcast(spine))
+        .join(F.broadcast(ref), "bin", "left")
+        .join(live, ["day", "bin"], "left")
+        .select(
+            "day",
+            "bin",
+            F.coalesce("na_b", F.lit(0)).alias("na_b"),
+            F.coalesce("nb_b", F.lit(0)).alias("nb_b"),
+        )
+    )
+    pa = (F.col("na_b").cast("double") + F.lit(0.5)) / (
+        F.col("na").cast("double") + F.lit(5.0)
+    )
+    pb = (F.col("nb_b").cast("double") + F.lit(0.5)) / (
+        F.col("nb").cast("double") + F.lit(5.0)
+    )
+    terms = (
+        grid.crossJoin(F.broadcast(na))
+        .join(F.broadcast(nb_t), "day")
+        .select(
+            "day",
+            "nb",
+            F.floor((pa - pb) * F.log(pa / pb) * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+            .alias("tn"),
+        )
+    )
+    return (
+        terms.groupBy("day", "nb")
+        .agg(F.sum("tn").cast("bigint").alias("tsum"))
+        .select(
+            F.date_format("day", _TS_FMT_SPARK).alias("window_start"),
+            F.col("nb").alias("n_live"),
+            (F.col("tsum").cast("double") / F.lit(1e9)).alias("psi"),
+        )
+    )
+
+
+@register(
     "stream_static_enrich",
     oracle="""
     SELECT c.c_mktsegment, e.event_type,

@@ -439,6 +439,21 @@ def test_psi_is_nonnegative_and_sums_terms(spark, sf_dir):
     assert psi >= 0.0
 
 
+def test_stream_psi_drift_guarantees_hold(spark, sf_dir):
+    """The streaming PSI monitor replays to one row per day window with
+    a non-negative PSI (every Laplace-smoothed term (p-q)ln(p/q) >= 0)
+    and a positive live count; window starts are distinct and
+    day-aligned."""
+    qs = load_all()
+    rows = _rows(qs, "stream_psi_drift", spark, sf_dir)
+    assert rows
+    starts = [r.window_start for r in rows]
+    assert len(set(starts)) == len(starts)
+    assert all(s.endswith("00:00:00") for s in starts)
+    assert all(r.n_live > 0 for r in rows)
+    assert all(r.psi >= 0.0 for r in rows)
+
+
 def test_kmeans_ivf_thresholds_hold(spark, sf_dir):
     """ADVICE r6: the environment-sensitive thresholds that used to be
     oracle-pinned booleans in embedding_ivf_kmeans_recall live here
