@@ -173,7 +173,14 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from state_economics_end_to_end_data_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-check")
+    # The console progress bar writes \r-terminated frames to stdout; when
+    # the run is captured to a file they swallow adjacent result lines
+    # (round 6: 3 of 30 OK lines vanished from the recorded evidence).
+    # Recorded evidence must be line-complete, so the bar is off here.
+    spark = get_spark(
+        app_name="oracle-check",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
@@ -194,26 +201,26 @@ def main() -> int:
         try:
             sdf = qs[name](spark, args.sf_dir).toPandas()
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {name}: spark error: {e}", flush=True)
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"OK*   {name}: rows={len(sdf)} (no oracle, rows-only) [{time.time()-t0:.1f}s]")
+            print(f"OK*   {name}: rows={len(sdf)} (no oracle, rows-only) [{time.time()-t0:.1f}s]", flush=True)
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
-            print(f"FAIL  {name}: oracle error: {e}")
+            print(f"FAIL  {name}: oracle error: {e}", flush=True)
             n_fail += 1
             continue
         problems = compare(name, sdf, odf)
         if problems:
             n_fail += 1
-            print(f"FAIL  {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            print(f"FAIL  {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]", flush=True)
             for p in problems:
                 print(f"      - {p}")
         else:
-            print(f"OK    {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            print(f"OK    {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]", flush=True)
     print(f"\n{len(names) - n_fail}/{len(names)} queries match")
     return 1 if n_fail else 0
 
