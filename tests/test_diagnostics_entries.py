@@ -410,6 +410,24 @@ def test_ks_distributed_twin_matches_exact(spark, sf_dir):
     assert (a.n, a.m, a.d_num) == (b.n, b.m, b.d_num)
     assert a.ks == b.ks
 
+    # ADVICE r6 regression pin: the round-6 implementation derived slice
+    # ids from spark_partition_id() over repartitionByRange, which was
+    # only correct while Catalyst's ReuseExchange deduplicated the two
+    # sampled range exchanges. Slice ids are now a deterministic function
+    # of the value (broadcast percentile cutpoints), so the result must
+    # hold with exchange reuse disabled too.
+    key = "spark.sql.exchange.reuse"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        [c] = _rows(qs, "ks_drift_event_values_distributed", spark, sf_dir)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert (c.n, c.m, c.d_num, c.ks) == (a.n, a.m, a.d_num, a.ks)
+
 
 def test_rfm_approx_guarantees_hold(spark, sf_dir):
     qs = load_all()
