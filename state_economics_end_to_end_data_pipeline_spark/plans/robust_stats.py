@@ -501,9 +501,9 @@ def ks_drift_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: one groupBy(value) collapses the data to its distinct support
     BEFORE the cumulative pass; the global-order window here states the
     semantics -- the CODED 100 TB twin is
-    ``ks_drift_event_values_distributed`` below (range-repartition by
-    value + per-partition prefix sums offset by broadcast partition
-    totals; same oracle, same exact result)."""
+    ``ks_drift_event_values_distributed`` below (value slices from
+    broadcast percentile cutpoints + per-slice prefix sums offset by
+    broadcast slice totals; same oracle, same exact result)."""
     s = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "purchase"))

@@ -331,6 +331,111 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_cm_oracle() -> str:
+    from .extensions import _CM_DEPTH, _cm_bucket_sql
+
+    pairs = " UNION ALL ".join(
+        f"SELECT {r} AS row, {_cm_bucket_sql(r, 'key')} AS bucket FROM k"
+        for r in range(_CM_DEPTH)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT key, n_occ, {r} AS row, {_cm_bucket_sql(r, 'key')} AS bucket "
+        "FROM topk"
+        for r in range(_CM_DEPTH)
+    )
+    return f"""
+    WITH k AS (
+      SELECT CAST(user_id AS VARCHAR) AS key FROM events
+    ), exact AS (
+      SELECT key, COUNT(*) AS n_occ FROM k GROUP BY key
+    ), topk AS (
+      SELECT key, n_occ FROM exact ORDER BY n_occ DESC, key LIMIT 20
+    ), pairs AS (
+      {pairs}
+    ), sketch AS (
+      SELECT row, bucket, COUNT(*) AS c FROM pairs GROUP BY row, bucket
+    ), probes AS (
+      {probes}
+    )
+    SELECT p.key AS user_key, p.n_occ,
+           CAST(MIN(s.c) AS BIGINT) AS cm_estimate,
+           CAST(MIN(s.c) - p.n_occ AS BIGINT) AS cm_overestimate
+    FROM probes p JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+    GROUP BY p.key, p.n_occ
+    """
+
+
+@register("stream_countmin_users", oracle=_stream_cm_oracle())
+def stream_countmin_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch over user activity -- the BOUNDED-STATE
+    frequency monitor: the streaming aggregation groups by (row,
+    md5-bucket), so the state store holds at most d x w = 4096 counters
+    NO MATTER how many distinct users the stream ever sees. Contrast
+    ``stream_stateful_user_totals``, whose state is O(users): at 100 TB/
+    day the sketch is the shape that survives, and because count-min
+    cells are additive, every micro-batch's state-store update IS the
+    sketch merge -- per-day sketches roll up without rescanning history
+    (the streaming face of ``countmin_heavy_hitters`` /
+    ``hll_sketch_merge`` / ``bloom_union`` mergeability).
+
+    Replayed to completion, the sketch is BIT-IDENTICAL to the batch
+    grid (md5 bucketing, integer counters), so probing the exact top-20
+    users through it must reproduce the oracle's estimates exactly --
+    including the CM guarantee estimate >= exact (collisions only
+    inflate), surfaced as cm_overestimate >= 0."""
+    from ..io.readers import read_parquet_table
+    from .extensions import _CM_DEPTH, _CM_WIDTH
+
+    def bucket(row: int, col) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"{row}:"), col))
+        return F.conv(F.substring(h, 1, 5), 16, 10).cast("bigint") % _CM_WIDTH
+
+    def rb_explode(df):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("bigint").alias("row"),
+                        bucket(r, F.col("key")).alias("bucket"),
+                    )
+                    for r in range(_CM_DEPTH)
+                ]
+            )
+        ).alias("rb")
+
+    stream = read_events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    pairs = stream.select(rb_explode(stream)).select("rb.row", "rb.bucket")
+    sketch = run_available_now(
+        pairs.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c")),
+        output_mode="complete",
+    )
+
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    exact = ev.groupBy("key").agg(F.count(F.lit(1)).alias("n_occ"))
+    topk = exact.orderBy(F.desc("n_occ"), "key").limit(20)
+    probes = topk.select("key", "n_occ", rb_explode(topk)).select(
+        "key", "n_occ", "rb.row", "rb.bucket"
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("key", "n_occ")
+        .agg(
+            F.min("c").cast("bigint").alias("cm_estimate"),
+            (F.min("c") - F.col("n_occ")).cast("bigint").alias("cm_overestimate"),
+        )
+        .select(
+            F.col("key").alias("user_key"),
+            "n_occ",
+            "cm_estimate",
+            "cm_overestimate",
+        )
+    )
+
+
 @register(
     "stream_psi_drift",
     oracle=f"""

@@ -472,6 +472,18 @@ def test_stream_psi_drift_guarantees_hold(spark, sf_dir):
     assert all(r.psi >= 0.0 for r in rows)
 
 
+def test_stream_countmin_guarantees_hold(spark, sf_dir):
+    """The streaming count-min probe must honor the CM guarantee
+    (estimate >= exact for every probed key -- collisions only inflate)
+    and return at most the exact top-20."""
+    qs = load_all()
+    rows = _rows(qs, "stream_countmin_users", spark, sf_dir)
+    assert 0 < len(rows) <= 20
+    assert all(r.cm_estimate >= r.n_occ for r in rows)
+    assert all(r.cm_overestimate == r.cm_estimate - r.n_occ for r in rows)
+    assert all(r.cm_overestimate >= 0 for r in rows)
+
+
 def test_kmeans_ivf_thresholds_hold(spark, sf_dir):
     """ADVICE r6: the environment-sensitive thresholds that used to be
     oracle-pinned booleans in embedding_ivf_kmeans_recall live here
