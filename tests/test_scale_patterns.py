@@ -505,3 +505,37 @@ def test_window_trio_distributed_twins_have_no_global_windows(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert unpartitioned_specs(exact_plan), exact_plan
+
+
+def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path_factory):
+    """100 TB pattern: a date-partitioned fact joined to a filtered
+    dimension must scan only the matching partitions -- Spark inserts a
+    runtime ``dynamicpruning`` subquery into the fact scan's partition
+    filters, so a 3-day query over a 10-year table reads 3 directories.
+
+    Pinned because DPP is easy to silently lose: the rule requires the
+    dimension filter to look selective (a COMPARISON like cat = 'keep';
+    a bare boolean attribute filter is NOT considered likely-selective
+    and DPP stays off -- measured on this Spark), the join key must be
+    the fact's partition column, and the session conf
+    spark.sql.optimizer.dynamicPartitionPruning.enabled must survive
+    our session factory."""
+    base = str(tmp_path_factory.mktemp("dpp"))
+    ev = read_parquet_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.partitionBy("day").parquet(f"{base}/by_day")
+    fact = spark.read.parquet(f"{base}/by_day")
+    dim = ev.select("day").distinct().withColumn(
+        "cat", F.when(F.dayofmonth("day") <= 3, "keep").otherwise("drop")
+    )
+    dim.write.parquet(f"{base}/dim")
+    dimr = spark.read.parquet(f"{base}/dim").filter(F.col("cat") == "keep")
+    j = fact.join(F.broadcast(dimr), "day").groupBy("day").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+    # and the result is the filtered subset, proving the pruning is
+    # semantic, not just cosmetic
+    days = {r.day for r in j.collect()}
+    assert days
+    assert all(d.day <= 3 for d in days)
