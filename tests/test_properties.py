@@ -360,3 +360,52 @@ def test_entropy_fold_bounds_hold_for_any_counts(spark, counts):
     ent = F.log2(F.lit(float(n))) - clogc / F.lit(float(n))
     [row] = df.select(ent.alias("h")).collect()
     assert -1e-9 <= row.h <= math.log2(len(counts)) + 1e-9
+
+
+@given(doc_id=st.integers(0, 2**31 - 1))
+@settings(max_examples=50, deadline=None)
+def test_bmp_roundtrip_any_doc_id(doc_id):
+    """The synth/parse BMP pair must round-trip for ANY doc id: the
+    vectorized decoder (numpy frombuffer + stride slicing) has to honor
+    md5-derived geometry (1..8 x 1..8), row-stride padding, and
+    bottom-up order everywhere, with integer-exact channel means and the
+    top-left probe equal to the closed-form base colors. Pure Python --
+    no Spark session."""
+    import hashlib
+
+    from state_economics_end_to_end_data_pipeline_spark.operators.multimodal import (
+        parse_bmp_pixels,
+        synth_bmp_payload,
+    )
+
+    h = hashlib.md5(f"{doc_id}:bmp".encode()).hexdigest()
+    r0, g0, b0 = int(h[0:2], 16), int(h[2:4], 16), int(h[4:6], 16)
+    w, ht = 1 + int(h[6:8], 16) % 8, 1 + int(h[8:10], 16) % 8
+    got = parse_bmp_pixels(synth_bmp_payload(doc_id))
+    assert got[0:2] == (w, ht)
+    assert got[2] == sum((r0 + y) % 256 for y in range(ht)) / ht
+    assert got[3] == sum((g0 + 2 * y) % 256 for y in range(ht)) / ht
+    assert got[4] == sum((b0 + 3 * y) % 256 for y in range(ht)) / ht
+    assert got[5:8] == (r0, g0, b0)
+
+
+@given(
+    truncate_at=st.integers(14, 53),
+)
+@settings(max_examples=20, deadline=None)
+def test_bmp_truncated_payload_fails_loudly(truncate_at):
+    """A payload cut anywhere inside the headers or pixel array must
+    raise (struct.error or the explicit truncated-pixel ValueError),
+    never return garbage stats."""
+    import struct
+
+    import pytest as _pytest
+
+    from state_economics_end_to_end_data_pipeline_spark.operators.multimodal import (
+        parse_bmp_pixels,
+        synth_bmp_payload,
+    )
+
+    raw = synth_bmp_payload(7)[:truncate_at]
+    with _pytest.raises((ValueError, struct.error)):
+        parse_bmp_pixels(raw)
