@@ -2693,8 +2693,11 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism across engines: the fold runs over the SORTED count
     array (entropy does not care which token had which count, and
     Spark's array_distinct is first-occurrence-ordered while DuckDB's
-    list_distinct is not); results round to 6 decimals so 1-ulp libm
-    log2 differences cannot flip the hash."""
+    list_distinct is not); results round to 6 decimals, so a 1-ulp libm
+    log2 difference flips the rounded value only if the true value lies
+    within ~1 ulp of a half-micro boundary -- improbable, not
+    impossible; a flip would surface as an oracle diff of exactly 1e-6
+    (the psi/chisq probabilistic discipline)."""
     d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
     # stage the token array once -- it is referenced four times below,
     # and Catalyst does not CSE through HOF lambdas (house pattern, see

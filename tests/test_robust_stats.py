@@ -231,18 +231,19 @@ def test_pq_adc_topk_ranks_dense_and_monotone(spark, sf_dir):
 
 
 def test_kmeans_ivf_recall_deterministic_and_useful(spark, sf_dir):
-    """The KMeans-trained IVF index, now bounds-oracle-paired (round-6):
-    the entry reports per-query and index-level guarantee booleans
-    instead of raw recalls (KMeans means are float-nondeterministic
-    across engines). Seeded training must be reproducible run-to-run and
-    every guarantee must hold: candidate lists non-empty, hits a subset
-    of candidates, exactly k=8 cells, mean recall >= 0.2."""
+    """The KMeans-trained IVF index: the entry reports per-query
+    STRUCTURAL guarantee booleans (candidate lists non-empty, hits a
+    subset of candidates) instead of raw recalls -- KMeans means are
+    float-nondeterministic across engines. The env-sensitive THRESHOLDS
+    (mean recall, cell census) moved to
+    test_diagnostics_entries.py::test_kmeans_ivf_thresholds_hold in
+    round 7 (ADVICE r6). Seeded training must be reproducible
+    run-to-run and every structural guarantee must hold."""
     out = QUERIES["embedding_ivf_kmeans_recall"].fn(spark, sf_dir)
     rows = {r["query_id"]: r.asDict() for r in out.collect()}
     assert len(rows) == 10
     for r in rows.values():
         assert r["n_hits_ok"] and r["n_approx_ok"] and r["hits_subset_ok"]
-        assert r["mean_recall_ok"] and r["n_cells_ok"]
     again = {
         r["query_id"]: r.asDict()
         for r in QUERIES["embedding_ivf_kmeans_recall"].fn(spark, sf_dir).collect()
