@@ -1804,6 +1804,157 @@ def simhash_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_leakage_oracle() -> str:
+    inner = _simhash_oracle().strip()
+    return f"""
+    WITH sh AS ({inner}),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           COUNT(*) AS n_pairs,
+           (sa.split <> sb.split) AS is_leak
+    FROM p JOIN s sa ON sa.doc_id = p.id_a JOIN s sb ON sb.doc_id = p.id_b
+    GROUP BY sa.split, sb.split
+    """
+
+
+@register("split_leakage_neardup", oracle=_split_leakage_oracle())
+def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test CONTAMINATION audit: near-duplicate candidate pairs
+    (simhash blocking, the simhash_blocking_pairs mechanism) crossed
+    with the deterministic md5 split rule (the train_val_test_split
+    rule) -- any pair whose members land in DIFFERENT splits is
+    evaluation leakage through a near-copy, the classic way held-out
+    metrics go quietly optimistic. The output is the split x split pair
+    matrix with an is_leak flag; a clean corpus has zero is_leak rows.
+
+    The production remediation is to split by CLUSTER, not by doc: route
+    each connected near-dup component (dedup_semantic_clusters) through
+    the hash of its MIN member id so the whole cluster lands in one
+    split. Scale shape: split assignment is a narrow per-row expression,
+    pair generation is the O(docs) equi-join on the 16-bit hash (never
+    all-pairs), and the matrix is a tiny groupBy -- the audit costs one
+    hash shuffle at 100 TB."""
+    sh = simhash_table(rebalance_for_cpu(t(spark, sf_dir, "documents")))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    ss = sh.select("doc_id", "simhash", split.alias("split"))
+    a = ss.select(
+        F.col("doc_id").alias("id_a"), "simhash", F.col("split").alias("split_a")
+    )
+    b = ss.select(
+        F.col("doc_id").alias("id_b"), "simhash", F.col("split").alias("split_b")
+    )
+    return (
+        a.join(b, "simhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+    )
+
+
+def _cluster_split_oracle() -> str:
+    inner = _simhash_oracle().strip()
+    return f"""
+    WITH sh AS ({inner}),
+    cl AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY simhash) AS cluster_id,
+             simhash
+      FROM sh
+    ),
+    s AS (
+      SELECT doc_id, simhash,
+             CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM cl
+    ),
+    p AS (
+      SELECT a.split AS split_a, b.split AS split_b
+      FROM s a JOIN s b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    )
+    SELECT split_a, split_b, COUNT(*) AS n_pairs,
+           (split_a <> split_b) AS is_leak
+    FROM p GROUP BY split_a, split_b
+    """
+
+
+@register("cluster_aware_split", oracle=_cluster_split_oracle())
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMEDIATION for split_leakage_neardup: assign splits by
+    near-dup CLUSTER, not by document -- every doc routes through the
+    md5 of its cluster's MIN member id, so a whole family of near-copies
+    lands in one split and the leakage matrix collapses to the diagonal
+    (is_leak is FALSE on every row, pinned by the invariant test).
+
+    Under simhash blocking the clusters are free: each doc has exactly
+    one 16-bit hash, so candidate blocks are DISJOINT CLIQUES and the
+    component id is simply min(doc_id) over the hash group -- one window
+    (or groupBy+join) on the hash shuffle, no iterative label
+    propagation. (With banded/multi-probe candidates, blocks overlap
+    and the id comes from the dedup_semantic_clusters label-prop
+    instead; the split rule downstream is identical.) Same audit shape
+    as the leakage entry, same O(docs) cost."""
+    sh = simhash_table(rebalance_for_cpu(t(spark, sf_dir, "documents")))
+    w = Window.partitionBy("simhash")
+    cl = sh.select("doc_id", "simhash", F.min("doc_id").over(w).alias("cluster_id"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 6), 16, 10
+        ).cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    ss = cl.select("doc_id", "simhash", split.alias("split"))
+    a = ss.select(
+        F.col("doc_id").alias("id_a"), "simhash", F.col("split").alias("split_a")
+    )
+    b = ss.select(
+        F.col("doc_id").alias("id_b"), "simhash", F.col("split").alias("split_b")
+    )
+    return (
+        a.join(b, "simhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+    )
+
+
 def _simhash_banded_oracle() -> str:
     inner = _simhash_oracle(n_bits=60).strip()
     return f"""

@@ -472,6 +472,34 @@ def test_stream_psi_drift_guarantees_hold(spark, sf_dir):
     assert all(r.psi >= 0.0 for r in rows)
 
 
+def test_split_leakage_matrix_consistent(spark, sf_dir):
+    """The leakage matrix must partition exactly the
+    simhash_blocking_pairs candidate set (sum of n_pairs == pair count),
+    flag a cell as leaking iff its splits differ, and use only the three
+    split labels."""
+    qs = load_all()
+    rows = _rows(qs, "split_leakage_neardup", spark, sf_dir)
+    n_pairs = len(_rows(qs, "simhash_blocking_pairs", spark, sf_dir))
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    labels = {"train", "val", "test"}
+    for r in rows:
+        assert r.split_a in labels and r.split_b in labels
+        assert r.is_leak == (r.split_a != r.split_b)
+        assert r.n_pairs > 0
+
+
+def test_cluster_aware_split_eliminates_leakage(spark, sf_dir):
+    """The remediation must actually remediate: splitting by near-dup
+    cluster collapses the pair matrix to the diagonal (zero is_leak
+    rows) while still accounting for every candidate pair."""
+    qs = load_all()
+    rows = _rows(qs, "cluster_aware_split", spark, sf_dir)
+    n_pairs = len(_rows(qs, "simhash_blocking_pairs", spark, sf_dir))
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    assert all(not r.is_leak for r in rows)
+    assert all(r.split_a == r.split_b for r in rows)
+
+
 def test_stream_countmin_guarantees_hold(spark, sf_dir):
     """The streaming count-min probe must honor the CM guarantee
     (estimate >= exact for every probed key -- collisions only inflate)
