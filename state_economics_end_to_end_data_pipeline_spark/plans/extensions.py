@@ -1804,6 +1804,76 @@ def simhash_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kappa_lang_agreement",
+    oracle=f"""
+    WITH tk AS (
+      SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS a,
+             CASE WHEN CAST(len(list_filter({_TOKS},
+                        tok -> list_contains({_STOPLIST}, tok))) AS BIGINT) * 100
+                       >= CAST(len({_TOKS}) AS BIGINT) * 8
+                  THEN 'en' ELSE 'other' END AS b
+      FROM documents
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+             CAST(SUM(CASE WHEN a = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a_en,
+             CAST(SUM(CASE WHEN b = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS b_en
+      FROM tk
+    )
+    SELECT n, n_agree,
+           CAST(n * n_agree - (a_en * b_en + (n - a_en) * (n - b_en)) AS DOUBLE)
+             / CAST(n * n - (a_en * b_en + (n - a_en) * (n - b_en)) AS DOUBLE)
+             AS kappa
+    FROM m
+    """,
+)
+def kappa_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the corpus's labeled language (collapsed to
+    en/other) and the heuristic stopword-density classifier -- the
+    agreement metric eval pipelines report when two labelers (a model
+    and a human, two annotation runs) judge the same items, correcting
+    raw accuracy for chance agreement.
+
+    Exactness: with binary raters, kappa reduces to a RATIO OF INTEGERS
+    -- (n*agree - (a_en*b_en + a_oth*b_oth)) / (n^2 - (a_en*b_en +
+    a_oth*b_oth)) -- so a single correctly-rounded division produces the
+    bit-identical double in any engine (DETERMINISM.md: div is exact; no
+    snap needed). Scale shape: ONE hash aggregate over the corpus
+    producing four counters; everything after is constant-space."""
+    from ..operators.text import lang_guess, tokens
+
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    tk = d.select(
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("a"),
+        lang_guess(tokens("text")).alias("b"),
+    )
+    m = tk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+        F.sum(F.when(F.col("a") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a_en"),
+        F.sum(F.when(F.col("b") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("b_en"),
+    )
+    pe_num = F.col("a_en") * F.col("b_en") + (F.col("n") - F.col("a_en")) * (
+        F.col("n") - F.col("b_en")
+    )
+    return m.select(
+        "n",
+        "n_agree",
+        (
+            (F.col("n") * F.col("n_agree") - pe_num).cast("double")
+            / (F.col("n") * F.col("n") - pe_num).cast("double")
+        ).alias("kappa"),
+    )
+
+
 def _split_leakage_oracle() -> str:
     inner = _simhash_oracle().strip()
     return f"""

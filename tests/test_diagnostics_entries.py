@@ -488,6 +488,26 @@ def test_split_leakage_matrix_consistent(spark, sf_dir):
         assert r.n_pairs > 0
 
 
+def test_kappa_bounds_and_matches_textbook_form(spark, sf_dir):
+    """Kappa must land in [-1, 1], and the integer-ratio closed form
+    must agree with the po/pe textbook form computed independently from
+    the text_lang_id confusion matrix."""
+    qs = load_all()
+    [r] = _rows(qs, "kappa_lang_agreement", spark, sf_dir)
+    assert -1.0 <= r.kappa <= 1.0
+    assert 0 <= r.n_agree <= r.n
+
+    mat = _rows(qs, "text_lang_id", spark, sf_dir)
+    n = sum(m.n for m in mat)
+    a_en = sum(m.n for m in mat if m.lang == "en")
+    b_en = sum(m.n for m in mat if m.guess == "en")
+    agree = sum(m.n for m in mat if (m.lang == "en") == (m.guess == "en"))
+    assert (r.n, r.n_agree) == (n, agree)
+    po = agree / n
+    pe = (a_en * b_en + (n - a_en) * (n - b_en)) / (n * n)
+    assert math.isclose(r.kappa, (po - pe) / (1 - pe), rel_tol=1e-12)
+
+
 def test_cluster_aware_split_eliminates_leakage(spark, sf_dir):
     """The remediation must actually remediate: splitting by near-dup
     cluster collapses the pair matrix to the diagonal (zero is_leak
