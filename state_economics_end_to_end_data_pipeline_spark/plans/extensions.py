@@ -1805,6 +1805,71 @@ def simhash_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_ares",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln((('0x' || substr(md5('ares:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                 + 1.0) / 281474976710657.0) / CAST(n_chars AS DOUBLE) AS r
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, r,
+             CAST(ROW_NUMBER() OVER (ORDER BY r DESC, doc_id) AS BIGINT) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, n_chars, round(r, 6) AS sample_key, rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement (Efraimidis-
+    Spirakis A-ES): each doc gets key ln(u)/w for a salted-md5 uniform
+    u in (0,1] and weight w (n_chars here; production: a quality score),
+    and the sample is the top-k by key -- inclusion probability
+    proportional to weight, reproducible bit-for-bit on any engine and
+    any shard count because u derives from the id, not an RNG (the house
+    corpus_shard_shuffle discipline applied to WEIGHTED selection; this
+    is how quality-weighted corpus subsets are drawn at 100 TB: one
+    narrow key expression + a top-k, no global RNG state, and per-shard
+    top-k lists merge associatively so the selection is one
+    TakeOrdered, never a full sort).
+
+    Determinism note: ranking compares raw ln(u)/w doubles; a 1-ulp
+    libm ln() divergence could in principle reorder two keys, but keys
+    of distinct docs differ by >>ulp with md5-uniform u (and doc_id
+    breaks exact ties), the same probabilistic discipline as the
+    entropy/pmi roundings. The emitted key rounds to 6 decimals."""
+    d = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ares:"), F.col("doc_id").cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(281474976710657.0)
+    r = F.log(u) / F.col("n_chars").cast("double")
+    # orderBy+limit executes as TakeOrderedAndProject (per-partition
+    # top-20 merged on the driver -- the associative merge the docstring
+    # promises; plan-pinned in test_plans.py). The rank window after it
+    # is unpartitioned but runs over a LIMIT-bounded 20-row relation --
+    # bounded by construction, not a scale hazard.
+    top = (
+        d.select("doc_id", "n_chars", r.alias("r"))
+        .orderBy(F.col("r").desc(), "doc_id")
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("r").desc(), "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .select(
+            "doc_id", "n_chars", F.round("r", 6).alias("sample_key"), "rk"
+        )
+    )
+
+
+@register(
     "kappa_lang_agreement",
     oracle=f"""
     WITH tk AS (

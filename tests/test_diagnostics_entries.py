@@ -488,6 +488,27 @@ def test_split_leakage_matrix_consistent(spark, sf_dir):
         assert r.n_pairs > 0
 
 
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """A-ES guarantees inclusion probability proportional to weight; on
+    a finite draw that must show up as the sampled docs' mean weight
+    exceeding the corpus mean (with 500 docs and k=20 a reversal would
+    mean the keys are not weight-sensitive at all). Ranks are dense
+    1..20 and keys non-increasing."""
+    import duckdb
+
+    qs = load_all()
+    rows = sorted(_rows(qs, "weighted_sample_ares", spark, sf_dir),
+                  key=lambda r: r.rk)
+    assert [r.rk for r in rows] == list(range(1, 21))
+    keys = [r.sample_key for r in rows]
+    assert all(a >= b for a, b in zip(keys, keys[1:]))
+    [(corpus_mean,)] = duckdb.sql(
+        f"SELECT AVG(n_chars) FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+
+
 def test_kappa_bounds_and_matches_textbook_form(spark, sf_dir):
     """Kappa must land in [-1, 1], and the integer-ratio closed form
     must agree with the po/pe textbook form computed independently from

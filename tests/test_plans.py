@@ -325,3 +325,13 @@ def test_ohlc_bounds_and_single_aggregation(spark, sf_dir):
         assert r["low"] <= r["open"] <= r["high"]
         assert r["low"] <= r["close"] <= r["high"]
         assert r["n_events"] >= 1
+
+
+def test_weighted_sample_selects_via_take_ordered(spark, sf_dir):
+    """A-ES weighted sampling must select its top-k with
+    TakeOrderedAndProject (per-partition top-k, associative driver
+    merge), never a range-partitioned global sort; the only window runs
+    over the LIMIT-bounded 20-row result."""
+    plan = plan_of(q(spark, sf_dir, "weighted_sample_ares"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
