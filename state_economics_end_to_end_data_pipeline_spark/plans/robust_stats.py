@@ -1222,3 +1222,117 @@ def theilsen_trend_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.percentile(F.col("slope"), F.lit(0.5)).alias("theil_sen_slope"),
     )
+
+
+@register(
+    "mannwhitney_u_event_values",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    pv AS (SELECT value, SUM(ia) AS ca, SUM(ib) AS cb FROM s GROUP BY value),
+    cum AS (
+      SELECT value, ca, cb,
+             COALESCE(SUM(ca) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cuma_less
+      FROM pv
+    ),
+    tot AS (SELECT CAST(SUM(ia) AS BIGINT) AS n, CAST(SUM(ib) AS BIGINT) AS m
+            FROM s)
+    SELECT n, m,
+           CAST(2 * SUM(cb * cuma_less) + SUM(ca * cb) AS BIGINT) AS u2,
+           CAST(CAST(2 * SUM(cb * cuma_less) + SUM(ca * cb) AS BIGINT)
+                AS DOUBLE)
+             / (2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) AS auc
+    FROM cum CROSS JOIN tot GROUP BY n, m
+    """,
+)
+def mannwhitney_u_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the click and purchase
+    `value` distributions -- the RANK-based drift test that completes the
+    detector family: KS sees the max CDF gap, PSI broad reshaping, and
+    U asks the stochastic-dominance question (does one population tend
+    to larger values), with AUC = U/(n*m) as its effect size (the
+    probability a random purchase exceeds a random click, ties half).
+
+    INTEGER-exact: U needs only pair counts -- U = sum_v cb(v) *
+    #clicks-below-v + ties/2 -- so the entry carries 2U as a bigint
+    (ties contribute ca*cb whole units) and derives AUC by one division
+    of exact integers: engine-identical with no snapping.
+
+    Scale shape: the SAME production prefix-sum as
+    ks_drift_event_values_distributed -- collapse to the distinct value
+    support, slice by broadcast percentile cutpoints (a deterministic
+    function of the value; no ReuseExchange dependence), per-slice
+    cumulative counts partitioned by slice id, slice offsets through a
+    broadcast theta-join. One fact-sized shuffle total."""
+    s = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ia"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ib"),
+        )
+    )
+    pv = s.groupBy("value").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    cut_row = pv.select(
+        F.percentile_approx(
+            "value", [i / 32.0 for i in range(1, 32)], 10000
+        ).alias("cuts")
+    ).first()
+    cuts = sorted(set(cut_row["cuts"] or [])) if cut_row is not None else []
+    if cuts:
+        cuts_lit = F.array(*[F.lit(float(c)) for c in cuts])
+        pid_col = F.size(F.filter(cuts_lit, lambda c: c < F.col("value")))
+    else:
+        pid_col = F.lit(0)
+    pvr = pv.withColumn("pid", pid_col.cast("int"))
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = pvr.select(
+        "pid", "value", "ca", "cb",
+        (F.sum("ca").over(wloc) - F.col("ca")).alias("la_less"),
+    )
+    slice_tot = pvr.groupBy("pid").agg(F.sum("ca").alias("ta"))
+    prior = slice_tot.select(
+        F.col("pid").alias("ppid"), F.col("ta").alias("pta")
+    )
+    offsets = (
+        slice_tot.join(F.broadcast(prior), F.col("ppid") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(F.coalesce(F.sum("pta"), F.lit(0)).alias("oa"))
+    )
+    cum = loc.join(F.broadcast(offsets), "pid").select(
+        "value", "ca", "cb",
+        (F.col("la_less") + F.col("oa")).alias("cuma_less"),
+    )
+    tot = s.agg(
+        F.sum("ia").cast("bigint").alias("n"), F.sum("ib").cast("bigint").alias("m")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n", "m")
+        .agg(
+            (2 * F.sum(F.col("cb") * F.col("cuma_less"))
+             + F.sum(F.col("ca") * F.col("cb")))
+            .cast("bigint")
+            .alias("u2"),
+            (
+                (2 * F.sum(F.col("cb") * F.col("cuma_less"))
+                 + F.sum(F.col("ca") * F.col("cb"))).cast("bigint").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n").cast("double")
+                    * F.col("m").cast("double")
+                )
+            ).alias("auc"),
+        )
+    )

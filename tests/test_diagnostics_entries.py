@@ -488,6 +488,49 @@ def test_split_leakage_matrix_consistent(spark, sf_dir):
         assert r.n_pairs > 0
 
 
+def test_mannwhitney_bounds_and_complement(spark, sf_dir):
+    """0 <= 2U <= 2nm, AUC = 2U/(2nm) exactly, and the role-swapped
+    statistic (computed independently in DuckDB) must be its exact
+    complement: U_AB + U_BA = nm in half-units. The plan must keep every
+    window partitioned (same pin as the distributed KS)."""
+    import re
+
+    import duckdb
+
+    qs = load_all()
+    [r] = _rows(qs, "mannwhitney_u_event_values", spark, sf_dir)
+    assert 0 <= r.u2 <= 2 * r.n * r.m
+    assert r.auc == r.u2 / (2.0 * r.n * r.m)
+
+    [(u2_swapped,)] = duckdb.sql(f"""
+        WITH s AS (
+          SELECT value,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib
+          FROM '{sf_dir}/events.parquet'
+          WHERE event_type IN ('click', 'purchase')
+        ),
+        pv AS (SELECT value, SUM(ia) AS ca, SUM(ib) AS cb FROM s GROUP BY value),
+        cum AS (
+          SELECT ca, cb,
+                 COALESCE(SUM(ca) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cuma_less
+          FROM pv
+        )
+        SELECT CAST(2 * SUM(cb * cuma_less) + SUM(ca * cb) AS BIGINT) FROM cum
+    """).fetchall()
+    assert r.u2 + u2_swapped == 2 * r.n * r.m
+
+    plan = (
+        qs["mannwhitney_u_event_values"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert not re.findall(
+        r"windowspecdefinition\([^,()]* (?:ASC|DESC)", plan
+    ), plan
+
+
 def test_theilsen_pairs_and_median_bounds(spark, sf_dir):
     """Per event type, n_pairs must be exactly C(n_days, 2) for that
     type's active days (computed independently via DuckDB), and the
