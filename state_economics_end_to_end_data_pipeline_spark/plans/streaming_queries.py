@@ -260,6 +260,92 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_left_outer",
+    oracle="""
+    WITH wm AS (
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+      ) - INTERVAL 30 MINUTE AS w
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id
+      FROM p LEFT JOIN c
+        ON c.c_user = p.user_id
+       AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE AND c.c_ts < p.p_ts
+    ),
+    g AS (
+      SELECT purchase_id, user_id, COUNT(click_id) AS n_clicks,
+             MIN(p_ts) AS p_ts
+      FROM j GROUP BY 1, 2
+    )
+    SELECT purchase_id, user_id, n_clicks
+    FROM g CROSS JOIN wm
+    WHERE n_clicks > 0 OR p_ts < w
+    """,
+)
+def stream_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join -- the hard emission case:
+    matched (purchase, click) rows emit as they match, but an UNMATCHED
+    purchase can only emit its null row once the watermark proves no
+    matching click can still arrive, i.e. when the purchase's state is
+    evicted. The replay pins that boundary exactly: the effective
+    watermark is the MINIMUM across both watermarked inputs (measured:
+    clicks end hours before purchases in the fixture, so the click-side
+    max -- not the global max -- gates the flush), and purchases newer
+    than min(max_click_ts, max_purchase_ts) - 30min are withheld in
+    state at termination, exactly as they would be on a live stream.
+    The oracle states that boundary in batch SQL: every matched
+    purchase, plus unmatched purchases strictly below the final
+    watermark.
+
+    Replay determinism note: the single-file source makes all matches
+    happen in one micro-batch, so the matched set cannot depend on
+    batch boundaries; only the null-row flush depends on the (also
+    deterministic) final watermark. State is bounded by the watermark
+    horizon on both sides."""
+    ev = read_events_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    j = p.join(
+        c,
+        F.expr(
+            "c_user = p_user AND c_ts >= p_ts - INTERVAL 30 MINUTES "
+            "AND c_ts < p_ts"
+        ),
+        "leftOuter",
+    )
+    out = run_available_now(j, output_mode="append")
+    return out.groupBy(
+        "purchase_id", F.col("p_user").alias("user_id")
+    ).agg(F.count("click_id").alias("n_clicks"))
+
+
+@register(
     "stream_foreach_batch_merge",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,

@@ -488,6 +488,42 @@ def test_split_leakage_matrix_consistent(spark, sf_dir):
         assert r.n_pairs > 0
 
 
+def test_stream_left_outer_join_flush_semantics(spark, sf_dir):
+    """The left-outer replay must (1) agree with the inner interval join
+    on every matched purchase (same click counts), (2) emit zero-click
+    rows only for purchases strictly below the min-across-inputs final
+    watermark, and (3) withhold every unmatched purchase at or above it
+    -- verified against independent DuckDB timestamps."""
+    import duckdb
+
+    qs = load_all()
+    outer = {r.purchase_id: r.n_clicks
+             for r in _rows(qs, "stream_interval_join_left_outer", spark, sf_dir)}
+    inner = {r.purchase_id: r.n_clicks_before
+             for r in _rows(qs, "stream_interval_join", spark, sf_dir)}
+    for pid, n in inner.items():
+        assert outer.get(pid) == n, pid
+
+    rows = duckdb.sql(f"""
+        WITH wm AS (
+          SELECT LEAST(
+            (SELECT MAX(ts) FROM '{sf_dir}/events.parquet'
+              WHERE event_type = 'click'),
+            (SELECT MAX(ts) FROM '{sf_dir}/events.parquet'
+              WHERE event_type = 'purchase')
+          ) - INTERVAL 30 MINUTE AS w
+        )
+        SELECT event_id, ts < (SELECT w FROM wm) FROM '{sf_dir}/events.parquet'
+        WHERE event_type = 'purchase'
+    """).fetchall()
+    below = {eid for eid, b in rows if b}
+    all_p = {eid for eid, _ in rows}
+    emitted_unmatched = {pid for pid, n in outer.items() if n == 0}
+    assert emitted_unmatched <= below
+    withheld = all_p - set(outer)
+    assert withheld and withheld.isdisjoint(below | inner.keys())
+
+
 def test_mannwhitney_bounds_and_complement(spark, sf_dir):
     """0 <= 2U <= 2nm, AUC = 2U/(2nm) exactly, and the role-swapped
     statistic (computed independently in DuckDB) must be its exact

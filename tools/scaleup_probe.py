@@ -75,6 +75,20 @@ PROBES = [
     "psi_drift_event_values",
     "tfidf_topk_terms",
     "multimodal_pixels",
+    # round-7 additions: the contamination audit + remediation (pair
+    # generation must stay O(docs)), the rank/trend/agreement stats
+    # (prefix-sum and day-aggregated shapes), weighted sampling
+    # (TakeOrdered), and the two streaming entries (replayed at 10x the
+    # event volume -- the PSI state is O(windows x bins), the count-min
+    # state O(d x w), so both should scale like aggregates)
+    "split_leakage_neardup",
+    "cluster_aware_split",
+    "mannwhitney_u_event_values",
+    "theilsen_trend_event_values",
+    "kappa_lang_agreement",
+    "weighted_sample_ares",
+    "stream_psi_drift",
+    "stream_countmin_users",
 ]
 
 REPLICAS = 10
