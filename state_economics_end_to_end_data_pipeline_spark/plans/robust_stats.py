@@ -1336,3 +1336,111 @@ def mannwhitney_u_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc"),
         )
     )
+
+
+@register(
+    "cusum_changepoint_event_values",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                  / COUNT(*) * 1e9 + 0.5) AS BIGINT) AS mn
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(mn) AS BIGINT) AS total
+      FROM daily GROUP BY 1
+    ),
+    cum AS (
+      SELECT d.event_type, d.day, t.n_days, t.total,
+             CAST(SUM(mn) OVER (PARTITION BY d.event_type ORDER BY d.day)
+                  AS BIGINT) AS cs,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                  AS BIGINT) AS k
+      FROM daily d JOIN tot t ON t.event_type = d.event_type
+    ),
+    dev AS (
+      SELECT event_type, day, n_days,
+             abs(n_days * cs - k * total) AS dabs
+      FROM cum WHERE k < n_days
+    ),
+    sel AS (
+      SELECT event_type, day, n_days, dabs,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY dabs DESC, day) AS r
+      FROM dev
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS changepoint_day,
+           CAST(dabs AS DOUBLE) / (CAST(n_days AS DOUBLE) * 1e9) AS cusum_max
+    FROM sel WHERE r = 1
+    """,
+)
+def cusum_changepoint_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type: the day k maximizing the
+    cumulative deviation of daily means from their series mean -- WHERE
+    the shift happened, completing the drift toolkit (KS/PSI/U detect
+    THAT distributions differ, Theil-Sen how fast the level trends,
+    CUSUM locates the break).
+
+    Integer-exact ranking: each daily mean is nano-snapped once (the
+    psi/chisq discipline), then the scaled deviation |n*CumSum_k -
+    k*Total| is pure bigint arithmetic -- same argmax as the textbook
+    |S_k| (scaled by n), with NO float accumulation across days, so the
+    selected day and the emitted magnitude are engine-identical
+    (magnitude = one exact division at the end). Ties break to the
+    earliest day.
+
+    Scale shape: everything after the one fact-sized groupBy runs on the
+    O(groups x days) relation; the cumulative window is PARTITIONED by
+    event_type (never global). Bounds: n*cs and k*total stay far inside
+    int64 for nano-snapped means < ~1e6 and horizons of years."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.floor(
+                (
+                    F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mn")
+        )
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("mn").cast("bigint").alias("total"),
+    )
+    wcum = Window.partitionBy("event_type").orderBy("day")
+    cum = (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type", "day", "n_days", "total",
+            F.sum("mn").over(wcum).cast("bigint").alias("cs"),
+            F.row_number().over(wcum).cast("bigint").alias("k"),
+        )
+        .filter(F.col("k") < F.col("n_days"))
+    )
+    dev = cum.select(
+        "event_type", "day", "n_days",
+        F.abs(F.col("n_days") * F.col("cs") - F.col("k") * F.col("total")).alias(
+            "dabs"
+        ),
+    )
+    wsel = Window.partitionBy("event_type").orderBy(F.col("dabs").desc(), "day")
+    return (
+        dev.withColumn("r", F.row_number().over(wsel))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+            (
+                F.col("dabs").cast("double")
+                / (F.col("n_days").cast("double") * F.lit(1e9))
+            ).alias("cusum_max"),
+        )
+    )

@@ -488,6 +488,28 @@ def test_split_leakage_matrix_consistent(spark, sf_dir):
         assert r.n_pairs > 0
 
 
+def test_cusum_changepoint_in_series_and_positive(spark, sf_dir):
+    """One row per event type, the changepoint must be an interior day
+    of that type's active range (never the last day -- k < n_days), and
+    the magnitude non-negative."""
+    import duckdb
+
+    qs = load_all()
+    rows = _rows(qs, "cusum_changepoint_event_values", spark, sf_dir)
+    spans = {
+        et: (str(lo)[:10], str(hi)[:10])
+        for et, lo, hi in duckdb.sql(
+            "SELECT event_type, MIN(date_trunc('day', ts)), "
+            f"MAX(date_trunc('day', ts)) FROM '{sf_dir}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    }
+    assert {r.event_type for r in rows} == set(spans)
+    for r in rows:
+        lo, hi = spans[r.event_type]
+        assert lo <= r.changepoint_day < hi, (r.event_type, r.changepoint_day)
+        assert r.cusum_max >= 0.0
+
+
 def test_stream_left_outer_join_flush_semantics(spark, sf_dir):
     """The left-outer replay must (1) agree with the inner interval join
     on every matched purchase (same click counts), (2) emit zero-click
