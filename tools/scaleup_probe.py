@@ -89,6 +89,8 @@ PROBES = [
     "weighted_sample_ares",
     "stream_psi_drift",
     "stream_countmin_users",
+    "cusum_changepoint_event_values",
+    "stream_interval_join_left_outer",
 ]
 
 REPLICAS = 10
