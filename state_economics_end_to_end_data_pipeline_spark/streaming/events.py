@@ -92,13 +92,24 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over ``{sf_dir}/events.parquet``.
 
-    The file source requires a directory, so the base path is ``sf_dir``
-    with a glob filter selecting the events file. ``ts`` is stored as
-    INT64 TIMESTAMP(NANOS) (no Spark type): scanned as long and converted
-    to microsecond timestamps, matching io.readers.read_parquet_table.
-    The schema probe (a batch footer read) is cached per path -- repeated
-    replays of the same source skip it.
+    Handles BOTH physical layouts: a single parquet file (the driver
+    fixtures) streams from ``sf_dir`` with a glob filter selecting it,
+    and a Spark-written DIRECTORY of part files (how any engine output
+    is laid out) streams from the directory itself. The distinction
+    matters: a glob filter matches FILE names, so pointing the
+    single-file recipe at a directory silently yields an EMPTY stream
+    (zero files match "events.parquet") -- caught when the 10x scale
+    probe replayed against Spark-written replicas and the streaming
+    entries timed suspiciously fast on zero rows.
+
+    ``ts`` is stored as INT64 TIMESTAMP(NANOS) (no Spark type): scanned
+    as long and converted to microsecond timestamps, matching
+    io.readers.read_parquet_table. The schema probe (a batch footer
+    read) is cached per path -- repeated replays of the same source
+    skip it.
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # NTZ-flavored parquet timestamps must scan as TIMESTAMP: watermarks
     # reject TIMESTAMP_NTZ event time (see io.readers.read_parquet_table)
@@ -112,10 +123,12 @@ def read_events_stream(
             del _SCHEMA_CACHE[k]
         _SCHEMA_CACHE[cache_key] = spark.read.parquet(path).schema
     schema = _SCHEMA_CACHE[cache_key]
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+    reader = spark.readStream.schema(schema)
+    if not os.path.isdir(path):
+        reader = reader.option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(sf_dir)
+    stream = reader.parquet(path if os.path.isdir(path) else sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream

@@ -180,3 +180,32 @@ def test_watermark_one_batch_lag_merges_straggler(spark, tmp_path_factory):
         for so in p["stateOperators"]
     )
     assert dropped == 0, dropped
+
+
+def test_events_stream_reads_directory_layout(spark, sf_dir, tmp_path_factory):
+    """read_events_stream must yield the SAME rows whether
+    events.parquet is a single file (driver fixtures) or a Spark-written
+    directory of part files (any engine output). The directory case used
+    to return an EMPTY stream silently -- the glob filter matches file
+    names, so nothing under events.parquet/ matched it (caught by the
+    10x scale probe timing streaming entries suspiciously fast on zero
+    rows)."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    base = str(tmp_path_factory.mktemp("dirsrc"))
+    ev = read_parquet_table(spark, sf_dir, "events")
+    ev.write.parquet(f"{base}/events.parquet")  # directory layout
+    n_expected = ev.count()
+
+    stream = read_events_stream(spark, base)
+    out = run_available_now(
+        stream.groupBy().count(), output_mode="complete"
+    )
+    [row] = out.collect()
+    assert row["count"] == n_expected

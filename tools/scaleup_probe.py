@@ -147,14 +147,14 @@ def build_10x(spark, base: str, out: str) -> None:
         )
 
 
-def time_query(fn, spark, sf_dir: str, reps: int = 2) -> float:
-    best = None
+def time_query(fn, spark, sf_dir: str, reps: int = 2) -> tuple[float, int]:
+    best, n_rows = None, 0
     for _ in range(reps):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        n_rows = len(fn(spark, sf_dir).collect())
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    return best
+    return best, n_rows
 
 
 def main() -> int:
@@ -176,14 +176,19 @@ def main() -> int:
 
     rows = []
     for name in names:
-        t_small = time_query(qs[name].fn, spark, args.base)
-        t_big = time_query(qs[name].fn, spark, big)
+        t_small, n_small = time_query(qs[name].fn, spark, args.base)
+        t_big, n_big = time_query(qs[name].fn, spark, big)
         row = {
             "query": name,
             "sec_1x": round(t_small, 2),
             "sec_10x": round(t_big, 2),
             "ratio": round(t_big / t_small, 2),
         }
+        # a probe timing an empty result is measuring nothing: flag it
+        # loudly so a silently-empty source (the round-7 streaming
+        # glob-vs-directory bug) can never masquerade as a good ratio
+        if n_small == 0 or n_big == 0:
+            row["EMPTY_RESULT"] = {"rows_1x": n_small, "rows_10x": n_big}
         rows.append(row)
         print(json.dumps(row))
 
