@@ -220,8 +220,8 @@ def main() -> int:
         li.unionByName(bomb_rows).write.mode("overwrite").parquet(
             f"{skew_dir}/lineitem.parquet"
         )
-        t_cap = time_query(market_basket_pairs, spark, skew_dir)
-        t_uncap = time_query(
+        t_cap, _ = time_query(market_basket_pairs, spark, skew_dir)
+        t_uncap, _ = time_query(
             lambda s, d: market_basket_pairs(s, d, max_basket=10**9),
             spark, skew_dir,
         )
@@ -312,8 +312,8 @@ def main() -> int:
             )
             .first()
         )
-        t_deg = time_query(copurchase_triangles, spark, hub_dir)
-        t_id = time_query(
+        t_deg, _ = time_query(copurchase_triangles, spark, hub_dir)
+        t_id, _ = time_query(
             lambda s, d: copurchase_triangles(s, d, orientation="id"),
             spark, hub_dir,
         )
