@@ -417,6 +417,73 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_session_dynamic_gap",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_type = 'purchase' THEN INTERVAL 10 MINUTE
+                  ELSE INTERVAL 30 MINUTE END AS gap
+      FROM events
+    ),
+    d AS (
+      SELECT *, CASE WHEN MAX(ts + gap) OVER w IS NULL
+                      OR ts >= MAX(ts + gap) OVER w THEN 1 ELSE 0 END AS new_sess
+      FROM g
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    s AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM d
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts + gap), '{_TS_FMT_DUCK}') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap (session_window's dynamic
+    form): purchases close their session after 10 minutes of silence,
+    everything else after 30 -- the production sessionization shape when
+    inactivity timeouts differ by activity kind. Each event contributes
+    a window [ts, ts + its own gap); overlapping windows merge, so a
+    session's end is the MAX merged end, not last-event + constant.
+
+    The oracle states the same merge in batch SQL via the prefix-max
+    form: a session breaks at event i iff ts_i >= max over all prior
+    same-user events of (ts_j + gap_j) -- the global prefix max equals
+    the within-session max because a break event's own extent always
+    covers the previous session's end. All boundary arithmetic is
+    integer micros + whole-minute intervals: engine-exact."""
+    stream = read_events_stream(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("10 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("total_value"),
+        )
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.date_format("session_window.start", _TS_FMT_SPARK).alias(
+            "session_start"
+        ),
+        F.date_format("session_window.end", _TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
 def _stream_cm_oracle() -> str:
     from .extensions import _CM_DEPTH, _cm_bucket_sql
 

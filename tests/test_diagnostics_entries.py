@@ -488,6 +488,38 @@ def test_split_leakage_matrix_consistent(spark, sf_dir):
         assert r.n_pairs > 0
 
 
+def test_dynamic_gap_sessions_disjoint_and_extent_bounded(spark, sf_dir):
+    """Per user, dynamic-gap sessions must be strictly ordered and
+    non-overlapping, each at least 10 minutes long (every session ends
+    >= its last event + the smallest gap) and the n_events sum must
+    equal the user's event count."""
+    import duckdb
+    from datetime import datetime
+
+    qs = load_all()
+    rows = _rows(qs, "stream_session_dynamic_gap", spark, sf_dir)
+    per_user: dict[int, list] = {}
+    fmt = "%Y-%m-%d %H:%M:%S"
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(
+            (datetime.strptime(r.session_start, fmt),
+             datetime.strptime(r.session_end, fmt), r.n_events)
+        )
+    counts = dict(
+        duckdb.sql(
+            f"SELECT user_id, COUNT(*) FROM '{sf_dir}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(per_user) == set(counts)
+    for uid, sess in per_user.items():
+        sess.sort()
+        assert sum(n for _, _, n in sess) == counts[uid]
+        for (s1, e1, _), (s2, _e2, _) in zip(sess, sess[1:]):
+            assert e1 <= s2, (uid, e1, s2)  # disjoint, ordered
+        for s, e, _ in sess:
+            assert (e - s).total_seconds() >= 600  # >= min gap
+
+
 def test_cusum_changepoint_in_series_and_positive(spark, sf_dir):
     """One row per event type, the changepoint must be an interior day
     of that type's active range (never the last day -- k < n_days), and
