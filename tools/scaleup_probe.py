@@ -91,6 +91,7 @@ PROBES = [
     "stream_countmin_users",
     "cusum_changepoint_event_values",
     "stream_interval_join_left_outer",
+    "stream_session_dynamic_gap",
 ]
 
 REPLICAS = 10
