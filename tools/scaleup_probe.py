@@ -333,6 +333,42 @@ def main() -> int:
         print(json.dumps(tri_rows[-1]))
         edges.unpersist()
 
+    out_path = REPO / "docs" / "SCALEUP.md"
+    if args.names and out_path.exists():
+        # Subset run: MERGE into the existing record instead of clobbering
+        # it (the explain_dump trap: a names-argument rewrite that keeps
+        # only the probed rows silently deletes everyone else's evidence).
+        existing = out_path.read_text().splitlines()
+        fmt = {
+            r["query"]: f"| {r['query']} | {r['sec_1x']} | {r['sec_10x']} |"
+            f" {r['ratio']}x |"
+            for r in rows
+        }
+        last_row_idx = None
+        for i, line in enumerate(existing):
+            cells = [c.strip() for c in line.split("|")]
+            if line.startswith("| ") and len(cells) >= 5 and cells[1] in fmt:
+                existing[i] = fmt.pop(cells[1])
+                last_row_idx = i
+            elif line.startswith("| ") and len(cells) >= 5 and last_row_idx is None:
+                # track the end of the first (main) table for appends
+                if not cells[1].startswith("-") and cells[1] != "query":
+                    last_row_idx = i
+        if last_row_idx is None:
+            raise SystemExit("SCALEUP.md has no main table to merge into")
+        # names never probed before: append to the main table, keeping the
+        # table contiguous
+        while last_row_idx + 1 < len(existing) and existing[
+            last_row_idx + 1
+        ].startswith("| "):
+            last_row_idx += 1
+        for line in fmt.values():
+            existing.insert(last_row_idx + 1, line)
+            last_row_idx += 1
+        out_path.write_text("\n".join(existing) + "\n")
+        print(f"merged {len(rows)} row(s) into docs/SCALEUP.md", file=sys.stderr)
+        return 0
+
     md = [
         "# Measured 10x scale-up (sf0.1 -> synthetic sf1)",
         "",
