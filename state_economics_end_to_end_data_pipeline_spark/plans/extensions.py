@@ -2055,7 +2055,15 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation. (With banded/multi-probe candidates, blocks overlap
     and the id comes from the dedup_semantic_clusters label-prop
     instead; the split rule downstream is identical.) Same audit shape
-    as the leakage entry, same O(docs) cost."""
+    as the leakage entry, same O(docs) cost.
+
+    Shared-relation shape (round-8): the split relation feeds BOTH join
+    sides; built lazily twice, each side re-scans documents and re-runs
+    the simhash window. A lazy ``localCheckpoint`` stages the narrow
+    (doc_id, simhash, split) relation once -- one documents scan, one
+    window -- and both sides read the checkpointed blocks (the
+    minhash_jaccard_estimate shared-build pattern; lazy, so plan
+    construction stays side-effect-free)."""
     sh = simhash_table(rebalance_for_cpu(t(spark, sf_dir, "documents")))
     w = Window.partitionBy("simhash")
     cl = sh.select("doc_id", "simhash", F.min("doc_id").over(w).alias("cluster_id"))
@@ -2069,7 +2077,9 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 90, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    ss = cl.select("doc_id", "simhash", split.alias("split"))
+    ss = cl.select("doc_id", "simhash", split.alias("split")).localCheckpoint(
+        eager=False
+    )
     a = ss.select(
         F.col("doc_id").alias("id_a"), "simhash", F.col("split").alias("split_a")
     )

@@ -537,8 +537,38 @@ def ks_drift_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collect_value_cutpoints(pv: DataFrame, n_slices: int = 32) -> list[float]:
+    """EAGER by design: runs a Spark job (``percentile_approx`` over the
+    distinct-value relation + ``.first()``) at PLAN-CONSTRUCTION time so
+    the slice boundaries can be folded into literals -- that is what makes
+    the slice id a deterministic function of the value (no ReuseExchange
+    dependence, see ks_drift_event_values_distributed). Consequence:
+    merely *building* the entries that call this (explain_dump, plan-pin
+    tests) executes one fact scan. Explain-only consumers that need a
+    side-effect-free build can pass a fixed ``cuts`` list to the entry
+    function instead; correctness never depends on WHICH sorted cut set
+    is used, only on all subtrees seeing the same one."""
+    cut_row = pv.select(
+        F.percentile_approx(
+            "value", [i / float(n_slices) for i in range(1, n_slices)], 10000
+        ).alias("cuts")
+    ).first()
+    return sorted(set(cut_row["cuts"] or [])) if cut_row is not None else []
+
+
+def value_slice_pid(cuts: list[float]) -> F.Column:
+    """Slice id = #cutpoints strictly below the value: deterministic in
+    the data, computable per-row without a shuffle."""
+    if not cuts:
+        return F.lit(0)
+    cuts_lit = F.array(*[F.lit(float(c)) for c in cuts])
+    return F.size(F.filter(cuts_lit, lambda c: c < F.col("value")))
+
+
 @register("ks_drift_event_values_distributed", oracle=_KS_ORACLE)
-def ks_drift_event_values_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ks_drift_event_values_distributed(
+    spark: SparkSession, sf_dir: str, cuts: list[float] | None = None
+) -> DataFrame:
     """PRODUCTION two-sample KS -- the coded 100 TB twin of
     ``ks_drift_event_values``, same EXACT statistic and the SAME oracle,
     with the global-order cumulative replaced by the distributed prefix
@@ -583,18 +613,11 @@ def ks_drift_event_values_distributed(spark: SparkSession, sf_dir: str) -> DataF
     # approx sampler picks is irrelevant to the result (any contiguous
     # split works); collecting them ONCE and folding them into a literal
     # makes the slice id deterministic across all downstream subtrees.
-    cut_row = pv.select(
-        F.percentile_approx(
-            "value", [i / 32.0 for i in range(1, 32)], 10000
-        ).alias("cuts")
-    ).first()
-    cuts = sorted(set(cut_row["cuts"] or [])) if cut_row is not None else []
-    if cuts:
-        cuts_lit = F.array(*[F.lit(float(c)) for c in cuts])
-        pid_col = F.size(F.filter(cuts_lit, lambda c: c < F.col("value")))
-    else:
-        pid_col = F.lit(0)
-    pvr = pv.withColumn("pid", pid_col.cast("int"))
+    # NOTE: collect_value_cutpoints is an EAGER Spark job at construction
+    # time -- explain-only callers pass `cuts` to stay side-effect-free.
+    if cuts is None:
+        cuts = collect_value_cutpoints(pv)
+    pvr = pv.withColumn("pid", value_slice_pid(cuts).cast("int"))
     wloc = (
         Window.partitionBy("pid")
         .orderBy("value")
@@ -1251,7 +1274,9 @@ def theilsen_trend_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cum CROSS JOIN tot GROUP BY n, m
     """,
 )
-def mannwhitney_u_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mannwhitney_u_event_values(
+    spark: SparkSession, sf_dir: str, cuts: list[float] | None = None
+) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) between the click and purchase
     `value` distributions -- the RANK-based drift test that completes the
     detector family: KS sees the max CDF gap, PSI broad reshaping, and
@@ -1262,7 +1287,9 @@ def mannwhitney_u_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER-exact: U needs only pair counts -- U = sum_v cb(v) *
     #clicks-below-v + ties/2 -- so the entry carries 2U as a bigint
     (ties contribute ca*cb whole units) and derives AUC by one division
-    of exact integers: engine-identical with no snapping.
+    of exact integers: engine-identical with no snapping. The pair-count
+    products accumulate in decimal(38,0) (matching the oracle's HUGEINT
+    sum), so very large n*m can never wrap an int64 silently.
 
     Scale shape: the SAME production prefix-sum as
     ks_drift_event_values_distributed -- collapse to the distinct value
@@ -1280,18 +1307,11 @@ def mannwhitney_u_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pv = s.groupBy("value").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
-    cut_row = pv.select(
-        F.percentile_approx(
-            "value", [i / 32.0 for i in range(1, 32)], 10000
-        ).alias("cuts")
-    ).first()
-    cuts = sorted(set(cut_row["cuts"] or [])) if cut_row is not None else []
-    if cuts:
-        cuts_lit = F.array(*[F.lit(float(c)) for c in cuts])
-        pid_col = F.size(F.filter(cuts_lit, lambda c: c < F.col("value")))
-    else:
-        pid_col = F.lit(0)
-    pvr = pv.withColumn("pid", pid_col.cast("int"))
+    # Eager cutpoint job at construction time (see collect_value_cutpoints);
+    # explain-only callers pass `cuts` to keep the build side-effect-free.
+    if cuts is None:
+        cuts = collect_value_cutpoints(pv)
+    pvr = pv.withColumn("pid", value_slice_pid(cuts).cast("int"))
     wloc = (
         Window.partitionBy("pid")
         .orderBy("value")
@@ -1317,17 +1337,25 @@ def mannwhitney_u_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = s.agg(
         F.sum("ia").cast("bigint").alias("n"), F.sum("ib").cast("bigint").alias("m")
     )
+    # House decimal-sum discipline: the oracle sums cb*cuma_less in
+    # HUGEINT; a bigint product sum would WRAP silently at int64 overflow
+    # in non-ANSI Spark. decimal(19,0) operands make the product exact up
+    # to 2^126 < 10^38 and the accumulation decimal(38,0) -- overflow
+    # (unreachable until 2U itself exceeds 10^38) would surface as null,
+    # never a wrong number. 2U <= 2nm must still fit the bigint OUTPUT
+    # column, a precondition the oracle's own BIGINT cast shares.
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    u2_dec = (
+        F.lit(2).cast("decimal(19,0)") * F.sum(dec("cb") * dec("cuma_less"))
+        + F.sum(dec("ca") * dec("cb"))
+    )
     return (
         cum.crossJoin(F.broadcast(tot))
         .groupBy("n", "m")
         .agg(
-            (2 * F.sum(F.col("cb") * F.col("cuma_less"))
-             + F.sum(F.col("ca") * F.col("cb")))
-            .cast("bigint")
-            .alias("u2"),
+            u2_dec.cast("bigint").alias("u2"),
             (
-                (2 * F.sum(F.col("cb") * F.col("cuma_less"))
-                 + F.sum(F.col("ca") * F.col("cb"))).cast("bigint").cast("double")
+                u2_dec.cast("double")
                 / (
                     F.lit(2.0)
                     * F.col("n").cast("double")

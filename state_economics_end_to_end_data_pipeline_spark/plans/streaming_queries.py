@@ -311,7 +311,15 @@ def stream_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFra
     happen in one micro-batch, so the matched set cannot depend on
     batch boundaries; only the null-row flush depends on the (also
     deterministic) final watermark. State is bounded by the watermark
-    horizon on both sides."""
+    horizon on both sides.
+
+    Boundary assumption: the oracle uses STRICT p_ts < watermark. A
+    purchase landing EXACTLY on the final watermark could be evicted or
+    withheld depending on Spark's inclusivity at equality; no fixture
+    row sits on that boundary, and
+    tests/test_diagnostics_entries.py::test_stream_left_outer_join_flush_semantics
+    asserts so, so a regenerated fixture fails loudly instead of
+    diverging."""
     ev = read_events_stream(spark, sf_dir)
     p = (
         ev.filter(F.col("event_type") == "purchase")

@@ -577,6 +577,29 @@ def test_stream_left_outer_join_flush_semantics(spark, sf_dir):
     withheld = all_p - set(outer)
     assert withheld and withheld.isdisjoint(below | inner.keys())
 
+    # Boundary-inclusivity guard: the oracle uses STRICT p_ts < watermark;
+    # Spark's outer-join eviction at exact equality with the final
+    # watermark could differ by inclusivity. No purchase in the current
+    # fixture lands exactly on the boundary -- if a regenerated fixture
+    # ever puts one there, fail loudly here instead of diverging silently
+    # in the oracle comparison.
+    on_boundary = duckdb.sql(f"""
+        WITH wm AS (
+          SELECT LEAST(
+            (SELECT MAX(ts) FROM '{sf_dir}/events.parquet'
+              WHERE event_type = 'click'),
+            (SELECT MAX(ts) FROM '{sf_dir}/events.parquet'
+              WHERE event_type = 'purchase')
+          ) - INTERVAL 30 MINUTE AS w
+        )
+        SELECT COUNT(*) FROM '{sf_dir}/events.parquet'
+        WHERE event_type = 'purchase' AND ts = (SELECT w FROM wm)
+    """).fetchone()[0]
+    assert on_boundary == 0, (
+        "fixture regeneration placed a purchase exactly on the final "
+        "watermark; the strict-< oracle boundary is no longer safe"
+    )
+
 
 def test_mannwhitney_bounds_and_complement(spark, sf_dir):
     """0 <= 2U <= 2nm, AUC = 2U/(2nm) exactly, and the role-swapped

@@ -97,6 +97,18 @@ PROBES = [
 REPLICAS = 10
 
 
+def fmt_table_row(r: dict) -> str:
+    """One markdown row for the main SCALEUP table. EMPTY_RESULT probes
+    (zero rows at either scale -- the probe timed nothing) are annotated
+    in the ratio cell so they can never masquerade as a healthy ratio in
+    the persistent evidence file."""
+    ratio = f"{r['ratio']}x"
+    if "EMPTY_RESULT" in r:
+        er = r["EMPTY_RESULT"]
+        ratio += f" EMPTY(rows_1x={er['rows_1x']}, rows_10x={er['rows_10x']})"
+    return f"| {r['query']} | {r['sec_1x']} | {r['sec_10x']} | {ratio} |"
+
+
 def build_10x(spark, base: str, out: str) -> None:
     from pyspark.sql import functions as F
 
@@ -339,21 +351,24 @@ def main() -> int:
         # it (the explain_dump trap: a names-argument rewrite that keeps
         # only the probed rows silently deletes everyone else's evidence).
         existing = out_path.read_text().splitlines()
-        fmt = {
-            r["query"]: f"| {r['query']} | {r['sec_1x']} | {r['sec_10x']} |"
-            f" {r['ratio']}x |"
-            for r in rows
-        }
+        fmt = {r["query"]: fmt_table_row(r) for r in rows}
+        # Match/append only within the FIRST markdown table: a probed name
+        # that happens to appear in a later section (skew/hub tables) must
+        # not hijack the append point.
         last_row_idx = None
+        in_table = False
         for i, line in enumerate(existing):
+            is_row = line.startswith("| ")
+            if in_table and not is_row:
+                break  # first table ended; later tables are out of scope
             cells = [c.strip() for c in line.split("|")]
-            if line.startswith("| ") and len(cells) >= 5 and cells[1] in fmt:
-                existing[i] = fmt.pop(cells[1])
+            if is_row and len(cells) >= 5:
+                in_table = True
+                if cells[1].startswith("-") or cells[1] == "query":
+                    continue
+                if cells[1] in fmt:
+                    existing[i] = fmt.pop(cells[1])
                 last_row_idx = i
-            elif line.startswith("| ") and len(cells) >= 5 and last_row_idx is None:
-                # track the end of the first (main) table for appends
-                if not cells[1].startswith("-") and cells[1] != "query":
-                    last_row_idx = i
         if last_row_idx is None:
             raise SystemExit("SCALEUP.md has no main table to merge into")
         # names never probed before: append to the main table, keeping the
@@ -367,7 +382,7 @@ def main() -> int:
             last_row_idx += 1
         out_path.write_text("\n".join(existing) + "\n")
         print(f"merged {len(rows)} row(s) into docs/SCALEUP.md", file=sys.stderr)
-        return 0
+        return 2 if any("EMPTY_RESULT" in r for r in rows) else 0
 
     md = [
         "# Measured 10x scale-up (sf0.1 -> synthetic sf1)",
@@ -379,9 +394,7 @@ def main() -> int:
         "|---|---|---|---|",
     ]
     for r in rows:
-        md.append(
-            f"| {r['query']} | {r['sec_1x']} | {r['sec_10x']} | {r['ratio']}x |"
-        )
+        md.append(fmt_table_row(r))
     md += [
         "",
         "Reading: ratios near 1x are overhead-dominated plans (shuffle is",
@@ -456,7 +469,7 @@ def main() -> int:
             )
     (REPO / "docs" / "SCALEUP.md").write_text("\n".join(md) + "\n")
     print("wrote docs/SCALEUP.md", file=sys.stderr)
-    return 0
+    return 2 if any("EMPTY_RESULT" in r for r in rows) else 0
 
 
 if __name__ == "__main__":
