@@ -1,0 +1,405 @@
+"""~100x scale probe for the heaviest candidate-generating families.
+
+The 10x probe (tools/scaleup_probe.py) answers "does wall-clock scale
+sanely"; the 100 TB claims for the dedup/ANN/graph stack additionally
+rest on CANDIDATE volume staying near-linear in corpus size. This tool
+builds ~100x replicas designed so that candidate growth measures the
+PLAN, not a replica artifact, then records wall-clock AND measured
+candidate counts at 1x and 100x.
+
+Replica design (differs from the 10x builder on purpose):
+
+- ``documents``: 100 key-shifted replicas with TOKEN-SALTED text --
+  every token of replica i>0 gets an ``r{i}`` suffix, so each replica's
+  gram/shingle space is disjoint from every other's. This models a real
+  100x corpus at CONSTANT duplication rate (100x distinct documents,
+  same within-replica near-dup structure). Plain key-shifted copies
+  would leave 100 bit-identical copies of every text, and every pair
+  generator would correctly report the resulting quadratic pair
+  explosion -- true about that synthetic data, useless as plan evidence.
+- ``lineitem``: 100 replicas with BOTH l_orderkey and l_partkey shifted
+  -- 100 disjoint copies of the co-purchase graph (edges exactly 100x,
+  per-node structure preserved). The 10x builder shares part keys
+  across replicas, which multiplies co-occurrence counts and floods the
+  >=2-orders edge threshold with the single-co-occurrence tail (the
+  documented ~335x edge artifact); disjoint replicas keep co-occurrence
+  RATES constant, which is what a bigger corpus does.
+- ``embeddings``: key-shifted replicas, vectors unchanged. Note that
+  ``embedding_ivfpq_topk`` caps its corpus at ``vec_id < 200`` by entry
+  parameters, so at 100x only the SCAN grows (filter pushdown prunes
+  the other 99 replicas); its candidate count is constant by
+  construction and the probe records exactly that.
+
+Candidate-count plans mirror each entry's generator stage (same
+operators, same parameters) and count the candidate relation the entry
+verifies. ``simhash_banded_pairs`` is the expected exception to
+linearity: 15-bit bands hold 32,768 values, so once the corpus is large
+relative to band space, random band collisions grow ~quadratically --
+the documented mitigation is wider/more bands (production: 64-bit hash,
+16-bit bands); the probe exists to put a measured number on that knee.
+
+Usage: python tools/scaleup100_probe.py [--base /root/testdata/sf0.1]
+                                        [--replicas 100] [names...]
+Appends/replaces the "## 100x probe" section of docs/SCALEUP.md and
+prints one JSON line per query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+HEAVY = [
+    "ngram_jaccard_pairs",
+    "simhash_banded_pairs",
+    "jaccard_prefix_filter_pairs",
+    "graph_bfs_hops",
+    "embedding_ivfpq_topk",
+]
+
+SECTION_HEADER = "## 100x probe: heavy-family candidate growth"
+
+
+def build_100x(spark, base: str, out: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, base, "documents")
+    doc_span = F.lit(docs.agg(F.max("doc_id")).first()[0] + 1)
+    parts = []
+    for i in range(replicas):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i) * doc_span)
+        if i > 0:
+            # disjoint token space per replica: constant duplication rate
+            d = d.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1r{i}")
+            )
+        parts.append(d)
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    li = read_parquet_table(spark, base, "lineitem")
+    ok_span = F.lit(li.agg(F.max("l_orderkey")).first()[0] + 1)
+    pk_span = F.lit(li.agg(F.max("l_partkey")).first()[0] + 1)
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i) * ok_span)
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(i) * pk_span)
+        for i in range(replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    emb = read_parquet_table(spark, base, "embeddings")
+    vec_span = F.lit(emb.agg(F.max("vec_id")).first()[0] + 1)
+    parts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i) * vec_span)
+        for i in range(replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    # tables the probed entries never touch stay at 1x (copied so any
+    # incidental read resolves)
+    for tname in ("orders", "events", "customer", "supplier", "part",
+                  "nation", "region"):
+        read_parquet_table(spark, base, tname).write.mode("overwrite").parquet(
+            f"{out}/{tname}.parquet"
+        )
+
+
+# --- candidate-count mirrors: same generator stage as the entry -----------
+
+
+def _cand_ngram_jaccard(spark, sf_dir: str) -> int:
+    """Inverted-index candidates: distinct lang-blocked pairs meeting on
+    >= 1 shared word bigram (mirrors jaccard_pairs' join stage)."""
+    from pyspark.sql import functions as F
+
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.operators.text import (
+        tokens,
+        word_ngrams,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", "lang", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    sh = tk.select(
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("block"),
+        F.explode(word_ngrams(F.col("toks"), n=2, distinct=True)).alias("gram"),
+    ).dropDuplicates()
+    a = sh.select(F.col("id").alias("id_a"), "block", "gram")
+    b = sh.select(F.col("id").alias("id_b"), "block", "gram")
+    return (
+        a.join(b, ["block", "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+
+
+def _cand_simhash_banded(spark, sf_dir: str) -> int:
+    """Band-collision candidates: distinct pairs equal in >= 1 of the 4
+    15-bit bands of the 60-bit simhash (the relation the exact
+    bit_count(xor) filter verifies)."""
+    from pyspark.sql import functions as F
+
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
+        simhash_table,
+    )
+
+    sh = simhash_table(read_parquet_table(spark, sf_dir, "documents"), n_bits=60)
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 15 * b)
+                        .bitwiseAND(F.lit(32767))
+                        .alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(F.col("doc_id").alias("id_a"), "band", "val")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band", "val")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+
+
+def _cand_prefix_filter(spark, sf_dir: str) -> int:
+    """PPJoin candidates: distinct pairs surviving the rarest-first
+    prefix index + the in-join length filter at t=0.8 (mirrors the
+    entry's `cand` relation, 4-gram shingles)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.operators.text import (
+        tokens,
+        word_ngrams,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 4
+    )
+    sh = tk.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_ngrams(F.col("toks"), n=4, distinct=True)).alias("gram"),
+    ).dropDuplicates()
+    gfreq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("gf"))
+    wpos = Window.partitionBy("id").orderBy("gf", "gram")
+    wcnt = Window.partitionBy("id")
+    ranked = sh.join(gfreq, "gram").select(
+        "id",
+        "gram",
+        F.row_number().over(wpos).alias("pos"),
+        F.count(F.lit(1)).over(wcnt).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    )
+    return (
+        prefix.select(F.col("id").alias("id_a"), "gram", F.col("n").alias("na"))
+        .join(
+            prefix.select(F.col("id").alias("id_b"), "gram", F.col("n").alias("nb")),
+            "gram",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("na") * 5 >= F.col("nb") * 4)
+            & (F.col("nb") * 5 >= F.col("na") * 4)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+
+
+def _cand_bfs_edges(spark, sf_dir: str) -> int:
+    """The relation BFS probes each round: directed co-purchase edges at
+    the >=2-shared-orders threshold."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _copurchase_edges,
+    )
+
+    return _copurchase_edges(spark, sf_dir, threshold=2).count()
+
+
+def _cand_ivfpq(spark, sf_dir: str) -> int:
+    """ADC-scanned candidates: corpus vectors in the 2 probed cells per
+    query (constant at any corpus replication -- the entry caps its
+    corpus at vec_id < 200, so only the pruned scan grows)."""
+    from pyspark.sql import functions as F
+
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") < 200)
+    assigned = assign_cells(corpus, cents, n_probe=1).select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+    probes = assign_cells(
+        emb.filter(F.col("vec_id") < 5), cents, n_probe=2
+    ).select(F.col("id").alias("query_id"), "cell")
+    return (
+        assigned.join(probes, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .count()
+    )
+
+
+CAND_FNS = {
+    "ngram_jaccard_pairs": _cand_ngram_jaccard,
+    "simhash_banded_pairs": _cand_simhash_banded,
+    "jaccard_prefix_filter_pairs": _cand_prefix_filter,
+    "graph_bfs_hops": _cand_bfs_edges,
+    "embedding_ivfpq_topk": _cand_ivfpq,
+}
+
+NOTES = {
+    "ngram_jaccard_pairs": "lang-blocked inverted-index pairs",
+    "simhash_banded_pairs": "band collisions; superlinear past band-space "
+    "knee -- mitigation: wider/more bands",
+    "jaccard_prefix_filter_pairs": "prefix+length-filter survivors",
+    "graph_bfs_hops": "co-purchase edges (>=2 orders)",
+    "embedding_ivfpq_topk": "probed-cell ADC rows; corpus capped at "
+    "vec_id<200 by entry params, only the pruned scan grows",
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicas", type=int, default=100)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from state_economics_end_to_end_data_pipeline_spark.plans import load_all
+    from state_economics_end_to_end_data_pipeline_spark.session import get_spark
+
+    from tools.scaleup_probe import time_query
+
+    spark = get_spark(app_name="scaleup100-probe")
+    qs = load_all()
+    names = args.names or HEAVY
+
+    big = tempfile.mkdtemp(prefix="scaleup_100x_")
+    print(f"# building {args.replicas}x replicas in {big}", file=sys.stderr)
+    t0 = time.perf_counter()
+    build_100x(spark, args.base, big, args.replicas)
+    print(f"# built in {time.perf_counter() - t0:.0f}s", file=sys.stderr)
+
+    rows = []
+    for name in names:
+        t_small, r_small = time_query(qs[name].fn, spark, args.base, reps=2)
+        t_big, r_big = time_query(qs[name].fn, spark, big, reps=1)
+        c_small = CAND_FNS[name](spark, args.base) if name in CAND_FNS else None
+        c_big = CAND_FNS[name](spark, big) if name in CAND_FNS else None
+        row = {
+            "query": name,
+            "sec_1x": round(t_small, 2),
+            "sec_100x": round(t_big, 2),
+            "ratio": round(t_big / t_small, 2),
+            "rows_1x": r_small,
+            "rows_100x": r_big,
+            "cand_1x": c_small,
+            "cand_100x": c_big,
+            "cand_ratio": (
+                round(c_big / c_small, 2) if c_small and c_big else None
+            ),
+        }
+        if r_small == 0 or r_big == 0:
+            row["EMPTY_RESULT"] = {"rows_1x": r_small, "rows_100x": r_big}
+        rows.append(row)
+        print(json.dumps(row))
+
+    md = [
+        SECTION_HEADER,
+        "",
+        f"Generated by `python tools/scaleup100_probe.py` ({args.replicas}x",
+        "replicas, local[32]; 1x = min-of-2, 100x = single run). Replicas",
+        "model a real 100x corpus at CONSTANT duplication rate: documents",
+        "are token-salted per replica (disjoint gram spaces), lineitem",
+        "shifts both order AND part keys (100 disjoint graph copies,",
+        "co-occurrence rates preserved), embeddings shift ids only. The",
+        "candidate column counts the relation each entry's verify stage",
+        "consumes -- the number that must stay near-linear for the 100 TB",
+        "claim.",
+        "",
+        "| query | 1x sec | 100x sec | ratio | cand 1x | cand 100x "
+        "| cand ratio | out rows 1x -> 100x | note |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        cr = f"{r['cand_ratio']}x" if r["cand_ratio"] is not None else "-"
+        c1 = f"{r['cand_1x']:,}" if r["cand_1x"] is not None else "-"
+        c2 = f"{r['cand_100x']:,}" if r["cand_100x"] is not None else "-"
+        ratio = f"{r['ratio']}x"
+        if "EMPTY_RESULT" in r:
+            ratio += " EMPTY"
+        md.append(
+            f"| {r['query']} | {r['sec_1x']} | {r['sec_100x']} | {ratio} "
+            f"| {c1} | {c2} | {cr} | {r['rows_1x']:,} -> {r['rows_100x']:,} "
+            f"| {NOTES.get(r['query'], '')} |"
+        )
+
+    out_path = REPO / "docs" / "SCALEUP.md"
+    text = out_path.read_text() if out_path.exists() else ""
+    if SECTION_HEADER in text:
+        # replace the existing section (idempotent reruns)
+        head, _, rest = text.partition(SECTION_HEADER)
+        nxt = rest.find("\n## ")
+        tail = rest[nxt + 1:] if nxt != -1 else ""
+        text = head + "\n".join(md) + "\n\n" + tail
+    else:
+        text = text.rstrip("\n") + "\n\n" + "\n".join(md) + "\n"
+    out_path.write_text(text)
+    print("updated docs/SCALEUP.md (100x section)", file=sys.stderr)
+    return 2 if any("EMPTY_RESULT" in r for r in rows) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
