@@ -385,6 +385,26 @@ def main() -> int:
             f"| {c1} | {c2} | {cr} | {r['rows_1x']:,} -> {r['rows_100x']:,} "
             f"| {NOTES.get(r['query'], '')} |"
         )
+    md += [
+        "",
+        "Reading: the gram-equality families (jaccard / prefix-filter /",
+        "graph edges) measure candidate growth EXACTLY linear by",
+        "construction of the candidate join -- 100.0x is the plan working.",
+        "simhash is the expected exception twice over: (a) the honest",
+        "band-space knee (4 bands x 32,768 values; once corpus >> band",
+        "space, random band collisions grow ~quadratically -- mitigation",
+        "is wider/more bands, e.g. 64-bit hash with 16-bit bands), and",
+        "(b) a fixture artifact -- the synthetic corpus draws from a",
+        "~25-word vocabulary, so each salted replica re-draws the token-",
+        "hash geometry and the per-replica hamming<=3 pair RATE varies",
+        "with the draw (measured: largest identical-hash group is 8, so",
+        "no degenerate cluster; the original vocab was simply a",
+        "low-collision draw). The output-row growth of the simhash row is",
+        "dominated by (b); the candidate growth mixes (a) and (b).",
+        "embedding_ivfpq_topk's flat line is the point: its entry caps",
+        "the corpus by parameters, so only the parquet scan grows and",
+        "filter pushdown prunes 99% of it (1.14x wall at 100x data).",
+    ]
 
     out_path = REPO / "docs" / "SCALEUP.md"
     text = out_path.read_text() if out_path.exists() else ""
