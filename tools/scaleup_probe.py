@@ -358,7 +358,9 @@ def main() -> int:
         last_row_idx = None
         in_table = False
         for i, line in enumerate(existing):
-            is_row = line.startswith("| ")
+            # "|" catches the |---| separator too -- it must not end the
+            # table scan
+            is_row = line.startswith("|")
             if in_table and not is_row:
                 break  # first table ended; later tables are out of scope
             cells = [c.strip() for c in line.split("|")]
