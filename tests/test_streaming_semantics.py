@@ -359,6 +359,36 @@ def test_checkpoint_recovery_replays_uncommitted_batch_idempotently(
     assert _final_totals(spark, f"{base}/out") == _TOTALS_EXPECTED
 
 
+def test_checkpoint_recovery_rocksdb_state_store(spark, tmp_path_factory):
+    """The same restart scenario on the ROCKSDB state-store provider --
+    the production backend once state outgrows executor heap (billions
+    of keys at 100 TB): state lives off-heap in one RocksDB instance per
+    store, checkpointed as SST snapshots. A checkpoint written by the
+    RocksDB provider must recover into a NEW query exactly like the
+    default HDFS-backed provider does (the provider is bundled:
+    rocksdbjni ships in Spark's own jars)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key)
+    spark.conf.set(key, provider)
+    try:
+        base = str(tmp_path_factory.mktemp("ckrec_rocksdb"))
+        src = _publish_file(spark, base, 0, _TOTALS_BATCHES[0], _TOTALS_SCHEMA)
+        log: list = []
+        _run_totals_to_parquet(spark, src, f"{base}/ck", f"{base}/out", log)
+        assert log == [0]
+        for i in (1, 2):
+            _publish_file(spark, base, i, _TOTALS_BATCHES[i], _TOTALS_SCHEMA)
+        _run_totals_to_parquet(spark, src, f"{base}/ck", f"{base}/out", log)
+        assert log == [0, 1, 2], log
+        assert _final_totals(spark, f"{base}/out") == _TOTALS_EXPECTED
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_checkpoint_recovery_session_window_spanning_restart(
     spark, tmp_path_factory
 ):
