@@ -259,3 +259,132 @@ def decode_bmp_pixels(
             yield out
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+# --- audio: real 16-bit PCM WAV synth + stdlib chunk-walking parse ---------
+
+WAV_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("peak_abs", T.IntegerType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def synth_wav_payload(doc_id: int) -> bytes:
+    """Deterministic REAL 16-bit PCM mono WAV for a document id: a
+    genuine RIFF container (RIFF size, WAVE form, canonical ``fmt ``
+    chunk with PCM/mono/16-bit fields and the derived byte rate + block
+    align, then a ``data`` chunk of little-endian int16 samples).
+    Geometry derives from md5(f"{doc_id}:wav"): sample count
+    64 + h[0:2] % 64, rate 8000 * (1 + h[2:4] % 3), and samples follow
+    the integer sawtooth s_i = ((a0 + 1097*i) % 4001) - 2000 with
+    a0 = h[4:8] % 20011 -- every downstream feature has an exact
+    integer closed form a SQL oracle can restate."""
+    import struct
+
+    h = hashlib.md5(f"{doc_id}:wav".encode()).hexdigest()
+    n = 64 + int(h[0:2], 16) % 64
+    rate = 8000 * (1 + int(h[2:4], 16) % 3)
+    a0 = int(h[4:8], 16) % 20011
+    samples = [((a0 + 1097 * i) % 4001) - 2000 for i in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_features(raw: bytes) -> tuple:
+    """REAL WAV decode with no media libs: verify the RIFF/WAVE
+    container, then WALK the chunk list (id + little-endian size, word
+    alignment) rather than assuming fixed offsets -- real files carry
+    LIST/INFO chunks before data. PCM/mono/16-bit enforced from the fmt
+    chunk; samples via ``np.frombuffer`` int16 and int64 accumulation
+    (peak/sum-abs/energy exact; a squared int16 overflows int32 at
+    32768^2 * n, so the dtype widening is correctness, not style).
+    Zero crossings count strict sign flips (s_i * s_{i-1} < 0), the
+    SQL-friendly form. Truncated containers and non-PCM payloads raise
+    rather than return partial stats."""
+    import struct
+
+    import numpy as np
+
+    if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    riff_size = struct.unpack("<I", raw[4:8])[0]
+    if 8 + riff_size > len(raw):
+        raise ValueError("truncated RIFF container")
+    pos, fmt_fields, data = 12, None, None
+    while pos + 8 <= 8 + riff_size:
+        cid = raw[pos:pos + 4]
+        csz = struct.unpack("<I", raw[pos + 4:pos + 8])[0]
+        body = raw[pos + 8:pos + 8 + csz]
+        if len(body) < csz:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt_fields = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt_fields is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, _brate, _balign, bits = fmt_fields
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"unsupported WAV: format={audio_format} channels={channels} "
+            f"bits={bits}"
+        )
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    n = int(s.size)
+    return (
+        int(rate),
+        n,
+        n * 1_000_000 // int(rate),
+        int(np.abs(s).max()) if n else 0,
+        int(np.abs(s).sum()),
+        int((s * s).sum()),
+        int(np.count_nonzero(s[1:] * s[:-1] < 0)),
+    )
+
+
+def synth_wav_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload binary) table of synthesized real WAVs -- the audio
+    encode half, Arrow-batched."""
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame({id_col: pdf[id_col].values})
+            out["payload"] = [synth_wav_payload(int(i)) for i in pdf[id_col]]
+            yield out
+
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+def decode_wav_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Sample-level audio feature extraction from a WAV binary column via
+    mapInPandas -- the real decode path, no media library, no env gate."""
+    out_schema = T.StructType([df.schema[id_col]] + list(WAV_FEATURE_SCHEMA.fields))
+    cols = [f.name for f in WAV_FEATURE_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = [parse_wav_features(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(stats, columns=cols)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)

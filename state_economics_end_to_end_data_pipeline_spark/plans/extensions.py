@@ -25,9 +25,11 @@ from ..operators.dedup import (
 from ..operators.multimodal import (
     decode_bmp_pixels,
     decode_media,
+    decode_wav_features,
     media_table,
     sample_frame_indexes,
     synth_bmp_table,
+    synth_wav_table,
     thumbnail_dims,
 )
 from ..operators.partitioning import rebalance_for_cpu
@@ -1343,6 +1345,65 @@ def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     module docstring)."""
     docs = rebalance_for_cpu(t(spark, sf_dir, "documents"))
     return decode_bmp_pixels(synth_bmp_table(docs))
+
+
+_WAV_H = "md5(CAST(doc_id AS VARCHAR) || ':wav')"
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             64 + {_hex_to_int_sql(_WAV_H, 1, 2)} % 64 AS n,
+             8000 * (1 + {_hex_to_int_sql(_WAV_H, 3, 2)} % 3) AS rate,
+             {_hex_to_int_sql(_WAV_H, 5, 4)} % 20011 AS a0
+      FROM documents
+    ),
+    sm AS (
+      SELECT doc_id, n, rate,
+             ((a0 + 1097 * i) % 4001) - 2000 AS s,
+             CASE WHEN i > 0
+                  THEN ((a0 + 1097 * (i - 1)) % 4001) - 2000 END AS sp
+      FROM dims, LATERAL (SELECT unnest(range(n)) AS i) t
+    )
+    SELECT doc_id,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(n AS INT) AS n_samples,
+           CAST((n * 1000000) // rate AS BIGINT) AS duration_us,
+           CAST(MAX(abs(s)) AS INT) AS peak_abs,
+           CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN sp IS NOT NULL AND s * sp < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM sm GROUP BY doc_id, n, rate
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-LEVEL audio round-trip -- the WAV twin of
+    ``multimodal_pixels``, completing the image/audio/video triad with a
+    REAL decode in every environment: a genuine RIFF/WAVE container
+    (canonical fmt chunk, little-endian int16 data chunk) is synthesized
+    per document and decoded back by a stdlib chunk-WALKING parser
+    (struct + numpy frombuffer; real files interleave LIST/INFO chunks,
+    so the parser honors chunk sizes and word alignment instead of fixed
+    offsets). Features are the production audio-curation set: duration,
+    peak, mean-abs ingredients, energy, zero-crossing count -- the cheap
+    heuristics that gate speech/music corpus quality before any model
+    runs.
+
+    EVERY feature is integer-exact (int16 samples, int64 accumulation --
+    a squared int16 needs the widening; crossings are strict sign flips
+    s_i * s_{{i-1}} < 0), so the oracle restates the sawtooth generator
+    s_i = ((a0 + 1097*i) % 4001) - 2000 in closed form and matches
+    bit-for-bit with no snapping anywhere.
+
+    At 100 TB the payload column follows the module's derive-then-drop
+    discipline: synth and decode are back-to-back narrow Arrow passes,
+    only fixed-width features flow downstream, the audio bytes never
+    shuffle."""
+    docs = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    return decode_wav_features(synth_wav_table(docs))
 
 
 @register(

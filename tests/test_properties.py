@@ -409,3 +409,79 @@ def test_bmp_truncated_payload_fails_loudly(truncate_at):
     raw = synth_bmp_payload(7)[:truncate_at]
     with _pytest.raises((ValueError, struct.error)):
         parse_bmp_pixels(raw)
+
+
+@given(doc_id=st.integers(0, 2**31 - 1))
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_any_doc_id(doc_id):
+    """The synth/parse WAV pair must round-trip for ANY doc id: the
+    chunk-walking parser (RIFF container, canonical fmt, int16 data)
+    must reproduce the sawtooth generator's closed-form features --
+    exact integers everywhere, including the int64-widened energy sum
+    and strict-sign-flip crossing count. Pure Python -- no Spark
+    session."""
+    import hashlib
+
+    from state_economics_end_to_end_data_pipeline_spark.operators.multimodal import (
+        parse_wav_features,
+        synth_wav_payload,
+    )
+
+    h = hashlib.md5(f"{doc_id}:wav".encode()).hexdigest()
+    n = 64 + int(h[0:2], 16) % 64
+    rate = 8000 * (1 + int(h[2:4], 16) % 3)
+    a0 = int(h[4:8], 16) % 20011
+    s = [((a0 + 1097 * i) % 4001) - 2000 for i in range(n)]
+    expected = (
+        rate,
+        n,
+        n * 1_000_000 // rate,
+        max(abs(x) for x in s),
+        sum(abs(x) for x in s),
+        sum(x * x for x in s),
+        sum(1 for i in range(1, n) if s[i] * s[i - 1] < 0),
+    )
+    assert parse_wav_features(synth_wav_payload(doc_id)) == expected
+
+
+def test_wav_parser_walks_interleaved_chunks():
+    """Real WAV files carry LIST/INFO (and odd-sized) chunks before
+    data; a parser assuming fixed offsets returns garbage. Splice a
+    5-byte LIST chunk (odd size -> exercises word-alignment padding)
+    between fmt and data and require identical features."""
+    import struct
+
+    from state_economics_end_to_end_data_pipeline_spark.operators.multimodal import (
+        parse_wav_features,
+        synth_wav_payload,
+    )
+
+    raw = synth_wav_payload(42)
+    base = parse_wav_features(raw)
+    fmt_start = 12
+    fmt_end = fmt_start + 8 + struct.unpack("<I", raw[fmt_start + 4:fmt_start + 8])[0]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+    spliced = raw[:fmt_end] + extra + raw[fmt_end:]
+    spliced = (
+        spliced[:4]
+        + struct.pack("<I", len(spliced) - 8)
+        + spliced[8:]
+    )
+    assert parse_wav_features(spliced) == base
+
+
+@given(truncate_at=st.integers(0, 43))
+@settings(max_examples=20, deadline=None)
+def test_wav_truncated_payload_fails_loudly(truncate_at):
+    """A WAV cut inside the container, fmt, or data chunk must raise,
+    never return partial stats."""
+    import pytest as _pytest
+
+    from state_economics_end_to_end_data_pipeline_spark.operators.multimodal import (
+        parse_wav_features,
+        synth_wav_payload,
+    )
+
+    raw = synth_wav_payload(7)
+    with _pytest.raises(ValueError):
+        parse_wav_features(raw[:truncate_at])

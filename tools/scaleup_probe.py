@@ -92,6 +92,9 @@ PROBES = [
     "cusum_changepoint_event_values",
     "stream_interval_join_left_outer",
     "stream_session_dynamic_gap",
+    # round-8 addition: the WAV twin of multimodal_pixels (narrow
+    # back-to-back Arrow passes; should ride the data ratio like pixels)
+    "multimodal_audio_features",
 ]
 
 REPLICAS = 10
