@@ -23,11 +23,13 @@ from ..operators.dedup import (
     simhash_table,
 )
 from ..operators.multimodal import (
+    decode_avi_frames,
     decode_bmp_pixels,
     decode_media,
     decode_wav_features,
     media_table,
     sample_frame_indexes,
+    synth_avi_table,
     synth_bmp_table,
     synth_wav_table,
     thumbnail_dims,
@@ -1345,6 +1347,71 @@ def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     module docstring)."""
     docs = rebalance_for_cpu(t(spark, sf_dir, "documents"))
     return decode_bmp_pixels(synth_bmp_table(docs))
+
+
+_AVI_H = "md5(CAST(doc_id AS VARCHAR) || ':avi')"
+
+
+@register(
+    "multimodal_video_framestats",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             1 + {_hex_to_int_sql(_AVI_H, 1, 2)} % 6 AS w,
+             1 + {_hex_to_int_sql(_AVI_H, 3, 2)} % 6 AS hh,
+             2 + {_hex_to_int_sql(_AVI_H, 5, 2)} % 6 AS nf,
+             {_hex_to_int_sql(_AVI_H, 7, 2)} AS r0,
+             {_hex_to_int_sql(_AVI_H, 9, 2)} AS g0,
+             {_hex_to_int_sql(_AVI_H, 11, 2)} AS b0
+      FROM documents
+    ),
+    fy AS (
+      SELECT doc_id, w, hh, nf, r0, g0, b0, f, y
+      FROM dims,
+           LATERAL (SELECT unnest(range(0, nf, 2)) AS f) tf,
+           LATERAL (SELECT unnest(range(hh)) AS y) ty
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(hh AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+           CAST(SUM(((r0 + y + 5 * f) % 256) * w) AS BIGINT) AS sum_r,
+           CAST(SUM(((g0 + 2 * y + 7 * f) % 256) * w) AS BIGINT) AS sum_g,
+           CAST(SUM(((b0 + 3 * y + 11 * f) % 256) * w) AS BIGINT) AS sum_b
+    FROM fy GROUP BY doc_id, w, hh, nf
+    """,
+)
+def multimodal_video_framestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME-LEVEL video round-trip -- the third leg of the multimodal
+    triad, with a REAL container decode in every environment: a genuine
+    uncompressed AVI (RIFF 'AVI ' form: LIST hdrl with avih main header
+    + 'vids'/'DIB ' stream headers, LIST movi with one raw bottom-up
+    BGR '00db' chunk per frame) is synthesized per document and decoded
+    by the stdlib chunk-walking parser. The decoder executes the
+    ``sample_frame_indexes`` semantics AT THE BYTE LEVEL: only every
+    2nd frame's pixel array is touched (production frame sampling skips
+    the decode cost of unsampled frames, not just their rows), and the
+    header-declared frame count is cross-checked against the movi chunk
+    census so a truncated tail fails loudly.
+
+    Output is integer-exact: per-doc geometry, frame counts, and
+    per-channel pixel sums over the sampled frames (int64 accumulation,
+    no division anywhere), so the oracle restates the frame generator
+    ((r0+y+5f)%256 etc.) in closed form over the sampled-frame lattice
+    and matches bit-for-bit.
+
+    At 100 TB: same derive-then-drop shape as the image/audio twins --
+    payloads stay in one narrow Arrow pass, only fixed-width stats
+    shuffle into the final small groupBy."""
+    docs = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    frames = decode_avi_frames(synth_avi_table(docs), every=2)
+    return frames.groupBy("doc_id", "width", "height", "n_frames").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("fsum_r").alias("sum_r"),
+        F.sum("fsum_g").alias("sum_g"),
+        F.sum("fsum_b").alias("sum_b"),
+    )
 
 
 _WAV_H = "md5(CAST(doc_id AS VARCHAR) || ':wav')"

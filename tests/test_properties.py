@@ -485,3 +485,60 @@ def test_wav_truncated_payload_fails_loudly(truncate_at):
     raw = synth_wav_payload(7)
     with _pytest.raises(ValueError):
         parse_wav_features(raw[:truncate_at])
+
+
+@given(doc_id=st.integers(0, 2**31 - 1), every=st.integers(1, 4))
+@settings(max_examples=50, deadline=None)
+def test_avi_roundtrip_any_doc_id_and_stride(doc_id, every):
+    """The synth/parse AVI pair must round-trip for ANY doc id and ANY
+    sampling stride: chunk-walked hdrl/movi, bottom-up padded DIB
+    frames, and the every-th-frame skip must reproduce the closed-form
+    per-channel sums on exactly the sampled index set. Pure Python."""
+    from state_economics_end_to_end_data_pipeline_spark.operators.multimodal import (
+        _avi_dims,
+        parse_avi_frames,
+        synth_avi_payload,
+    )
+
+    w, ht, nf, r0, g0, b0 = _avi_dims(doc_id)
+    got = parse_avi_frames(synth_avi_payload(doc_id), every=every)
+    expected = [
+        (
+            w, ht, nf, f,
+            sum((r0 + y + 5 * f) % 256 for y in range(ht)) * w,
+            sum((g0 + 2 * y + 7 * f) % 256 for y in range(ht)) * w,
+            sum((b0 + 3 * y + 11 * f) % 256 for y in range(ht)) * w,
+        )
+        for f in range(0, nf, every)
+    ]
+    assert got == expected
+
+
+def test_avi_frame_census_mismatch_fails_loudly():
+    """An AVI whose movi list holds fewer frames than the avih header
+    declares (a truncated tail that still parses chunk-by-chunk) must
+    raise, never silently return partial stats."""
+    import struct
+
+    import pytest as _pytest
+
+    from state_economics_end_to_end_data_pipeline_spark.operators.multimodal import (
+        parse_avi_frames,
+        synth_avi_payload,
+    )
+
+    raw = synth_avi_payload(7)
+    # chop the LAST '00db' chunk out of movi and fix up the two
+    # enclosing sizes (movi LIST and RIFF) so every chunk still parses
+    last = raw.rfind(b"00db")
+    frame_sz = struct.unpack("<I", raw[last + 4:last + 8])[0]
+    cut = 8 + frame_sz + (frame_sz & 1)
+    movi_hdr = raw.rfind(b"LIST", 0, last)
+    movi_sz = struct.unpack("<I", raw[movi_hdr + 4:movi_hdr + 8])[0]
+    trimmed = (
+        raw[:4] + struct.pack("<I", len(raw) - 8 - cut)
+        + raw[8:movi_hdr + 4] + struct.pack("<I", movi_sz - cut)
+        + raw[movi_hdr + 8:last] + raw[last + cut:]
+    )
+    with _pytest.raises(ValueError, match="header claims"):
+        parse_avi_frames(trimmed)

@@ -92,9 +92,10 @@ PROBES = [
     "cusum_changepoint_event_values",
     "stream_interval_join_left_outer",
     "stream_session_dynamic_gap",
-    # round-8 addition: the WAV twin of multimodal_pixels (narrow
-    # back-to-back Arrow passes; should ride the data ratio like pixels)
+    # round-8 additions: the WAV and AVI twins of multimodal_pixels
+    # (narrow back-to-back Arrow passes; should ride the data ratio)
     "multimodal_audio_features",
+    "multimodal_video_framestats",
 ]
 
 REPLICAS = 10
