@@ -785,3 +785,46 @@ def test_tfidf_topk_ranks_and_monotonic(spark, sf_dir):
         assert len(rs) <= 3
         scores = [r.score for r in rs]
         assert scores == sorted(scores, reverse=True), doc_id
+
+
+def test_connected_components_partition_the_node_set(spark, sf_dir):
+    """CC invariants the oracle can't see: components partition the
+    exact node set of the >=2-co-purchase graph, every component id is
+    itself a member node (the component minimum), and no component is a
+    singleton (every node in the edge list has >=1 neighbor)."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _copurchase_edges,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "graph_connected_components", spark, sf_dir)
+    nodes = {
+        r.src for r in _copurchase_edges(spark, sf_dir, threshold=2).collect()
+    }
+    assert sum(r.n_nodes for r in rows) == len(nodes)
+    assert all(r.component_id in nodes for r in rows)
+    assert all(r.n_nodes >= 2 for r in rows)
+    # component ids are distinct minima -> distinct rows
+    assert len({r.component_id for r in rows}) == len(rows)
+
+
+def test_kcore_every_survivor_meets_the_degree_bar(spark, sf_dir):
+    """K-core invariants: every surviving node's in-core degree is >= k,
+    the core is a subgraph (survivor degrees never exceed the original
+    degrees), and the core edge count is consistent (sum of core degrees
+    is even -- edges are stored in both directions)."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _KCORE_K,
+        _copurchase_edges,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "kcore_parts", spark, sf_dir)
+    assert rows  # the sf0.001 graph retains a non-empty 2-core
+    orig_deg = {}
+    for r in _copurchase_edges(spark, sf_dir, threshold=2).collect():
+        orig_deg[r.src] = orig_deg.get(r.src, 0) + 1
+    for r in rows:
+        assert r.core_degree >= _KCORE_K, (r.part_key, r.core_degree)
+        assert r.core_degree <= orig_deg[r.part_key]
+    assert sum(r.core_degree for r in rows) % 2 == 0
