@@ -46,6 +46,7 @@ def load_all() -> dict[str, Query]:
     from . import streaming_queries  # noqa: F401
     from . import event_analytics  # noqa: F401
     from . import graph_analytics  # noqa: F401
+    from . import layout  # noqa: F401
     from . import robust_stats  # noqa: F401
     from . import tpch_workloads  # noqa: F401
 

@@ -1,0 +1,110 @@
+"""Data-layout optimization as an oracle-paired catalog entry.
+
+``operators/partitioning.py:61`` (``zorder_column`` / ``write_zordered``)
+implements the general Morton-key clustering used to make parquet footer
+min/max stats prune file reads for filters on ANY keyed column. This
+module states the layout's *measurable claim* as a differential query:
+bucket lineitem 256 ways under (a) a z-order layout over
+(l_partkey, l_suppkey) and (b) a single-column sorted layout, and report
+each bucket's per-dimension bin span. Z-order buckets bound BOTH
+dimensions (span <= 16 of 256 bins at 4+4 prefix bits); the linear
+layout bounds only its sort column (second-dimension span ~254/256) --
+which is exactly why a filter on l_suppkey skips ~15/16 of z-ordered
+files and ~none of the partkey-sorted ones.
+
+Binning here is the integer-exact twin of the operator's
+``width_bucket`` path: ``FLOOR((key - min) * 256.0 / (max - min + 1))``
+with all operands < 2^53, so the double division is correctly rounded
+and both engines produce identical bins (DETERMINISM.md discipline).
+Bounds are a 1-row aggregate cross-joined in-plan -- building the
+DataFrame stays side-effect-free (no driver action), and at 100 TB the
+bounds relation broadcasts while the quantize + interleave is a narrow
+projection; the only shuffle is the final 512-group aggregate.
+
+Reference parity: the reference has no layout optimization at all (its
+published tables are whole-table JDBC loads, DAG1:216-253); this is the
+kind of operator a 100 TB lakehouse needs that a 6 MB Postgres load
+never will.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.readers import read_parquet_table as t
+from . import register
+
+_BITS = 8  # 256 bins per dimension; 4+4 prefix bits -> 256 z-buckets
+
+
+def _interleave_sql(px: str = "px", py: str = "py") -> str:
+    """Morton interleave of two 8-bit coords as pure integer bit ops --
+    the identical expression text runs in DuckDB and Spark SQL."""
+    return " | ".join(
+        f"((({px} >> {b}) & 1) << {2 * b + 1}) | ((({py} >> {b}) & 1) << {2 * b})"
+        for b in range(_BITS)
+    )
+
+
+_LAYOUT_ORACLE = f"""
+WITH b AS (SELECT MIN(l_partkey) AS minp, MAX(l_partkey) AS maxp,
+                  MIN(l_suppkey) AS mins, MAX(l_suppkey) AS maxs FROM lineitem),
+q AS (
+  SELECT CAST(FLOOR((l_partkey - minp) * 256.0 / (maxp - minp + 1)) AS BIGINT) AS px,
+         CAST(FLOOR((l_suppkey - mins) * 256.0 / (maxs - mins + 1)) AS BIGINT) AS py
+  FROM lineitem CROSS JOIN b
+),
+z AS (SELECT px, py, ({_interleave_sql()}) AS zv FROM q),
+per AS (
+  SELECT 'zorder' AS layout, zv >> 8 AS bucket, COUNT(*) AS n_rows,
+         MAX(px) - MIN(px) + 1 AS px_span, MAX(py) - MIN(py) + 1 AS py_span
+  FROM z GROUP BY 2
+  UNION ALL
+  SELECT 'linear', px, COUNT(*), MAX(px) - MIN(px) + 1, MAX(py) - MIN(py) + 1
+  FROM z GROUP BY 2
+)
+SELECT layout, CAST(bucket AS BIGINT) AS bucket, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(px_span AS BIGINT) AS px_span, CAST(py_span AS BIGINT) AS py_span
+FROM per
+"""
+
+
+@register("zorder_layout_spans", oracle=_LAYOUT_ORACLE)
+def zorder_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear layout, measured: per-bucket bin spans for both
+    keyed dimensions under each layout (512 rows: 2 layouts x 256
+    buckets). See the module docstring for the claim and the scale
+    shape; probed at sf0.01 the z-order side maxes at px_span=py_span=16
+    while the linear side's py_span averages ~253 -- the pruning ratio a
+    z-ordered file layout buys on the *non*-sort column.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").alias("minp"),
+        F.max("l_partkey").alias("maxp"),
+        F.min("l_suppkey").alias("mins"),
+        F.max("l_suppkey").alias("maxs"),
+    )
+    q = li.crossJoin(F.broadcast(bounds)).select(
+        F.floor((F.col("l_partkey") - F.col("minp")) * 256.0 / (F.col("maxp") - F.col("minp") + 1))
+        .cast("bigint")
+        .alias("px"),
+        F.floor((F.col("l_suppkey") - F.col("mins")) * 256.0 / (F.col("maxs") - F.col("mins") + 1))
+        .cast("bigint")
+        .alias("py"),
+    )
+    z = q.select("px", "py", F.expr(_interleave_sql()).alias("zv"))
+    zorder = z.groupBy(F.shiftright("zv", _BITS).cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.max("px") - F.min("px") + 1).cast("bigint").alias("px_span"),
+        (F.max("py") - F.min("py") + 1).cast("bigint").alias("py_span"),
+    )
+    linear = z.groupBy(F.col("px").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.max("px") - F.min("px") + 1).cast("bigint").alias("px_span"),
+        (F.max("py") - F.min("py") + 1).cast("bigint").alias("py_span"),
+    )
+    return zorder.select(F.lit("zorder").alias("layout"), "*").unionByName(
+        linear.select(F.lit("linear").alias("layout"), "*")
+    )

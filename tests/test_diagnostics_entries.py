@@ -828,3 +828,19 @@ def test_kcore_every_survivor_meets_the_degree_bar(spark, sf_dir):
         assert r.core_degree >= _KCORE_K, (r.part_key, r.core_degree)
         assert r.core_degree <= orig_deg[r.part_key]
     assert sum(r.core_degree for r in rows) % 2 == 0
+
+
+def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    """The layout claim itself: every z-order bucket spans <= 16 of 256
+    bins in BOTH dimensions (4+4 prefix bits), the linear layout is
+    perfect on its sort column (px_span == 1) but unbounded on the other,
+    and both layouts partition the same row count."""
+    qs = load_all()
+    rows = _rows(qs, "zorder_layout_spans", spark, sf_dir)
+    zrows = [r for r in rows if r.layout == "zorder"]
+    lrows = [r for r in rows if r.layout == "linear"]
+    assert zrows and lrows
+    assert all(r.px_span <= 16 and r.py_span <= 16 for r in zrows)
+    assert all(r.px_span == 1 for r in lrows)
+    assert max(r.py_span for r in lrows) > 16  # the contrast that buys pruning
+    assert sum(r.n_rows for r in zrows) == sum(r.n_rows for r in lrows)
