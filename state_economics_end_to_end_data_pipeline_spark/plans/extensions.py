@@ -403,7 +403,14 @@ _CM_WIDTH = 1024
 
 def _cm_bucket_sql(row: int, token_expr: str) -> str:
     """DuckDB bucket: first 5 hex nibbles of md5('<row>:'||token) decoded
-    positionally (portable -- no hex-int cast), mod width."""
+    positionally (portable -- no hex-int cast), mod width.
+
+    CAUTION: the list_transform lambda binds a variable named ``k``,
+    which SHADOWS any same-named column in ``token_expr`` (DuckDB
+    resolves lambda params first) -- a column literally called ``k``
+    silently hashes the loop index instead, collapsing the grid to one
+    bucket (hit while building cm_selfjoin_size; its key is named
+    ``jk`` for exactly this reason)."""
     h = f"md5('{row}:' || {token_expr})"
     val = (
         f"list_reduce(list_transform(range(1, 6), k -> "
@@ -4198,4 +4205,187 @@ def label_outlier_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 3)
         .select("label", "vec_id", "dist2", "rk")
+    )
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_sort(list_distinct({_TOKS})) AS toks
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, lang, toks,
+             array_to_string(toks[1:3], ' ') AS snkey
+      FROM d
+    ), nb AS (
+      SELECT lang, doc_id, toks, snkey,
+             LEAD(doc_id, 1) OVER w AS nid1, LEAD(toks, 1) OVER w AS nt1,
+             LEAD(doc_id, 2) OVER w AS nid2, LEAD(toks, 2) OVER w AS nt2
+      FROM keyed
+      WINDOW w AS (PARTITION BY lang ORDER BY snkey, doc_id)
+    ), cand AS (
+      SELECT lang, doc_id AS a, nid1 AS b, toks AS ta, nt1 AS tb
+      FROM nb WHERE nid1 IS NOT NULL
+      UNION ALL
+      SELECT lang, doc_id, nid2, toks, nt2 FROM nb WHERE nid2 IS NOT NULL
+    ), scored AS (
+      SELECT lang, a, b,
+             CAST(len(list_intersect(ta, tb)) AS BIGINT) AS n_inter,
+             CAST(len(list_distinct(list_concat(ta, tb))) AS BIGINT) AS n_union
+      FROM cand
+    )
+    SELECT lang, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           n_inter, n_union,
+           CAST(n_inter AS DOUBLE) / n_union AS jacc
+    FROM scored WHERE n_inter * 2 >= n_union
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernandez-Stolfo SNM): sort
+    each language block by a canonical key (the doc's 3 smallest
+    distinct tokens), slide a w=3 window down the sorted order, and
+    emit adjacent candidate pairs whose exact token-set Jaccard is
+    >= 0.5. Completes the candidate-generation family with the third
+    classic discipline: hash blocking (minhash/simhash bands), prefix
+    filtering (PPJoin), and now order-based neighborhoods -- the method
+    of choice when near-dups share a sort prefix rather than rare
+    tokens (record linkage, address/title dedup).
+
+    Plan shape: one narrow projection (split/distinct/sort, all JVM
+    HOFs), one window (two LEADs, so candidate volume is exactly
+    2*rows - boundary), and an in-row exact verify -- no join at all,
+    O(rows) candidates by construction vs LSH's collision-dependent
+    volume. The window partitions by lang; like `source_capped_sample`
+    (extensions.py:518) the 100 TB shape re-partitions the sort by
+    range(snkey) with a w-row boundary-replication pass --
+    identical output, bounded partitions -- while at catalog scale the
+    per-lang window states the semantics. Jaccard is an exact rational
+    (int/int double division, DETERMINISM.md rule 7).
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.array_sort(F.array_distinct(tokens("text"))).alias("toks"),
+    )
+    keyed = d.withColumn("snkey", F.concat_ws(" ", F.slice("toks", 1, 3)))
+    w = Window.partitionBy("lang").orderBy("snkey", "doc_id")
+    nb = keyed.select(
+        "lang",
+        "doc_id",
+        "toks",
+        F.lead("doc_id", 1).over(w).alias("nid1"),
+        F.lead("toks", 1).over(w).alias("nt1"),
+        F.lead("doc_id", 2).over(w).alias("nid2"),
+        F.lead("toks", 2).over(w).alias("nt2"),
+    )
+    cand = (
+        nb.filter(F.col("nid1").isNotNull())
+        .select("lang", F.col("doc_id").alias("a"), F.col("nid1").alias("b"), "toks", F.col("nt1").alias("tb"))
+        .unionByName(
+            nb.filter(F.col("nid2").isNotNull()).select(
+                "lang", F.col("doc_id").alias("a"), F.col("nid2").alias("b"), "toks", F.col("nt2").alias("tb")
+            )
+        )
+    )
+    scored = cand.select(
+        "lang",
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.size(F.array_intersect("toks", "tb")).cast("bigint").alias("n_inter"),
+        F.size(F.array_union("toks", "tb")).cast("bigint").alias("n_union"),
+    )
+    return scored.filter(F.col("n_inter") * 2 >= F.col("n_union")).withColumn(
+        "jacc", F.col("n_inter") / F.col("n_union")
+    )
+
+
+@register(
+    "cm_selfjoin_size",
+    oracle=f"""
+    WITH keys AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS jk FROM lineitem
+    ), exact_c AS (
+      SELECT jk, COUNT(*) AS c FROM keys GROUP BY jk
+    ), exact AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT) AS exact_sjs
+      FROM exact_c
+    ), pairs AS (
+      {" UNION ALL ".join(f"SELECT {r} AS row, {_cm_bucket_sql(r, 'jk')} AS bucket FROM keys" for r in range(_CM_DEPTH))}
+    ), sketch AS (
+      SELECT row, bucket, COUNT(*) AS c FROM pairs GROUP BY row, bucket
+    ), per_row AS (
+      SELECT row, SUM(CAST(c AS DECIMAL(38,0)) * c) AS est FROM sketch GROUP BY row
+    ), cm AS (
+      SELECT CAST(MIN(est) AS BIGINT) AS cm_estimate FROM per_row
+    )
+    SELECT e.n_rows, e.n_keys, e.exact_sjs, cm.cm_estimate,
+           CAST(cm.cm_estimate - e.exact_sjs AS BIGINT) AS cm_overestimate
+    FROM exact e CROSS JOIN cm
+    """,
+)
+def cm_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from a count-min sketch -- the AMS
+    inner-product result the optimizer family is built on: the
+    self-join size SUM(c_k^2) of lineitem on l_partkey is estimated as
+    min over sketch rows of SUM_b C[row,b]^2, WITHOUT a per-key
+    groupBy. Collisions only inflate, so estimate >= exact always
+    (surfaced as `cm_overestimate >= 0`); expected error is
+    n^2/width. This is the statistic a cost-based planner consults
+    before picking a join strategy at 100 TB -- the sketch is
+    O(d*w)=4x1024 counters, mergeable cell-wise across shards/days
+    like `countmin_heavy_hitters` above (extensions.py:417), whose
+    md5 grid it shares, so the oracle pins the estimate EXACTLY, not
+    as a bound. Squared-count sums accumulate in decimal(38,0) (house
+    overflow discipline; the true value fits bigint at any SF where
+    n < 3e9 per key).
+    """
+    keys = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("jk")
+    )
+
+    def bucket(row: int, col: F.Column) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"{row}:"), col))
+        return F.conv(F.substring(h, 1, 5), 16, 10).cast("bigint") % _CM_WIDTH
+
+    exact = (
+        keys.groupBy("jk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("bigint")
+            .alias("exact_sjs"),
+        )
+    )
+    pairs = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("bigint").alias("row"),
+                        bucket(r, F.col("jk")).alias("bucket"),
+                    )
+                    for r in range(_CM_DEPTH)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row", "rb.bucket")
+    cm = (
+        pairs.groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("row")
+        .agg(F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("est"))
+        .agg(F.min("est").cast("bigint").alias("cm_estimate"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(cm))
+        .withColumn(
+            "cm_overestimate",
+            (F.col("cm_estimate") - F.col("exact_sjs")).cast("bigint"),
+        )
     )

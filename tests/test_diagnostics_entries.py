@@ -844,3 +844,36 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     assert all(r.px_span == 1 for r in lrows)
     assert max(r.py_span for r in lrows) > 16  # the contrast that buys pruning
     assert sum(r.n_rows for r in zrows) == sum(r.n_rows for r in lrows)
+
+
+def test_sorted_neighborhood_pairs_are_verified_and_bounded(spark, sf_dir):
+    """SNM invariants: every emitted pair really clears the 0.5 Jaccard
+    bar (the exact in-row verify), pairs are unique, and candidate
+    volume respects the w=3 window bound (<= 2 candidates per doc)."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "sorted_neighborhood_pairs", spark, sf_dir)
+    assert rows
+    n_docs = read_parquet_table(spark, sf_dir, "documents").count()
+    assert len(rows) <= 2 * n_docs
+    assert len({(r.a, r.b) for r in rows}) == len(rows)
+    for r in rows:
+        assert r.a != r.b
+        assert 0 < r.n_inter <= r.n_union
+        assert 2 * r.n_inter >= r.n_union
+        assert abs(r.jacc - r.n_inter / r.n_union) == 0.0
+
+
+def test_cm_selfjoin_estimate_dominates_exact(spark, sf_dir):
+    """The CM guarantee itself: collisions only inflate, so the sketch
+    estimate >= the exact self-join size, which in turn is bracketed by
+    n (all-distinct) and n^2 (one key)."""
+    qs = load_all()
+    [r] = _rows(qs, "cm_selfjoin_size", spark, sf_dir)
+    assert r.cm_overestimate >= 0
+    assert r.cm_estimate == r.exact_sjs + r.cm_overestimate
+    assert r.n_rows <= r.exact_sjs <= r.n_rows * r.n_rows
+    assert 1 <= r.n_keys <= r.n_rows
