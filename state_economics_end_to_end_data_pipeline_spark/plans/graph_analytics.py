@@ -367,3 +367,82 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("src").cast("bigint").alias("part_key")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+@register(
+    "graph_modularity_brands",
+    oracle=f"""
+    WITH {_pair_edges_sql(threshold=2)},
+    lab AS (SELECT p_partkey AS node, p_brand AS brand FROM part),
+    t AS (SELECT COUNT(*) AS t_dir FROM edges),
+    intra AS (
+      SELECT la.brand, COUNT(*) AS intra_deg
+      FROM edges e
+      JOIN lab la ON la.node = e.src
+      JOIN lab lb ON lb.node = e.dst
+      WHERE la.brand = lb.brand GROUP BY la.brand
+    ),
+    degs AS (
+      SELECT l.brand, COUNT(*) AS degree_sum
+      FROM edges e JOIN lab l ON l.node = e.src GROUP BY l.brand
+    )
+    SELECT d.brand,
+           CAST(COALESCE(i.intra_deg, 0) AS BIGINT) AS intra_deg,
+           CAST(d.degree_sum AS BIGINT) AS degree_sum,
+           CAST(COALESCE(i.intra_deg, 0) * t.t_dir
+                - d.degree_sum * d.degree_sum AS BIGINT) AS contrib_num,
+           CAST(t.t_dir AS BIGINT) AS t_dir
+    FROM degs d LEFT JOIN intra i ON i.brand = d.brand CROSS JOIN t
+    """,
+)
+def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition of the co-purchase
+    graph, exactly: does a brand's parts co-occur in baskets more than
+    a degree-preserving random graph predicts?  Per brand c the entry
+    emits the integer numerator ``intra_c * T - d_c^2`` (T = directed
+    edge count); global Q = SUM(contrib_num) / T^2 -- every quantity a
+    pure bigint, so the oracle match is exact with no float anywhere.
+    Modularity is THE partition-quality objective (Louvain/Leiden
+    maximize it); stated here over an attribute partition, which keeps
+    the statistic non-degenerate (a connected-component partition has
+    all edges intra by construction -- probed, Q collapses).
+
+    Plan shape: the checkpointed edge list joins the (node, brand)
+    labeling twice -- a 2k-row dim that BROADCASTS, so both labelings
+    are map-side -- then two O(brands) aggregates and a broadcast
+    scalar T.  At 100 TB the labeling join is the standard broadcast
+    dim pattern (`broadcast_dim_join`, catalog.py:405) and the heavy
+    relation is the edge list, touched once.
+
+    Reference parity: no graph operators in the reference (DAG1:1-322,
+    linear pandas flows); see the module docstring.
+    """
+    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    lab = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand")
+    )
+    tdir = edges.agg(F.count(F.lit(1)).cast("bigint").alias("t_dir"))
+    la = lab.select(F.col("node").alias("src"), F.col("brand").alias("brand_a"))
+    lb = lab.select(F.col("node").alias("dst"), F.col("brand").alias("brand_b"))
+    both = edges.join(F.broadcast(la), "src").join(F.broadcast(lb), "dst")
+    intra = (
+        both.filter(F.col("brand_a") == F.col("brand_b"))
+        .groupBy(F.col("brand_a").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_deg"))
+    )
+    degs = both.groupBy(F.col("brand_a").alias("brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree_sum")
+    )
+    return (
+        degs.join(intra, "brand", "left_outer")
+        .crossJoin(F.broadcast(tdir))
+        .select(
+            "brand",
+            F.coalesce("intra_deg", F.lit(0)).cast("bigint").alias("intra_deg"),
+            "degree_sum",
+            (F.coalesce("intra_deg", F.lit(0)) * F.col("t_dir") - F.col("degree_sum") * F.col("degree_sum"))
+            .cast("bigint")
+            .alias("contrib_num"),
+            "t_dir",
+        )
+    )

@@ -877,3 +877,20 @@ def test_cm_selfjoin_estimate_dominates_exact(spark, sf_dir):
     assert r.cm_estimate == r.exact_sjs + r.cm_overestimate
     assert r.n_rows <= r.exact_sjs <= r.n_rows * r.n_rows
     assert 1 <= r.n_keys <= r.n_rows
+
+
+def test_modularity_is_bounded_and_consistent(spark, sf_dir):
+    """Modularity invariants both engines would share a bug on: Q in
+    [-0.5, 1), intra degrees never exceed the brand's degree sum, the
+    degree sums total T, and the contribution numerator recomputes."""
+    qs = load_all()
+    rows = _rows(qs, "graph_modularity_brands", spark, sf_dir)
+    assert rows
+    t_dir = rows[0].t_dir
+    assert all(r.t_dir == t_dir for r in rows)
+    assert sum(r.degree_sum for r in rows) == t_dir
+    q = sum(r.contrib_num for r in rows) / (t_dir * t_dir)
+    assert -0.5 <= q < 1.0
+    for r in rows:
+        assert 0 <= r.intra_deg <= r.degree_sum
+        assert r.contrib_num == r.intra_deg * t_dir - r.degree_sum**2
