@@ -95,16 +95,26 @@ def zorder_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("py"),
     )
     z = q.select("px", "py", F.expr(_interleave_sql()).alias("zv"))
-    zorder = z.groupBy(F.shiftright("zv", _BITS).cast("bigint").alias("bucket")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        (F.max("px") - F.min("px") + 1).cast("bigint").alias("px_span"),
-        (F.max("py") - F.min("py") + 1).cast("bigint").alias("py_span"),
+    # One scan feeds both layouts: pre-aggregate to the (px, zbucket)
+    # grain (<= 256*16 groups -- zbucket is determined by the top halves
+    # of px AND py, so each px meets at most 16 zbuckets), then roll up
+    # to each layout's bucket. Both rollups consume the IDENTICAL
+    # deterministic exchange, which AQE's ReuseExchange materializes
+    # once -- correctness never depends on the reuse (DETERMINISM.md),
+    # only the single-scan plan shape does.
+    fine = z.groupBy("px", F.shiftright("zv", _BITS).cast("bigint").alias("zb")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("py").alias("py_lo"),
+        F.max("py").alias("py_hi"),
     )
-    linear = z.groupBy(F.col("px").alias("bucket")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        (F.max("px") - F.min("px") + 1).cast("bigint").alias("px_span"),
-        (F.max("py") - F.min("py") + 1).cast("bigint").alias("py_span"),
-    )
-    return zorder.select(F.lit("zorder").alias("layout"), "*").unionByName(
-        linear.select(F.lit("linear").alias("layout"), "*")
+
+    def rollup(bucket_col: str) -> DataFrame:
+        return fine.groupBy(F.col(bucket_col).alias("bucket")).agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            (F.max("px") - F.min("px") + 1).cast("bigint").alias("px_span"),
+            (F.max("py_hi") - F.min("py_lo") + 1).cast("bigint").alias("py_span"),
+        )
+
+    return rollup("zb").select(F.lit("zorder").alias("layout"), "*").unionByName(
+        rollup("px").select(F.lit("linear").alias("layout"), "*")
     )
