@@ -894,3 +894,24 @@ def test_modularity_is_bounded_and_consistent(spark, sf_dir):
     for r in rows:
         assert 0 <= r.intra_deg <= r.degree_sum
         assert r.contrib_num == r.intra_deg * t_dir - r.degree_sum**2
+
+
+def test_seasonal_decomposition_reconstructs_exactly(spark, sf_dir):
+    """The decomposition identity both engines would share a bug on:
+    detrended == seasonal + residual EXACTLY in integer numerators
+    (d_n*s_cnt == s_num + r_num), seasonal components sum to ~zero
+    within each full week set, and every published double is its
+    numerator over the constant denominator."""
+    qs = load_all()
+    rows = _rows(qs, "seasonal_decompose_daily", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r.d_n * r.s_cnt == r.s_num + r.r_num
+        assert r.v == r.vn / 1e9
+        assert r.detrended == r.d_n / 7e9
+        assert r.seasonal == r.s_num / (r.s_cnt * 7e9)
+    # the dow means of the detrended series remove the dow signal:
+    # summing s_num weighted by occurrences reconstructs sum(d_n)
+    assert sum(r.d_n for r in rows) == sum(
+        {r.dow: r.s_num for r in rows}.values()
+    )
