@@ -1569,3 +1569,155 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d_n").cast("double") / F.lit(7e9)).alias("detrended"),
         (F.col("s_num").cast("double") / (F.col("s_cnt") * F.lit(7e9)).cast("double")).alias("seasonal"),
     )
+
+
+@register(
+    "kaplan_meier_sessions",
+    oracle="""
+    WITH b AS (SELECT MAX(ts) AS max_ts FROM events),
+    seq AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ), spans AS (
+      SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+      FROM sess GROUP BY 1, 2
+    ), lives AS (
+      SELECT CASE WHEN date_diff('second', t1, b.max_ts) > 1800 THEN 1 ELSE 0 END AS died,
+             CAST(FLOOR(date_diff('second', t0, t1) / 60) AS BIGINT) AS dur_min
+      FROM spans CROSS JOIN b
+    ), grid AS (
+      SELECT dur_min, CAST(SUM(died) AS BIGINT) AS d_t,
+             CAST(SUM(1 - died) AS BIGINT) AS c_t,
+             CAST(COUNT(*) AS BIGINT) AS ending
+      FROM lives GROUP BY dur_min
+    ), risk AS (
+      SELECT dur_min, d_t, c_t,
+             CAST(SUM(ending) OVER (ORDER BY dur_min DESC
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_t
+      FROM grid
+    ), terms AS (
+      SELECT dur_min, d_t, c_t, n_t,
+             CAST(n_t - d_t AS BIGINT) AS step_num,
+             CASE WHEN d_t = 0 THEN CAST(0 AS BIGINT)
+                  WHEN n_t > d_t THEN CAST(FLOOR(
+                    ln(CAST(n_t - d_t AS DOUBLE) / n_t) * 1000000000 + 0.5
+                  ) AS BIGINT)
+                  ELSE NULL END AS term_n
+      FROM risk
+    )
+    SELECT dur_min, n_t, d_t, c_t, step_num,
+           CASE WHEN MAX(CASE WHEN term_n IS NULL THEN 1 ELSE 0 END)
+                     OVER (ORDER BY dur_min ROWS UNBOUNDED PRECEDING) = 1
+                THEN NULL
+                ELSE CAST(SUM(term_n) OVER (ORDER BY dur_min
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           END AS s_log_n
+    FROM terms
+    """,
+)
+def kaplan_meier_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator over session lifetimes:
+    survival S(t) of a 30-min-gap session reaching duration t minutes,
+    with sessions still open at the observation boundary (within one
+    gap of the global max timestamp) RIGHT-CENSORED at their observed
+    duration -- the survival-analysis family (risk sets, censoring,
+    product-limit) the retention/funnel entries above stop short of.
+
+    Per duration row: the at-risk count n_t (reverse running sum --
+    sessions ending at t count as at-risk THROUGH t, censored ties
+    included, the standard KM convention), deaths d_t, censorings c_t,
+    and the log-survival accumulator ``s_log_n`` = running sum of
+    per-step ln((n_t-d_t)/n_t) snapped to nano units BEFORE summation
+    (the `psi_drift_event_values` discipline: each term is one ln of
+    an identical double rational in both engines, snapped, so the sum
+    is integer-exact; cross-engine divergence would need a >=0.5-ulp
+    libm split on a term, improbable not impossible). If the largest
+    duration has every at-risk session die (n_t = d_t), S hits exact
+    zero and ``s_log_n`` goes NULL from that row on (absorbing state,
+    flagged identically in both engines) rather than faking -inf.
+
+    Scale shape: sessionization is the one shuffle on user_id
+    (`sessionize`, operators/reshape.py -- partitioning reused across
+    both window passes and the span aggregate); the KM grid then lives
+    on the duration relation, BOUNDED by minutes-in-horizon, so its
+    unpartitioned windows are calendar-bounded by construction (house
+    rule). Censoring on this fixture is boundary-only (~7 of ~9.5k
+    sessions at sf0.01) but enters the risk sets through the same
+    code path arbitrary censoring would.
+    """
+    from ..operators.reshape import sessionize
+
+    ev = t(spark, sf_dir, "events")
+    spans = (
+        sessionize(ev, "user_id", "ts", 1800, tiebreak_cols=["event_id"])
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    b = spans.agg(F.max("t1").alias("max_ts"))
+    lives = spans.crossJoin(F.broadcast(b)).select(
+        F.when(
+            F.unix_timestamp("max_ts") - F.unix_timestamp("t1") > 1800, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("died"),
+        F.floor(
+            (F.unix_timestamp("t1") - F.unix_timestamp("t0")) / 60
+        )
+        .cast("bigint")
+        .alias("dur_min"),
+    )
+    grid = lives.groupBy("dur_min").agg(
+        F.sum("died").cast("bigint").alias("d_t"),
+        F.sum(F.lit(1) - F.col("died")).cast("bigint").alias("c_t"),
+        F.count(F.lit(1)).cast("bigint").alias("ending"),
+    )
+    w_desc = Window.orderBy(F.col("dur_min").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = grid.select(
+        "dur_min",
+        "d_t",
+        "c_t",
+        F.sum("ending").over(w_desc).cast("bigint").alias("n_t"),
+    )
+    terms = risk.select(
+        "dur_min",
+        "d_t",
+        "c_t",
+        "n_t",
+        (F.col("n_t") - F.col("d_t")).cast("bigint").alias("step_num"),
+        F.when(F.col("d_t") == 0, F.lit(0).cast("bigint"))
+        .when(
+            F.col("n_t") > F.col("d_t"),
+            F.floor(
+                F.log((F.col("n_t") - F.col("d_t")).cast("double") / F.col("n_t"))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("term_n"),
+    )
+    w_asc = Window.orderBy("dur_min").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        "dur_min",
+        "n_t",
+        "d_t",
+        "c_t",
+        "step_num",
+        F.when(
+            F.max(F.when(F.col("term_n").isNull(), 1).otherwise(0)).over(w_asc) == 1,
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(F.sum("term_n").over(w_asc).cast("bigint"))
+        .alias("s_log_n"),
+    )

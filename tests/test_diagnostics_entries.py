@@ -915,3 +915,28 @@ def test_seasonal_decomposition_reconstructs_exactly(spark, sf_dir):
     assert sum(r.d_n for r in rows) == sum(
         {r.dow: r.s_num for r in rows}.values()
     )
+
+
+def test_kaplan_meier_risk_sets_and_monotonicity(spark, sf_dir):
+    """KM invariants: risk sets telescope (n at duration t equals
+    n at the next duration plus everyone ending at t), the survival
+    log-accumulator is monotone non-increasing, S stays in (0, 1],
+    and total endings equal the session count."""
+    import math
+
+    qs = load_all()
+    rows = sorted(_rows(qs, "kaplan_meier_sessions", spark, sf_dir), key=lambda r: r.dur_min)
+    assert rows
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.n_t == nxt.n_t + prev.d_t + prev.c_t
+        if prev.s_log_n is not None and nxt.s_log_n is not None:
+            assert nxt.s_log_n <= prev.s_log_n
+    assert rows[-1].n_t == rows[-1].d_t + rows[-1].c_t
+    # first risk set is every session
+    assert rows[0].n_t == sum(r.d_t + r.c_t for r in rows)
+    for r in rows:
+        assert 0 <= r.d_t and 0 <= r.c_t
+        assert r.step_num == r.n_t - r.d_t
+        if r.s_log_n is not None:
+            s = math.exp(r.s_log_n / 1e9)
+            assert 0.0 < s <= 1.0 + 1e-12
