@@ -1721,3 +1721,84 @@ def kaplan_meier_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.sum("term_n").over(w_asc).cast("bigint"))
         .alias("s_log_n"),
     )
+
+
+@register(
+    "acf_daily_lags",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS vn
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(vn) AS BIGINT) AS s FROM daily
+    ), dev AS (
+      SELECT day, CAST(tot.n * vn - tot.s AS DECIMAL(38,0)) AS dv
+      FROM daily CROSS JOIN tot
+    ), den AS (SELECT SUM(dv * dv) AS den FROM dev),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    pairs AS (
+      SELECT l.lag, SUM(a.dv * b.dv) AS num
+      FROM dev a CROSS JOIN lags l
+      JOIN dev b ON b.day = a.day + CAST(l.lag AS INTEGER)
+      GROUP BY l.lag
+    )
+    SELECT CAST(p.lag AS BIGINT) AS lag,
+           CAST(p.num AS DOUBLE) AS num_d,
+           CAST(d.den AS DOUBLE) AS den_d,
+           CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE) AS acf
+    FROM pairs p CROSS JOIN den d
+    """,
+)
+def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-value series at lags
+    1..7 -- the diagnostic that motivates `seasonal_decompose_daily`
+    above (a weekly cycle surfaces as a lag-7 peak; residual whiteness
+    checks read the same function after decomposition).
+
+    Exactness: deviations are scaled by n so they stay integers
+    (dv_t = n*vn_t - sum), lag products and the variance accumulate in
+    decimal(38,0) (|dv| < n*|vn| ~ 3e15 here, so sums stay ~33 digits
+    -- within decimal(38) headroom up to multi-year horizons; the
+    precondition is documented, matching the cusum discipline), and
+    each published double is one decimal->double cast (house-trusted,
+    the `exact_sum` pattern) with acf one further division.
+
+    Scale shape: one O(days) shuffle builds the daily relation; the
+    lag pairing is an equi-join of the CALENDAR-BOUNDED day grid
+    against itself on day+lag (7x~31 rows -- broadcastable by
+    construction), never a window over the fact table.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1e9 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("vn")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vn").cast("bigint").alias("s"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("n") * F.col("vn") - F.col("s")).cast("decimal(38,0)").alias("dv"),
+    )
+    den = dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("den"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    left = dev.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        "dv",
+        F.date_add("day", F.col("lag").cast("int")).alias("jday"),
+    )
+    right = dev.select(F.col("day").alias("jday"), F.col("dv").alias("dv2"))
+    pairs = (
+        left.join(right, "jday")
+        .groupBy("lag")
+        .agg(F.sum(F.col("dv") * F.col("dv2")).alias("num"))
+    )
+    return pairs.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("num").cast("double").alias("num_d"),
+        F.col("den").cast("double").alias("den_d"),
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias("acf"),
+    )

@@ -940,3 +940,18 @@ def test_kaplan_meier_risk_sets_and_monotonicity(spark, sf_dir):
         if r.s_log_n is not None:
             s = math.exp(r.s_log_n / 1e9)
             assert 0.0 < s <= 1.0 + 1e-12
+
+
+def test_acf_is_a_correlation(spark, sf_dir):
+    """ACF invariants: |acf| <= 1 at every lag (Cauchy-Schwarz), the
+    shared denominator is positive and identical across rows, and each
+    acf recomputes from its published numerator/denominator."""
+    qs = load_all()
+    rows = _rows(qs, "acf_daily_lags", spark, sf_dir)
+    assert {r.lag for r in rows} == set(range(1, 8))
+    den = rows[0].den_d
+    assert den > 0
+    for r in rows:
+        assert r.den_d == den
+        assert abs(r.acf) <= 1.0 + 1e-12
+        assert r.acf == r.num_d / r.den_d
