@@ -1802,3 +1802,88 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("den").cast("double").alias("den_d"),
         (F.col("num").cast("double") / F.col("den").cast("double")).alias("acf"),
     )
+
+
+@register(
+    "gini_user_spend",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(SUM(CAST(FLOOR(value * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sn
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT sn, ROW_NUMBER() OVER (ORDER BY sn, user_id) AS rk FROM s
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CAST(sn AS DECIMAL(38,0))) AS DOUBLE) AS sum_spend,
+             CAST(SUM(CAST(rk AS DECIMAL(38,0)) * sn) AS DOUBLE) AS rank_weighted
+      FROM ranked
+    )
+    SELECT n_users, sum_spend, rank_weighted,
+           (2.0 * rank_weighted - (n_users + 1) * sum_spend)
+             / (n_users * sum_spend) AS gini
+    FROM agg
+    """,
+)
+def gini_user_spend(
+    spark: SparkSession, sf_dir: str, cuts: list[float] | None = None
+) -> DataFrame:
+    """Gini coefficient of per-user spend -- the revenue-concentration
+    statistic (0 = perfectly equal, ->1 = one whale), computed from the
+    sorted-rank identity G = (2*SUM(rank*x) - (n+1)*SUM(x)) / (n*SUM(x)).
+
+    The interesting part at 100 TB is the GLOBAL RANK: the oracle's
+    ROW_NUMBER() OVER (ORDER BY ...) would be a single-partition window
+    in Spark. This plan ranks distributedly instead -- the house
+    cutpoint discipline (`collect_value_cutpoints`): broadcast
+    percentile boundaries make the slice id a deterministic function of
+    the spend, per-slice counts prefix-sum on the BOUNDED slice grid
+    (<= 33 rows), and a within-slice row_number (window PARTITIONED by
+    slice) plus the slice offset reconstructs the exact global rank
+    with no unpartitioned window anywhere. Ties rank by (sn, user_id)
+    -- a total order, and SUM(rank*x) is tie-order invariant anyway.
+
+    Exactness: spend snaps once per event to nano units, all
+    accumulations are decimal(38,0), the published doubles are one
+    decimal cast each, and gini is the identical IEEE expression over
+    those doubles in both engines. EAGER build caveat: like the KS/
+    Mann-Whitney entries, collecting cutpoints runs one job at plan
+    construction; explain-only callers pass ``cuts``.
+    """
+    ev = t(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 1e9 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sn")
+    )
+    pv = s.select(F.col("sn").cast("double").alias("value"))
+    if cuts is None:
+        cuts = collect_value_cutpoints(pv, 32)
+    sliced = s.withColumn("value", F.col("sn").cast("double")).withColumn(
+        "slice", value_slice_pid(cuts)
+    )
+    per_slice = sliced.groupBy("slice").agg(F.count(F.lit(1)).alias("cnt"))
+    w_grid = Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_slice.select(
+        "slice", F.coalesce(F.sum("cnt").over(w_grid), F.lit(0)).alias("offset")
+    )
+    w_in = Window.partitionBy("slice").orderBy("sn", "user_id")
+    ranked = (
+        sliced.join(F.broadcast(offsets), "slice")
+        .withColumn("rk", F.row_number().over(w_in) + F.col("offset"))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("sn").cast("decimal(38,0)")).cast("double").alias("sum_spend"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("sn"))
+        .cast("double")
+        .alias("rank_weighted"),
+    ).select(
+        "n_users",
+        "sum_spend",
+        "rank_weighted",
+        (
+            (F.lit(2.0) * F.col("rank_weighted") - (F.col("n_users") + 1) * F.col("sum_spend"))
+            / (F.col("n_users") * F.col("sum_spend"))
+        ).alias("gini"),
+    )

@@ -955,3 +955,41 @@ def test_acf_is_a_correlation(spark, sf_dir):
         assert r.den_d == den
         assert abs(r.acf) <= 1.0 + 1e-12
         assert r.acf == r.num_d / r.den_d
+
+
+def test_gini_bounds_and_distributed_rank_equals_global(spark, sf_dir):
+    """Gini in [0, 1); gini recomputes from its published parts; and the
+    two-phase sliced rank reproduces the single-window global rank
+    (asserted under a FIXED tiny cut list so the slicing path -- offsets
+    + within-slice row_number -- is genuinely exercised)."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.plans.robust_stats import (
+        gini_user_spend,
+    )
+
+    qs = load_all()
+    [r] = _rows(qs, "gini_user_spend", spark, sf_dir)
+    assert 0.0 <= r.gini < 1.0
+    expect = (2.0 * r.rank_weighted - (r.n_users + 1) * r.sum_spend) / (
+        r.n_users * r.sum_spend
+    )
+    assert r.gini == expect
+    # distinct users all ranked exactly once
+    n = (
+        read_parquet_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_users == n
+    # forcing 3 arbitrary (sorted) cutpoints must not change anything:
+    # the result is cut-set independent by construction
+    [r2] = gini_user_spend(spark, sf_dir, cuts=[2.0e12, 3.5e12, 4.5e12]).collect()
+    assert (r2.n_users, r2.sum_spend, r2.rank_weighted, r2.gini) == (
+        r.n_users,
+        r.sum_spend,
+        r.rank_weighted,
+        r.gini,
+    )
