@@ -1887,3 +1887,83 @@ def gini_user_spend(
             / (F.col("n_users") * F.col("sum_spend"))
         ).alias("gini"),
     )
+
+
+_HILL_K = 100
+
+
+@register(
+    "hill_tail_index",
+    oracle=f"""
+    WITH topk AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn
+      FROM events ORDER BY value DESC, event_id LIMIT {_HILL_K + 1}
+    ), terms AS (
+      SELECT rn, CAST(FLOOR(ln(value) * 1000000000 + 0.5) AS BIGINT) AS ln_n
+      FROM topk
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN rn <= {_HILL_K} THEN ln_n END) AS BIGINT) AS sum_ln_top,
+             CAST(MAX(CASE WHEN rn = {_HILL_K + 1} THEN ln_n END) AS BIGINT) AS ln_tail
+      FROM terms
+    )
+    SELECT CAST({_HILL_K} AS BIGINT) AS k, sum_ln_top, ln_tail,
+           CAST(sum_ln_top - {_HILL_K} * ln_tail AS BIGINT) AS hill_num,
+           CAST(sum_ln_top - {_HILL_K} * ln_tail AS DOUBLE)
+             / ({_HILL_K}.0 * 1000000000) AS hill_inv_alpha
+    FROM agg
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the value distribution's tail index over the
+    top k={_HILL_K} order statistics: 1/alpha = mean(ln x_(i)) -
+    ln x_(k+1). Extreme-value diagnostics are what tells a pipeline
+    whether a column is heavy-tailed enough to need the skew machinery
+    (salting, caps) the SCALEUP probes exercise -- a high 1/alpha is
+    the early warning.
+
+    Exactness: per-row ln snapped to nano units (PSI discipline; ties
+    at the k-boundary broken by event_id so both engines pick the same
+    x_(k+1)), then the estimate is pure bigint arithmetic with ONE
+    double division at publish.
+
+    Scale shape: ORDER BY ... LIMIT k+1 compiles to
+    TakeOrderedAndProject -- per-partition partial top-(k+1) heaps and
+    a driver-side merge of k+1-row slices, NO global sort and no
+    shuffle of the fact table; everything after runs on k+1 rows.
+    """
+    ev = t(spark, sf_dir, "events")
+    topk = (
+        ev.select("value", "event_id")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(_HILL_K + 1)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("value").desc(), "event_id")
+            ),
+        )
+        .withColumn(
+            "ln_n",
+            F.floor(F.log("value") * F.lit(1e9) + F.lit(0.5)).cast("bigint"),
+        )
+    )
+    agg = topk.agg(
+        F.sum(F.when(F.col("rn") <= _HILL_K, F.col("ln_n")))
+        .cast("bigint")
+        .alias("sum_ln_top"),
+        F.max(F.when(F.col("rn") == _HILL_K + 1, F.col("ln_n")))
+        .cast("bigint")
+        .alias("ln_tail"),
+    )
+    return agg.select(
+        F.lit(_HILL_K).cast("bigint").alias("k"),
+        "sum_ln_top",
+        "ln_tail",
+        (F.col("sum_ln_top") - F.lit(_HILL_K) * F.col("ln_tail"))
+        .cast("bigint")
+        .alias("hill_num"),
+        (
+            (F.col("sum_ln_top") - F.lit(_HILL_K) * F.col("ln_tail")).cast("double")
+            / F.lit(float(_HILL_K) * 1e9)
+        ).alias("hill_inv_alpha"),
+    )

@@ -993,3 +993,24 @@ def test_gini_bounds_and_distributed_rank_equals_global(spark, sf_dir):
         r.rank_weighted,
         r.gini,
     )
+
+
+def test_hill_estimator_recomputes_and_is_positive(spark, sf_dir):
+    """Hill invariants: the numerator recomputes from its parts, the
+    inverse tail index is positive (top-k values exceed the k+1st), and
+    every log term is bounded by the global max value's log."""
+    import math
+
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    qs = load_all()
+    [r] = _rows(qs, "hill_tail_index", spark, sf_dir)
+    assert r.hill_num == r.sum_ln_top - r.k * r.ln_tail
+    assert r.hill_inv_alpha > 0
+    vmax = (
+        read_parquet_table(spark, sf_dir, "events").agg({"value": "max"}).first()[0]
+    )
+    assert r.sum_ln_top <= r.k * math.floor(math.log(vmax) * 1e9 + 0.5)
+    assert r.ln_tail <= math.floor(math.log(vmax) * 1e9 + 0.5)
