@@ -4389,3 +4389,116 @@ def cm_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cm_estimate") - F.col("exact_sjs")).cast("bigint"),
         )
     )
+
+
+_RRF_K = 50  # per-list depth: 8 of 500 docs land in BOTH lists at sf0.01
+_RRF_C = 60  # the standard RRF dampening constant
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+    WITH lexs AS (
+      SELECT doc_id,
+             len(list_filter({_TOKS}, tok -> tok = 'spark'))
+           + len(list_filter({_TOKS}, tok -> tok = 'vector'))
+           + len(list_filter({_TOKS}, tok -> tok = 'query')) AS lex
+      FROM documents
+    ), lexr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY lex DESC, doc_id) AS lex_rank
+      FROM (SELECT * FROM lexs ORDER BY lex DESC, doc_id LIMIT {_RRF_K})
+    ), qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    sems AS (
+      SELECT vec_id AS doc_id, {_cos_sql('embedding', 'q_vec')} AS cs
+      FROM embeddings CROSS JOIN qv
+    ), semr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS sem_rank
+      FROM (SELECT * FROM sems ORDER BY cs DESC, doc_id LIMIT {_RRF_K})
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             CAST(l.lex_rank AS BIGINT) AS lex_rank,
+             CAST(s.sem_rank AS BIGINT) AS sem_rank,
+             COALESCE(1.0 / ({_RRF_C} + l.lex_rank), 0.0)
+           + COALESCE(1.0 / ({_RRF_C} + s.sem_rank), 0.0) AS rrf
+      FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lex_rank, sem_rank, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 15
+    """,
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a lexical list
+    (summed term frequency of the `bm25_keyword_search` query set --
+    integer, so ranking is ulp-free) and a semantic list (exact cosine
+    to a fixed query embedding, left-to-right fold per DETERMINISM.md
+    rule 6) are each cut to top-{_RRF_K}, then fused by
+    RRF(d) = sum over lists of 1/({_RRF_C}+rank) -- the standard
+    score-free combination for mixing retrieval modalities whose raw
+    scores are incomparable. At this depth the two lists genuinely
+    overlap (8 of 500 docs at sf0.01), so the both-lists boost path is
+    exercised, not just interleaving; docs in one list keep a single
+    reciprocal term via COALESCE in the identical operand order in
+    both engines.
+
+    Scale shape: each list is ORDER BY ... LIMIT k
+    (TakeOrderedAndProject -- partial per-partition top-k, no global
+    sort of the corpus); ranks come from row_number over the
+    LIMIT-BOUNDED {_RRF_K}-row relations (the `weighted_sample_ares`
+    precedent); the fusion itself is a full outer join of two tiny
+    relations. The corpus is scanned once per modality.
+    """
+    d = t(spark, sf_dir, "documents")
+    lex_score = sum(
+        (
+            F.size(F.filter(tokens("text"), (lambda w: lambda tok: tok == F.lit(w))(w)))
+            for w in _BM25_TERMS
+        ),
+        start=F.lit(0),
+    )
+    lexr = (
+        d.select("doc_id", lex_score.alias("lex"))
+        .orderBy(F.col("lex").desc(), "doc_id")
+        .limit(_RRF_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("lex").desc(), "doc_id"))
+            .cast("bigint")
+            .alias("lex_rank"),
+        )
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731 -- rule 6 fold
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sems = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        (
+            dot("embedding", "q_vec")
+            / F.sqrt(dot("embedding", "embedding") * dot("q_vec", "q_vec"))
+        ).alias("cs"),
+    )
+    semr = (
+        sems.orderBy(F.col("cs").desc(), "doc_id")
+        .limit(_RRF_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cs").desc(), "doc_id"))
+            .cast("bigint")
+            .alias("sem_rank"),
+        )
+    )
+    fused = lexr.join(semr, "doc_id", "full_outer").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(15)

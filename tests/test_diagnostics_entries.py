@@ -1014,3 +1014,26 @@ def test_hill_estimator_recomputes_and_is_positive(spark, sf_dir):
     )
     assert r.sum_ln_top <= r.k * math.floor(math.log(vmax) * 1e9 + 0.5)
     assert r.ln_tail <= math.floor(math.log(vmax) * 1e9 + 0.5)
+
+
+def test_rrf_fusion_scores_recompute_and_overlap_exists(spark, sf_dir):
+    """RRF invariants: each fused score recomputes from its ranks with
+    the standard constant, scores are bounded by the two-lists maximum
+    2/(c+1), the output is the fused top slice, and at least one doc
+    genuinely carries BOTH ranks (the fusion boost path)."""
+    qs = load_all()
+    rows = _rows(qs, "hybrid_rrf_fusion", spark, sf_dir)
+    assert rows
+    c = 60
+    both = 0
+    for r in rows:
+        expect = (1.0 / (c + r.lex_rank) if r.lex_rank is not None else 0.0) + (
+            1.0 / (c + r.sem_rank) if r.sem_rank is not None else 0.0
+        )
+        assert r.rrf == expect
+        assert 0.0 < r.rrf <= 2.0 / (c + 1)
+        if r.lex_rank is not None and r.sem_rank is not None:
+            both += 1
+    assert both >= 1
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
