@@ -277,7 +277,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint()
     )
-    potential = labels.agg(F.sum("comp")).collect()[0][0]
+    # decimal accumulation: at 100 TB key ranges SUM(bigint ids) can wrap
+    # int64 silently in non-ANSI mode, and a wrapped potential could fake
+    # convergence -- decimal(38,0) makes the monotone test overflow-proof
+    pot_expr = F.sum(F.col("comp").cast("decimal(38,0)"))
+    potential = labels.agg(pot_expr).collect()[0][0]
     for _ in range(_CC_MAX_ROUNDS):
         neigh_min = (
             edges.join(labels, edges.src == labels.node)
@@ -289,7 +293,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.least("comp", "nmin").alias("comp"))
             .localCheckpoint()
         )
-        new_potential = labels.agg(F.sum("comp")).collect()[0][0]
+        new_potential = labels.agg(pot_expr).collect()[0][0]
         if new_potential == potential:
             break
         potential = new_potential
