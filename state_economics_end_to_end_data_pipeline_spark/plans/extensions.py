@@ -420,6 +420,15 @@ def _cm_bucket_sql(row: int, token_expr: str) -> str:
     return f"({val} % {_CM_WIDTH})"
 
 
+def _cm_bucket_col(row: int, col: F.Column) -> F.Column:
+    """Spark twin of ``_cm_bucket_sql`` -- the ONE definition of the md5
+    counter grid both CM entries share (countmin_heavy_hitters,
+    cm_selfjoin_size); a width/nibble change here changes both in
+    lockstep, keeping the shared-grid claim true."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), col))
+    return F.conv(F.substring(h, 1, 5), 16, 10).cast("bigint") % _CM_WIDTH
+
+
 @register(
     "countmin_heavy_hitters",
     oracle=f"""
@@ -459,19 +468,13 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token").isNotNull()
     )
 
-    def bucket(row: int, col: F.Column) -> F.Column:
-        h = F.md5(F.concat(F.lit(f"{row}:"), col))
-        return (
-            F.conv(F.substring(h, 1, 5), 16, 10).cast("bigint") % _CM_WIDTH
-        )
-
     pairs = tok.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(r).cast("bigint").alias("row"),
-                        bucket(r, F.col("token")).alias("bucket"),
+                        _cm_bucket_col(r, F.col("token")).alias("bucket"),
                     )
                     for r in range(_CM_DEPTH)
                 ]
@@ -490,7 +493,7 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(r).cast("bigint").alias("row"),
-                        bucket(r, F.col("token")).alias("bucket"),
+                        _cm_bucket_col(r, F.col("token")).alias("bucket"),
                     )
                     for r in range(_CM_DEPTH)
                 ]
@@ -4347,10 +4350,6 @@ def cm_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").cast("string").alias("jk")
     )
 
-    def bucket(row: int, col: F.Column) -> F.Column:
-        h = F.md5(F.concat(F.lit(f"{row}:"), col))
-        return F.conv(F.substring(h, 1, 5), 16, 10).cast("bigint") % _CM_WIDTH
-
     exact = (
         keys.groupBy("jk")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -4368,7 +4367,7 @@ def cm_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(r).cast("bigint").alias("row"),
-                        bucket(r, F.col("jk")).alias("bucket"),
+                        _cm_bucket_col(r, F.col("jk")).alias("bucket"),
                     )
                     for r in range(_CM_DEPTH)
                 ]
@@ -4400,9 +4399,7 @@ _RRF_C = 60  # the standard RRF dampening constant
     oracle=f"""
     WITH lexs AS (
       SELECT doc_id,
-             len(list_filter({_TOKS}, tok -> tok = 'spark'))
-           + len(list_filter({_TOKS}, tok -> tok = 'vector'))
-           + len(list_filter({_TOKS}, tok -> tok = 'query')) AS lex
+             {' + '.join(f"len(list_filter({_TOKS}, tok -> tok = '{w}'))" for w in _BM25_TERMS)} AS lex
       FROM documents
     ), lexr AS (
       SELECT doc_id, ROW_NUMBER() OVER (ORDER BY lex DESC, doc_id) AS lex_rank
@@ -4431,8 +4428,8 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (summed term frequency of the `bm25_keyword_search` query set --
     integer, so ranking is ulp-free) and a semantic list (exact cosine
     to a fixed query embedding, left-to-right fold per DETERMINISM.md
-    rule 6) are each cut to top-{_RRF_K}, then fused by
-    RRF(d) = sum over lists of 1/({_RRF_C}+rank) -- the standard
+    rule 6) are each cut to top-50 (_RRF_K), then fused by
+    RRF(d) = sum over lists of 1/(60+rank) (_RRF_C) -- the standard
     score-free combination for mixing retrieval modalities whose raw
     scores are incomparable. At this depth the two lists genuinely
     overlap (8 of 500 docs at sf0.01), so the both-lists boost path is
@@ -4443,7 +4440,7 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each list is ORDER BY ... LIMIT k
     (TakeOrderedAndProject -- partial per-partition top-k, no global
     sort of the corpus); ranks come from row_number over the
-    LIMIT-BOUNDED {_RRF_K}-row relations (the `weighted_sample_ares`
+    LIMIT-BOUNDED 50-row relations (the `weighted_sample_ares`
     precedent); the fusion itself is a full outer join of two tiny
     relations. The corpus is scanned once per modality.
     """

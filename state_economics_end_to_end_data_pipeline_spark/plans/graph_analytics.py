@@ -255,7 +255,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     join.  Like ``graph_bfs_hops`` above, each round is materialized via
     ``localCheckpoint`` (a lazy unroll duplicates the join subtree
     exponentially) -- building this plan EXECUTES the propagation; the
-    safety cap ({_CC_MAX_ROUNDS}) is never the stop condition in
+    safety cap (50, _CC_MAX_ROUNDS) is never the stop condition in
     practice.  At 100 TB this is the standard label-propagation CC on a
     DataFrame engine; the label relation is (node, comp) -- narrow --
     and the edge list is computed once and reused checkpointed.
@@ -328,8 +328,8 @@ _KCORE_ORACLE_ROUNDS = 12  # > max peel rounds probed at sf0.01 (3) and sf0.1 (5
     """,
 )
 def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{_KCORE_K}-core of the co-purchase graph (>=2 shared orders):
-    iteratively peel nodes of degree < {_KCORE_K} until fixpoint, then
+    """K-core (k=2, _KCORE_K) of the co-purchase graph (>=2 shared orders):
+    iteratively peel nodes of degree < k until fixpoint, then
     report each surviving node with its in-core degree.  K-core is the
     standard graph-density filter (spam/bot subgraph mining, nucleus
     decomposition first step) and the canonical *vertex-peeling*
@@ -348,7 +348,7 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle unrolls the identical peel as a recursive CTE over live
     edges (an edge survives a round iff BOTH endpoints currently have
     degree >= k -- node-peeling stated edge-wise), capped at
-    {_KCORE_ORACLE_ROUNDS} rounds: past the fixpoint every extra round
+    12 rounds (_KCORE_ORACLE_ROUNDS): past the fixpoint every extra round
     is the identity, and if a regenerated fixture ever needed more
     rounds the engine (true fixpoint) would diverge from the oracle
     LOUDLY rather than silently agree.
@@ -393,8 +393,9 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.brand,
            CAST(COALESCE(i.intra_deg, 0) AS BIGINT) AS intra_deg,
            CAST(d.degree_sum AS BIGINT) AS degree_sum,
-           CAST(COALESCE(i.intra_deg, 0) * t.t_dir
-                - d.degree_sum * d.degree_sum AS BIGINT) AS contrib_num,
+           CAST(CAST(COALESCE(i.intra_deg, 0) AS DECIMAL(38,0)) * t.t_dir
+                - CAST(d.degree_sum AS DECIMAL(38,0)) * d.degree_sum
+                AS BIGINT) AS contrib_num,
            CAST(t.t_dir AS BIGINT) AS t_dir
     FROM degs d LEFT JOIN intra i ON i.brand = d.brand CROSS JOIN t
     """,
@@ -444,7 +445,14 @@ def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand",
             F.coalesce("intra_deg", F.lit(0)).cast("bigint").alias("intra_deg"),
             "degree_sum",
-            (F.coalesce("intra_deg", F.lit(0)) * F.col("t_dir") - F.col("degree_sum") * F.col("degree_sum"))
+            # products route through decimal(38,0) (house overflow
+            # discipline: bigint*bigint wraps silently in non-ANSI Spark
+            # while the oracle errors loudly); the published value must
+            # still fit bigint, i.e. intra*T < 2^63 -- documented bound
+            (
+                F.coalesce("intra_deg", F.lit(0)).cast("decimal(38,0)") * F.col("t_dir")
+                - F.col("degree_sum").cast("decimal(38,0)") * F.col("degree_sum")
+            )
             .cast("bigint")
             .alias("contrib_num"),
             "t_dir",

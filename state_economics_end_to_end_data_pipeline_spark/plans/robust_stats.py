@@ -1576,7 +1576,7 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (SELECT MAX(ts) AS max_ts FROM events),
     seq AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                   OR date_diff('second', LAG(ts) OVER w, ts) > 1800
              THEN 1 ELSE 0 END AS new_s
@@ -1584,7 +1584,7 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM seq
     ), spans AS (
@@ -1733,7 +1733,7 @@ def kaplan_meier_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(vn) AS BIGINT) AS s FROM daily
     ), dev AS (
-      SELECT day, CAST(tot.n * vn - tot.s AS DECIMAL(38,0)) AS dv
+      SELECT day, CAST(tot.n AS DECIMAL(38,0)) * vn - tot.s AS dv
       FROM daily CROSS JOIN tot
     ), den AS (SELECT SUM(dv * dv) AS den FROM dev),
     lags AS (SELECT unnest(range(1, 8)) AS lag),
@@ -1781,7 +1781,7 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = daily.crossJoin(F.broadcast(tot)).select(
         "day",
-        (F.col("n") * F.col("vn") - F.col("s")).cast("decimal(38,0)").alias("dv"),
+        (F.col("n").cast("decimal(38,0)") * F.col("vn") - F.col("s")).alias("dv"),
     )
     den = dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("den"))
     lags = spark.range(1, 8).select(F.col("id").alias("lag"))
@@ -1915,7 +1915,7 @@ _HILL_K = 100
 )
 def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill estimator of the value distribution's tail index over the
-    top k={_HILL_K} order statistics: 1/alpha = mean(ln x_(i)) -
+    top k=100 (_HILL_K) order statistics: 1/alpha = mean(ln x_(i)) -
     ln x_(k+1). Extreme-value diagnostics are what tells a pipeline
     whether a column is heavy-tailed enough to need the skew machinery
     (salting, caps) the SCALEUP probes exercise -- a high 1/alpha is
