@@ -4499,3 +4499,62 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(15)
+
+
+@register(
+    "target_encode_loo",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(SUM(CAST(FLOOR(value * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS s_n,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(g.s_n - CAST(FLOOR(e.value * 1000000000 + 0.5) AS BIGINT) AS BIGINT) AS num_n,
+           CAST(g.c - 1 AS BIGINT) AS denom,
+           CAST(g.s_n - CAST(FLOOR(e.value * 1000000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / ((g.c - 1) * 1000000000.0) AS loo_enc
+    FROM events e JOIN g USING (event_type)
+    WHERE e.event_id < 200 AND g.c > 1
+    """,
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the categorical event_type by
+    the value column -- the leakage-safe categorical encoder for
+    gradient-boosted/linear training sets: each row's category is
+    replaced by the category's mean target EXCLUDING the row itself
+    ((sum - own)/(n - 1)), so the feature never contains the row's own
+    label. Published per row: the exact integer numerator in nano units
+    (sums and the row's snapped value are both bigint -- the
+    subtraction is exact), the denominator, and the encoded double (one
+    bigint->double cast each side of a single division, identical in
+    both engines). Singleton categories are dropped (n-1 = 0), the
+    standard LOO convention; the output is cut to event_id < 200 purely
+    to bound the comparison relation.
+
+    Scale shape: ONE O(categories) groupBy, then the category stats
+    join back -- a relation with one row per category, always
+    BROADCAST at any corpus size; the encode itself is a narrow
+    projection over the fact table. No window, no second shuffle.
+    """
+    ev = t(spark, sf_dir, "events")
+    vn = F.floor(F.col("value") * 1e9 + F.lit(0.5)).cast("bigint")
+    g = ev.groupBy("event_type").agg(
+        F.sum(vn).cast("bigint").alias("s_n"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    return (
+        ev.join(F.broadcast(g), "event_type")
+        .filter((F.col("event_id") < 200) & (F.col("c") > 1))
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("s_n") - vn).cast("bigint").alias("num_n"),
+            (F.col("c") - 1).cast("bigint").alias("denom"),
+            (
+                (F.col("s_n") - vn).cast("double")
+                / ((F.col("c") - 1) * F.lit(1e9)).cast("double")
+            ).alias("loo_enc"),
+        )
+    )

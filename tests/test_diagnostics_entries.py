@@ -1037,3 +1037,20 @@ def test_rrf_fusion_scores_recompute_and_overlap_exists(spark, sf_dir):
     assert both >= 1
     scores = [r.rrf for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_loo_encoding_excludes_own_row(spark, sf_dir):
+    """LOO invariants: the encoding recomputes from its exact parts, and
+    leaving one row out actually moves the mean -- for any category with
+    variance, not every row's encoding equals the plain category mean."""
+    qs = load_all()
+    rows = _rows(qs, "target_encode_loo", spark, sf_dir)
+    assert rows
+    by_type = {}
+    for r in rows:
+        assert r.denom >= 1
+        assert r.loo_enc == r.num_n / (r.denom * 1e9)
+        by_type.setdefault(r.event_type, set()).add(r.loo_enc)
+    # at least one category shows >1 distinct encoding (own-row exclusion
+    # is doing something; a constant-encoding bug would collapse these)
+    assert any(len(v) > 1 for v in by_type.values())
