@@ -11,7 +11,7 @@ each checked against a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io.readers import read_parquet_table as t
@@ -1292,4 +1292,57 @@ def timeseries_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.col("total").isNull().alias("was_gap"),
         interp.alias("total_interp"),
+    )
+
+
+@register(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+      FROM events
+    ), pairs AS (
+      SELECT a, b, COUNT(*) AS n_ab FROM seq WHERE b IS NOT NULL GROUP BY a, b
+    ), totals AS (
+      SELECT a, SUM(n_ab) AS n_a FROM pairs GROUP BY a
+    )
+    SELECT p.a, p.b, CAST(p.n_ab AS BIGINT) AS n_ab, CAST(t.n_a AS BIGINT) AS n_a,
+           CAST(p.n_ab AS DOUBLE) / t.n_a AS prob
+    FROM pairs p JOIN totals t USING (a)
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next=b | current=a) with exact integer counts and one
+    int/int double division per cell -- the user-journey model behind
+    funnel design and next-action prediction, and the sequence-level
+    sibling of the token-level bigram LM (`bigram_logprob_quality`).
+    Rows of the matrix sum to exactly 1 within one cell's ulp (pinned
+    by the invariant test); counts are published so any smoothing can
+    be applied downstream without re-scanning.
+
+    Scale shape: ONE shuffle on user_id for the LEAD window (the same
+    exchange the sessionize family rides; per-user partitions, no
+    global window), then an O(types^2) aggregate and an O(types)
+    broadcast join for row totals. At 100 TB the matrix relation is
+    dimension-sized by construction.
+
+    Reference parity: the reference has no sequence analytics at all
+    (DAG2:1-82 stops at yearly ratios); see SURVEY.md section 2.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    pairs = seq.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    totals = pairs.groupBy("a").agg(F.sum("n_ab").cast("bigint").alias("n_a"))
+    return pairs.join(F.broadcast(totals), "a").select(
+        "a",
+        "b",
+        "n_ab",
+        "n_a",
+        (F.col("n_ab").cast("double") / F.col("n_a")).alias("prob"),
     )

@@ -1054,3 +1054,19 @@ def test_loo_encoding_excludes_own_row(spark, sf_dir):
     # at least one category shows >1 distinct encoding (own-row exclusion
     # is doing something; a constant-encoding bug would collapse these)
     assert any(len(v) > 1 for v in by_type.values())
+
+
+def test_markov_rows_are_probability_distributions(spark, sf_dir):
+    """Markov invariants: every row of the transition matrix sums to 1
+    (within cell ulps), each prob recomputes from its counts, and the
+    per-state totals equal the sum of that state's outgoing counts."""
+    qs = load_all()
+    rows = _rows(qs, "markov_event_transitions", spark, sf_dir)
+    assert rows
+    by_a = {}
+    for r in rows:
+        assert r.prob == r.n_ab / r.n_a
+        by_a.setdefault(r.a, []).append(r)
+    for a, rs in by_a.items():
+        assert sum(x.n_ab for x in rs) == rs[0].n_a
+        assert abs(sum(x.prob for x in rs) - 1.0) < 1e-9, a
