@@ -1346,3 +1346,75 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         (F.col("n_ab").cast("double") / F.col("n_a")).alias("prob"),
     )
+
+
+@register(
+    "burstiness_interevent",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             date_diff('second', ts,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      FROM events
+    ), g AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS s1,
+             CAST(SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS BIGINT) AS s2
+      FROM seq WHERE gap IS NOT NULL GROUP BY user_id HAVING COUNT(*) >= 2
+    )
+    SELECT user_id, n_gaps, s1, s2,
+           (sqrt(CAST(CAST(n_gaps AS DECIMAL(38,0)) * s2
+                      - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)) - s1)
+         / (sqrt(CAST(CAST(n_gaps AS DECIMAL(38,0)) * s2
+                      - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)) + s1) AS burstiness
+    FROM g
+    """,
+)
+def burstiness_interevent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of each
+    user's inter-event gaps: B -> -1 for metronome-regular (bot-like)
+    activity, 0 for Poisson, -> 1 for bursty humans -- the
+    gap-distribution companion to `user_behavior_entropy`'s event-mix
+    signal. Gaps are integer seconds (date_diff truncation = Spark's
+    unix_timestamp, the `kaplan_meier_sessions` lesson), and the
+    variance numerator n*S2 - S1^2 is computed EXACTLY in decimal
+    (Cauchy-Schwarz guarantees it is >= 0, so the sqrt can never see a
+    rounding-negative -- the classic one-pass-variance failure mode is
+    structurally impossible). B itself is sqrt/one add/one sub/one div
+    over identical doubles in both engines.
+
+    Scale shape: the LEAD rides the same single user_id exchange as the
+    sessionize family; everything after is an O(users) aggregate. n*S2
+    fits bigint for per-user horizons to ~decades of seconds; the
+    decimal accumulation upstream is the overflow guard.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    g = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("gap").cast("bigint").alias("s1"),
+            F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap"))
+            .cast("bigint")
+            .alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    var_num = (
+        F.col("n_gaps").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    ).cast("double")
+    return g.select(
+        "user_id",
+        "n_gaps",
+        "s1",
+        "s2",
+        ((F.sqrt(var_num) - F.col("s1")) / (F.sqrt(var_num) + F.col("s1"))).alias(
+            "burstiness"
+        ),
+    )

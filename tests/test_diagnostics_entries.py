@@ -1070,3 +1070,20 @@ def test_markov_rows_are_probability_distributions(spark, sf_dir):
     for a, rs in by_a.items():
         assert sum(x.n_ab for x in rs) == rs[0].n_a
         assert abs(sum(x.prob for x in rs) - 1.0) < 1e-9, a
+
+
+def test_burstiness_is_bounded_and_recomputes(spark, sf_dir):
+    """Burstiness invariants: B in [-1, 1), the integer variance
+    numerator n*S2 - S1^2 is non-negative (Cauchy-Schwarz), and B
+    recomputes from the published exact sums."""
+    import math
+
+    qs = load_all()
+    rows = _rows(qs, "burstiness_interevent", spark, sf_dir)
+    assert rows
+    for r in rows:
+        var_num = r.n_gaps * r.s2 - r.s1 * r.s1
+        assert var_num >= 0
+        sd = math.sqrt(float(var_num))
+        assert r.burstiness == (sd - r.s1) / (sd + r.s1)
+        assert -1.0 <= r.burstiness < 1.0
