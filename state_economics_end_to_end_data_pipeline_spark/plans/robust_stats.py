@@ -1967,3 +1967,96 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(_HILL_K) * 1e9)
         ).alias("hill_inv_alpha"),
     )
+
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS vn
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN b.vn > a.vn THEN 1
+                           WHEN b.vn < a.vn THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON b.day > a.day
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_corr
+      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY vn HAVING COUNT(*) > 1)
+    )
+    SELECT n.n_days, s.s_stat,
+           CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                - ties.tie_corr AS BIGINT) AS var_num18,
+           CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                  / sqrt((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                          - ties.tie_corr) / 18.0)
+                WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                  / sqrt((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                          - ties.tie_corr) / 18.0)
+                ELSE 0.0 END AS z
+    FROM n CROSS JOIN s CROSS JOIN ties
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily event-value series: the
+    non-parametric SIGNIFICANCE companion to `theilsen_trend_event_values`
+    (which estimates the slope; MK tests whether a monotone trend exists
+    at all). S = sum over day pairs of sign(v_j - v_i) and the
+    tie-corrected variance numerator n(n-1)(2n+5) - sum t(t-1)(2t+5)
+    are pure bigints; the continuity-corrected Z is one sqrt and one
+    division over exact integers, identical in both engines.
+
+    Scale shape: one O(days) shuffle builds the daily relation, then
+    the pair sum is a self-join of the CALENDAR-BOUNDED day grid
+    (O(days^2) pairs on ~31 rows -- the `theilsen` precedent, bounded
+    by horizon not data volume); ties group on the same tiny relation.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1e9 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("vn")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("vn").alias("va"))
+    b = daily.select(F.col("day").alias("db"), F.col("vn").alias("vb"))
+    s = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    ties = (
+        daily.groupBy("vn")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie_corr")
+        )
+    )
+    base = n.crossJoin(s).crossJoin(ties)
+    v18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_corr")
+    )
+    sd = F.sqrt(v18 / F.lit(18.0))
+    return base.select(
+        "n_days",
+        "s_stat",
+        v18.cast("bigint").alias("var_num18"),
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )

@@ -1087,3 +1087,24 @@ def test_burstiness_is_bounded_and_recomputes(spark, sf_dir):
         sd = math.sqrt(float(var_num))
         assert r.burstiness == (sd - r.s1) / (sd + r.s1)
         assert -1.0 <= r.burstiness < 1.0
+
+
+def test_mann_kendall_bounds_and_recomputation(spark, sf_dir):
+    """MK invariants: |S| <= n(n-1)/2, the variance numerator is
+    positive and bounded by the tie-free maximum, and Z recomputes from
+    the published exact integers (sqrt is IEEE-exact, no libm slack
+    needed)."""
+    import math
+
+    qs = load_all()
+    [r] = _rows(qs, "mann_kendall_trend", spark, sf_dir)
+    max_pairs = r.n_days * (r.n_days - 1) // 2
+    assert abs(r.s_stat) <= max_pairs
+    assert 0 < r.var_num18 <= r.n_days * (r.n_days - 1) * (2 * r.n_days + 5)
+    sd = math.sqrt(r.var_num18 / 18.0)
+    if r.s_stat > 0:
+        assert r.z == (r.s_stat - 1) / sd
+    elif r.s_stat < 0:
+        assert r.z == (r.s_stat + 1) / sd
+    else:
+        assert r.z == 0.0
