@@ -26,14 +26,24 @@ class Query:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str
+    # True when BUILDING the entry's DataFrame already executes Spark jobs
+    # (iterative localCheckpoint loops, percentile-cutpoint collection,
+    # codebook/centroid collects, bounded-stream replay).  Generic catalog
+    # consumers (plan dumpers, schema walkers) consult this to skip or
+    # defer entries whose construction is not side-effect-free; several
+    # entries additionally expose a `cuts`/explain-only escape hatch to
+    # build lazily (see robust_stats.collect_value_cutpoints).
+    eager_build: bool = False
 
 
 QUERIES: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, eager_build: bool = False):
     def deco(fn):
-        QUERIES[name] = Query(fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        QUERIES[name] = Query(
+            fn=fn, oracle=oracle, doc=fn.__doc__ or "", eager_build=eager_build
+        )
         return fn
 
     return deco

@@ -1541,7 +1541,7 @@ def _ivf_oracle() -> str:
     """
 
 
-@register("embedding_ivf_topk", oracle=_ivf_oracle())
+@register("embedding_ivf_topk", eager_build=True, oracle=_ivf_oracle())
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors -- the scale path: corpus bucketed
     into nearest-centroid cells (one broadcast pass), queries probe their 2
@@ -1796,6 +1796,7 @@ def _brute_topk_sql() -> str:
 
 @register(
     "ivf_recall_at_5",
+    eager_build=True,
     oracle=_ivf_oracle().rstrip()
     .replace("WITH cents AS (", "WITH " + _brute_topk_sql().strip().rstrip() + ", cents AS (", 1)
     .replace(
@@ -1849,6 +1850,7 @@ def ivf_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_ivf_kmeans_recall",
+    eager_build=True,
     oracle="""
     SELECT CAST(vec_id AS BIGINT) AS query_id,
            TRUE AS n_hits_ok, TRUE AS n_approx_ok, TRUE AS hits_subset_ok
@@ -2396,6 +2398,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_pq_codes",
+    eager_build=True,
     oracle="""
     WITH cb AS (
       SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < 4
@@ -2449,6 +2452,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_pq_adc_topk",
+    eager_build=True,
     oracle="""
     WITH cb AS (
       SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < 4
@@ -2643,7 +2647,7 @@ def _ivfpq_oracle() -> str:
     """
 
 
-@register("embedding_ivfpq_topk", oracle=_ivfpq_oracle())
+@register("embedding_ivfpq_topk", eager_build=True, oracle=_ivfpq_oracle())
 def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ: the production compressed-ANN layout (coarse inverted cells
     + product-quantized codes), composed from the repo's two building
@@ -4407,7 +4411,7 @@ _RRF_C = 60  # the standard RRF dampening constant
     ), qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
     sems AS (
       SELECT vec_id AS doc_id, {_cos_sql('embedding', 'q_vec')} AS cs
-      FROM embeddings CROSS JOIN qv
+      FROM embeddings CROSS JOIN qv WHERE vec_id <> 0
     ), semr AS (
       SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS sem_rank
       FROM (SELECT * FROM sems ORDER BY cs DESC, doc_id LIMIT {_RRF_K})
@@ -4431,9 +4435,12 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule 6) are each cut to top-50 (_RRF_K), then fused by
     RRF(d) = sum over lists of 1/(60+rank) (_RRF_C) -- the standard
     score-free combination for mixing retrieval modalities whose raw
-    scores are incomparable. At this depth the two lists genuinely
-    overlap (8 of 500 docs at sf0.01), so the both-lists boost path is
-    exercised, not just interleaving; docs in one list keep a single
+    scores are incomparable. The query embedding itself (vec_id 0) is
+    excluded from the semantic candidates -- a self-match is cosine 1.0
+    and would always take sem_rank 1 (retrieval-eval convention). At
+    this depth the two lists genuinely overlap at sf0.01, so the
+    both-lists boost path is exercised, not just interleaving; docs in
+    one list keep a single
     reciprocal term via COALESCE in the identical operand order in
     both engines.
 
@@ -4471,7 +4478,11 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    sems = emb.crossJoin(F.broadcast(qv)).select(
+    # the query vector itself is excluded from the candidate corpus
+    # (vec_id 0 is the query): a self-match has cosine 1.0 and would
+    # always consume sem_rank 1, skewing the fused list -- standard
+    # retrieval-eval practice is query != corpus
+    sems = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv)).select(
         F.col("vec_id").alias("doc_id"),
         (
             dot("embedding", "q_vec")

@@ -90,6 +90,7 @@ _BFS_MAX_HOPS = 4
 
 @register(
     "graph_bfs_hops",
+    eager_build=True,
     oracle=f"""
     WITH RECURSIVE {_pair_edges_sql(threshold=2)},
     root AS (SELECT src AS node FROM deg ORDER BY outdeg DESC, src LIMIT 1),
@@ -225,6 +226,7 @@ _CC_MAX_ROUNDS = 50
 
 @register(
     "graph_connected_components",
+    eager_build=True,
     oracle=f"""
     WITH RECURSIVE {_pair_edges_sql(threshold=2)},
     reach(node, comp) AS (
@@ -297,6 +299,15 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_potential == potential:
             break
         potential = new_potential
+    else:
+        # cap exhaustion must fail LOUDLY: returning the current labels
+        # would silently publish partially-propagated (wrong) components
+        # on any graph with diameter > _CC_MAX_ROUNDS
+        raise RuntimeError(
+            f"graph_connected_components: potential still decreasing after "
+            f"{_CC_MAX_ROUNDS} rounds -- graph diameter exceeds the cap; "
+            f"raise _CC_MAX_ROUNDS rather than accept unconverged labels"
+        )
     return labels.groupBy(F.col("comp").cast("bigint").alias("component_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
@@ -308,6 +319,7 @@ _KCORE_ORACLE_ROUNDS = 12  # > max peel rounds probed at sf0.01 (3) and sf0.1 (5
 
 @register(
     "kcore_parts",
+    eager_build=True,
     oracle=f"""
     WITH RECURSIVE {_pair_edges_sql(threshold=2)},
     live(rnd, src, dst) AS (
@@ -338,7 +350,9 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each peel round is: degree = groupBy(src).count over the LIVE edge
     list, then drop edges incident to any low-degree node (two
-    broadcast-able anti-joins against the typically-small low set).
+    anti-joins against the low set -- no broadcast hint, because the
+    low set is O(nodes) in the first rounds; AQE broadcasts at runtime
+    once the set actually shrinks).
     Work per round is O(live edges) and the live set only shrinks;
     rounds-to-fixpoint probed at 3 (sf0.01) / 5 (sf0.1).  Each round is
     localCheckpoint-materialized (iterative-loop discipline, see
@@ -359,10 +373,14 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         low = deg.filter(F.col("d") < _KCORE_K).select("src").localCheckpoint()
         if low.limit(1).count() == 0:
             break
+        # no broadcast hint: the low-degree set is O(nodes) in the first
+        # peel rounds (potentially most of the graph), so a forced
+        # broadcast can OOM the driver at scale -- AQE picks broadcast
+        # at runtime whenever the materialized low set is actually small
         edges = (
-            edges.join(F.broadcast(low), "src", "left_anti")
+            edges.join(low, "src", "left_anti")
             .join(
-                F.broadcast(low.select(F.col("src").alias("dst"))),
+                low.select(F.col("src").alias("dst")),
                 "dst",
                 "left_anti",
             )
@@ -375,6 +393,7 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_modularity_brands",
+    eager_build=True,
     oracle=f"""
     WITH {_pair_edges_sql(threshold=2)},
     lab AS (SELECT p_partkey AS node, p_brand AS brand FROM part),
@@ -413,11 +432,12 @@ def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     all edges intra by construction -- probed, Q collapses).
 
     Plan shape: the checkpointed edge list joins the (node, brand)
-    labeling twice -- a 2k-row dim that BROADCASTS, so both labelings
-    are map-side -- then two O(brands) aggregates and a broadcast
-    scalar T.  At 100 TB the labeling join is the standard broadcast
-    dim pattern (`broadcast_dim_join`, catalog.py:405) and the heavy
-    relation is the edge list, touched once.
+    labeling twice -- left to AQE, which broadcasts the labeling when
+    it is small (it is, at fixture scale) and shuffles when it is not
+    (the labeling is O(parts), i.e. scales with SF, so a FORCED
+    broadcast hint would OOM the driver at 100 TB) -- then two
+    O(brands) aggregates and a broadcast scalar T.  The heavy relation
+    is the edge list, touched once.
 
     Reference parity: no graph operators in the reference (DAG1:1-322,
     linear pandas flows); see the module docstring.
@@ -429,7 +449,11 @@ def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdir = edges.agg(F.count(F.lit(1)).cast("bigint").alias("t_dir"))
     la = lab.select(F.col("node").alias("src"), F.col("brand").alias("brand_a"))
     lb = lab.select(F.col("node").alias("dst"), F.col("brand").alias("brand_b"))
-    both = edges.join(F.broadcast(la), "src").join(F.broadcast(lb), "dst")
+    # no broadcast hint on the labeling: (node, brand) is O(parts) and
+    # scales with SF, so a forced broadcast OOMs the driver at 100 TB --
+    # AQE broadcasts at runtime when the labeling is actually small and
+    # falls back to a shuffled hash join when it is not
+    both = edges.join(la, "src").join(lb, "dst")
     intra = (
         both.filter(F.col("brand_a") == F.col("brand_b"))
         .groupBy(F.col("brand_a").alias("brand"))

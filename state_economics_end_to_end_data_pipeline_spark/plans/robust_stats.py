@@ -360,6 +360,7 @@ def mad_approx_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mad_per_group_approx",
+    eager_build=True,
     oracle="""
     SELECT l_returnflag, COUNT(*) AS n,
            TRUE AS median_ok, TRUE AS mad_ok
@@ -565,7 +566,7 @@ def value_slice_pid(cuts: list[float]) -> F.Column:
     return F.size(F.filter(cuts_lit, lambda c: c < F.col("value")))
 
 
-@register("ks_drift_event_values_distributed", oracle=_KS_ORACLE)
+@register("ks_drift_event_values_distributed", eager_build=True, oracle=_KS_ORACLE)
 def ks_drift_event_values_distributed(
     spark: SparkSession, sf_dir: str, cuts: list[float] | None = None
 ) -> DataFrame:
@@ -1249,6 +1250,7 @@ def theilsen_trend_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mannwhitney_u_event_values",
+    eager_build=True,
     oracle="""
     WITH s AS (
       SELECT value,
@@ -1806,6 +1808,7 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gini_user_spend",
+    eager_build=True,
     oracle="""
     WITH s AS (
       SELECT user_id,
