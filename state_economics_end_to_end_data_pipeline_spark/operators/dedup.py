@@ -219,6 +219,100 @@ def simhash16_from_h4(h4s: Column) -> Column:
     return simhash_from_hexes(h4s, n_bits=16)
 
 
+def _hex_bit_contrib(nibble_idx: int, bit_in_nibble: int):
+    """Unary closure: +-1 vote of one hash bit, decoded from the hex
+    prefix with a position-lookup (portable -- no hex-int casts)."""
+
+    def contrib(h):
+        hexval = (
+            F.position(F.substring(h, nibble_idx, 1), F.lit("0123456789abcdef")) - 1
+        )
+        bit = F.shiftright(hexval, bit_in_nibble).bitwiseAND(F.lit(1))
+        return (bit * 2 - 1).cast("bigint")
+
+    return contrib
+
+
+def derive_band_bits(n_docs: int, n_bands: int = 4, max_band_bits: int = 60) -> int:
+    """Band width (bits) sized to the corpus so RANDOM band collisions
+    stay O(corpus): expected colliding pairs per band are ~n^2 / 2^(w+1)
+    (birthday), so w >= log2(n) + margin keeps them <= ~n across all
+    bands. This is the LSH band-space scaling law the r8 100x probe
+    measured being violated at fixed 15-bit bands (221x candidates at
+    100x corpus -- band values saturate once corpus >> n_bands * 2^w).
+
+    Returns ceil((log2(n_docs) + 2) / 4) * 4 clamped to [16, max_band_bits]
+    -- nibble-aligned so each band reads whole hex digits of the token
+    md5, and the +2 margin keeps expected random pairs per band under
+    ~n/8. At n = 6e5 (the 100x probe corpus) this derives 24; at n = 1e11
+    (100 TB of ~1 KB docs) it derives 40 -- still far below the 60-bit
+    per-band bigint ceiling, so 4 bands always suffice for radius <= 3
+    pigeonhole completeness at any realistic corpus size."""
+    import math
+
+    if n_docs < 2:
+        return 16
+    w = math.ceil((math.log2(n_docs) + 2) / 4) * 4
+    return max(16, min(max_band_bits, w))
+
+
+def simhash_band_cols(hexes: Column, band_bits: int, n_bands: int) -> list[Column]:
+    """Per-band SimHash values: band b packs hash bits
+    [b*band_bits, (b+1)*band_bits) into its own bigint, so total width
+    band_bits * n_bands may exceed 63 (the single-bigint ceiling that
+    capped ``simhash_from_hexes`` at 60). Bands partition the bit space,
+    so full-width Hamming distance is the SUM of per-band
+    bit_count(xor) -- exact, no reassembly needed."""
+    if not 4 <= band_bits <= 60:
+        raise ValueError("band_bits must be in [4, 60]")
+    if band_bits * n_bands > 128:  # md5 supplies 128 bits
+        raise ValueError("band_bits * n_bands exceeds the md5 bit budget")
+    cols = []
+    for bnd in range(n_bands):
+        total = F.lit(0).cast("bigint")
+        for j in range(band_bits):
+            g = bnd * band_bits + j
+            vote = F.aggregate(
+                F.transform(hexes, _hex_bit_contrib(g // 4 + 1, g % 4)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            total = total + F.when(vote > 0, F.lit(2**j).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        cols.append(total)
+    return cols
+
+
+def simhash_bands_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 24,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Wide banded SimHash table: (id, band0..band{n_bands-1}), each band
+    a ``band_bits``-wide bigint over its own slice of the hash bit
+    space. This is the corpus-scalable variant of ``simhash_table``:
+    total hash width band_bits * n_bands (default 96) is not limited by
+    a single bigint, and ``derive_band_bits(corpus_size)`` sizes the
+    band space so random band collisions stay O(corpus) -- the
+    mitigation for the band-space saturation knee the 100x scale probe
+    measured on the fixed 60-bit/15-bit layout (docs/SCALEUP.md, 100x
+    table). Radius-r Hamming completeness needs n_bands >= r + 1
+    (pigeonhole over partitioned bits), unchanged from the narrow
+    variant."""
+    n_hex = (band_bits * n_bands + 3) // 4
+    staged = df.withColumn(
+        "__h",
+        F.transform(tokens(text_col), lambda t: F.substring(F.md5(t), 1, n_hex)),
+    )
+    cols = simhash_band_cols(F.col("__h"), band_bits, n_bands)
+    return staged.select(
+        id_col, *[c.alias(f"band{b}") for b, c in enumerate(cols)]
+    )
+
+
 def simhash_from_hexes(hexes: Column, n_bits: int = 60) -> Column:
     """SimHash of arbitrary width (multiple of 4, <= 60) from an array of
     token hash prefixes (``substring(md5(token), 1, n_bits/4)``).
@@ -232,21 +326,10 @@ def simhash_from_hexes(hexes: Column, n_bits: int = 60) -> Column:
     if n_bits % 4 or not 4 <= n_bits <= 60:
         raise ValueError("n_bits must be a multiple of 4 in [4, 60]")
 
-    def contrib_fn(nibble_idx: int, bit_in_nibble: int):
-        # unary closure (see minhash_cols note on F.transform arity)
-        def contrib(h):
-            hexval = F.position(
-                F.substring(h, nibble_idx, 1), F.lit("0123456789abcdef")
-            ) - 1
-            bit = F.shiftright(hexval, bit_in_nibble).bitwiseAND(F.lit(1))
-            return (bit * 2 - 1).cast("bigint")
-
-        return contrib
-
     total = F.lit(0).cast("bigint")
     for j in range(n_bits):
         vote = F.aggregate(
-            F.transform(hexes, contrib_fn(j // 4 + 1, j % 4)),
+            F.transform(hexes, _hex_bit_contrib(j // 4 + 1, j % 4)),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )

@@ -20,6 +20,7 @@ from ..operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    simhash_bands_table,
     simhash_table,
 )
 from ..operators.multimodal import (
@@ -2240,74 +2241,125 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_BAND_BITS = 24  # == derive_band_bits(6e5): the 100x-probe corpus
+_SIMHASH_N_BANDS = 4  # radius 3 + 1 (pigeonhole completeness)
+
+
+def _simhash_bands_sql() -> str:
+    """Per-doc band values b0..b{n-1}, bit-identical to
+    operators.dedup.simhash_band_cols: band b packs hash bits
+    [b*w, (b+1)*w) of the token-md5 vote hash into its own bigint."""
+    band_exprs = []
+    for bnd in range(_SIMHASH_N_BANDS):
+        votes = []
+        for j in range(_SIMHASH_BAND_BITS):
+            g = bnd * _SIMHASH_BAND_BITS + j
+            ni, bi = g // 4 + 1, g % 4
+            contrib = (
+                f"CASE WHEN (((strpos('0123456789abcdef', substr(md5(tok), {ni}, 1)) - 1)"
+                f" >> {bi}) & 1) = 1 THEN 1 ELSE -1 END"
+            )
+            votes.append(
+                f"CASE WHEN list_sum(list_transform(toks, tok -> {contrib})) > 0 "
+                f"THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            )
+        band_exprs.append(" + ".join(votes) + f" AS b{bnd}")
+    cols = ",\n           ".join(band_exprs)
+    return f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id, {cols} FROM tk
+    """
+
+
 def _simhash_banded_oracle() -> str:
-    inner = _simhash_oracle(n_bits=60).strip()
+    inner = _simhash_bands_sql().strip()
+    ham = " + ".join(
+        f"bit_count(xor(a.b{b}, b.b{b}))" for b in range(_SIMHASH_N_BANDS)
+    )
     return f"""
     WITH sh AS ({inner})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           CAST({ham} AS BIGINT) AS hamming
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    WHERE {ham} <= 3
     """
 
 
 @register("simhash_banded_pairs", oracle=_simhash_banded_oracle())
 def simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tier-4 near-dup with a HAMMING RADIUS, not just identity: a
-    60-bit SimHash splits into 4 bands of 15 bits; two hashes within
-    Hamming distance 3 differ in at most 3 bits, so by pigeonhole at
-    least one band is untouched -- an equi-join per band (any-band-equal
-    => candidate) is COMPLETE for radius <= 3. Candidates sharing several
-    bands are deduped, then the exact bit_count(xor) filter keeps true
-    near-dups; the oracle checks the same radius from an all-pairs scan
-    (fine in DuckDB at test SF -- the banded plan exists precisely so
-    Spark never does that scan at 100 TB).
+    96-bit SimHash split into 4 bands of 24 bits, each band its own
+    bigint column; two hashes within Hamming distance 3 differ in at
+    most 3 bits, so by pigeonhole at least one band is untouched -- an
+    equi-join per band (any-band-equal => candidate) is COMPLETE for
+    radius <= 3. Candidates sharing several bands are deduped, then the
+    exact filter (hamming = SUM over bands of bit_count(xor), exact
+    because bands partition the bit space) keeps true near-dups; the
+    oracle checks the same radius from an all-pairs scan (fine in
+    DuckDB at test SF -- the banded plan exists precisely so Spark
+    never does that scan at 100 TB).
 
-    Width is the scale lever: the earlier 16-bit variant had 2^4 = 16
-    values per band, so bucket sizes -- and the within-bucket quadratic
-    term -- grew O(corpus/16) and the sf0.1 bench paid 11s generating
-    ~3M candidates. 15-bit bands give 32,768 values per band; candidate
-    volume collapses to near-dups + collisions and the same plan holds
-    at 100 TB (production systems use 64-bit simhash with 16-bit bands;
-    60 is the portable-bigint ceiling, same asymptotics). The 16-bit
-    hash remains as the simhash16/simhash_blocking_pairs surface."""
-    sh = simhash_table(
-        rebalance_for_cpu(t(spark, sf_dir, "documents")), n_bits=60
+    BAND SPACE IS THE SCALE LEVER, and it must scale with the corpus:
+    the r8 100x probe measured the previous fixed 60-bit/15-bit layout
+    saturating -- 221x candidates at 100x corpus, the LSH band-space
+    knee, because random collisions per band grow n^2/2^w once corpus
+    >> n_bands * 2^w (docs/SCALEUP.md, 100x table). The fix is
+    ``derive_band_bits(n_docs)`` (operators/dedup.py): w ~ log2(n) + 2,
+    nibble-aligned, so expected random band collisions stay O(corpus)
+    at every scale -- 24 bits at the probe's 6e5-doc corpus (pinned
+    here: the catalog entry is the derived width for the largest corpus
+    the repo measures), 40 bits at 1e11 docs, always below the 60-bit
+    per-band bigint ceiling. Multi-bigint bands remove the old 60-bit
+    total-width cap entirely (96 bits here; md5 supplies up to 128).
+    The 16-bit hash remains as the simhash16/simhash_blocking_pairs
+    surface."""
+    sh = simhash_bands_table(
+        rebalance_for_cpu(t(spark, sf_dir, "documents")),
+        band_bits=_SIMHASH_BAND_BITS,
+        n_bands=_SIMHASH_N_BANDS,
     )
+    band_cols = [f"band{b}" for b in range(_SIMHASH_N_BANDS)]
     bands = sh.select(
         "doc_id",
-        "simhash",
+        *band_cols,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("simhash", 15 * b)
-                        .bitwiseAND(F.lit(32767))
-                        .alias("val"),
-                    )
-                    for b in range(4)
+                    F.struct(F.lit(b).alias("band"), F.col(c).alias("val"))
+                    for b, c in enumerate(band_cols)
                 ]
             )
         ).alias("bv"),
-    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    ).select(
+        "doc_id", *band_cols, F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
     a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "val"
+        F.col("doc_id").alias("id_a"),
+        *[F.col(c).alias(f"a_{c}") for c in band_cols],
+        "band",
+        "val",
     )
     b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "val"
+        F.col("doc_id").alias("id_b"),
+        *[F.col(c).alias(f"b_{c}") for c in band_cols],
+        "band",
+        "val",
     )
     cands = (
         a.join(b, ["band", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b", *[f"a_{c}" for c in band_cols], *[f"b_{c}" for c in band_cols])
         .distinct()  # a pair can collide in several bands
     )
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+            for c in band_cols
+        ),
+        start=F.lit(0),
+    ).cast("bigint")
     return (
-        cands.withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint"),
-        )
+        cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )

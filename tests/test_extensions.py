@@ -522,3 +522,55 @@ def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
 
     back = spark.read.json(out, schema="id bigint, tag string")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_derive_band_bits_scaling_law():
+    """Band width grows with log2(corpus): nibble-aligned, clamped, and
+    the two anchor values the docs cite (24 at the 100x-probe corpus,
+    40 at a 1e11-doc 100 TB corpus)."""
+    from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
+        derive_band_bits,
+    )
+
+    assert derive_band_bits(600_000) == 24
+    assert derive_band_bits(100_000_000_000) == 40
+    assert derive_band_bits(1) == 16  # floor
+    assert derive_band_bits(2**240) == 60  # per-band bigint ceiling
+    prev = 0
+    for n in (10, 1000, 10**6, 10**9, 10**12):
+        w = derive_band_bits(n)
+        assert w % 4 == 0 and 16 <= w <= 60
+        assert w >= prev  # monotone in corpus size
+        prev = w
+
+
+def test_simhash_bands_partition_the_wide_hash(spark, sf_dir):
+    """The 4x24 band columns are deterministic, bounded by the band
+    space, and identical docs agree on EVERY band (pigeonhole base
+    case); a planted exact duplicate has per-band xor == 0, i.e. the
+    summed hamming the entry filters on is exactly 0."""
+    from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
+        simhash_bands_table,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents").limit(20)
+    base = docs.limit(1).select(F.lit(900001).alias("doc_id"), "text")
+    dup = docs.limit(1).select(F.lit(900002).alias("doc_id"), "text")
+    aug = docs.select("doc_id", "text").union(base).union(dup)
+    rows = {
+        r["doc_id"]: tuple(r[f"band{b}"] for b in range(4))
+        for r in simhash_bands_table(aug, band_bits=24, n_bands=4).collect()
+    }
+    rows2 = {
+        r["doc_id"]: tuple(r[f"band{b}"] for b in range(4))
+        for r in simhash_bands_table(aug, band_bits=24, n_bands=4).collect()
+    }
+    assert rows == rows2  # deterministic
+    assert all(
+        0 <= v < 2**24 for bands in rows.values() for v in bands
+    )  # band space bound
+    assert rows[900001] == rows[900002]  # exact dup agrees on all bands
+    ham = sum(
+        bin(a ^ b).count("1") for a, b in zip(rows[900001], rows[900002])
+    )
+    assert ham == 0

@@ -32,11 +32,15 @@ Replica design (differs from the 10x builder on purpose):
 
 Candidate-count plans mirror each entry's generator stage (same
 operators, same parameters) and count the candidate relation the entry
-verifies. ``simhash_banded_pairs`` is the expected exception to
-linearity: 15-bit bands hold 32,768 values, so once the corpus is large
-relative to band space, random band collisions grow ~quadratically --
-the documented mitigation is wider/more bands (production: 64-bit hash,
-16-bit bands); the probe exists to put a measured number on that knee.
+verifies. ``simhash_banded_pairs`` history: the r8 run measured the
+then-fixed 60-bit/15-bit layout saturating at 221x candidates / 49.5x
+wall at 100x corpus (random band collisions grow n^2/2^w once corpus >>
+n_bands * 2^w -- the LSH band-space knee). Round 9 implemented the
+mitigation: 4 x 24-bit bands (96-bit hash, one bigint per band), with
+``derive_band_bits(n_docs)`` sizing w ~ log2(n)+2 so the band space
+scales with the corpus; 24 is exactly the derived width for this
+probe's ~6e5-doc replica, and the probe now measures the mitigated
+plan.
 
 Usage: python tools/scaleup100_probe.py [--base /root/testdata/sf0.1]
                                         [--replicas 100] [names...]
@@ -161,30 +165,38 @@ def _cand_ngram_jaccard(spark, sf_dir: str) -> int:
 
 def _cand_simhash_banded(spark, sf_dir: str) -> int:
     """Band-collision candidates: distinct pairs equal in >= 1 of the 4
-    15-bit bands of the 60-bit simhash (the relation the exact
-    bit_count(xor) filter verifies)."""
+    24-bit bands of the 96-bit simhash (the relation the exact per-band
+    bit_count(xor) filter verifies). Mirrors the entry exactly: 24 ==
+    derive_band_bits(6e5), the width derived for THIS probe's 100x
+    corpus -- the r8 run measured the old fixed 15-bit bands saturating
+    at 221x candidates; this counter now measures the mitigation."""
     from pyspark.sql import functions as F
 
     from state_economics_end_to_end_data_pipeline_spark.io.readers import (
         read_parquet_table,
     )
     from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
-        simhash_table,
+        simhash_bands_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.plans.extensions import (
+        _SIMHASH_BAND_BITS,
+        _SIMHASH_N_BANDS,
     )
 
-    sh = simhash_table(read_parquet_table(spark, sf_dir, "documents"), n_bits=60)
+    sh = simhash_bands_table(
+        read_parquet_table(spark, sf_dir, "documents"),
+        band_bits=_SIMHASH_BAND_BITS,
+        n_bands=_SIMHASH_N_BANDS,
+    )
     bands = sh.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("simhash", 15 * b)
-                        .bitwiseAND(F.lit(32767))
-                        .alias("val"),
+                        F.lit(b).alias("band"), F.col(f"band{b}").alias("val")
                     )
-                    for b in range(4)
+                    for b in range(_SIMHASH_N_BANDS)
                 ]
             )
         ).alias("bv"),
@@ -390,20 +402,24 @@ def main() -> int:
         "Reading: the gram-equality families (jaccard / prefix-filter /",
         "graph edges) measure candidate growth EXACTLY linear by",
         "construction of the candidate join -- 100.0x is the plan working.",
-        "simhash is the expected exception twice over: (a) the honest",
-        "band-space knee (4 bands x 32,768 values; once corpus >> band",
-        "space, random band collisions grow ~quadratically -- mitigation",
-        "is wider/more bands, e.g. 64-bit hash with 16-bit bands), and",
-        "(b) a fixture artifact -- the synthetic corpus draws from a",
-        "~25-word vocabulary, so each salted replica re-draws the token-",
-        "hash geometry and the per-replica hamming<=3 pair RATE varies",
-        "with the draw (measured: largest identical-hash group is 8, so",
-        "no degenerate cluster; the original vocab was simply a",
-        "low-collision draw). The output-row growth of the simhash row is",
-        "dominated by (b); the candidate growth mixes (a) and (b).",
-        "embedding_ivfpq_topk's flat line is the point: its entry caps",
-        "the corpus by parameters, so only the parquet scan grows and",
-        "filter pushdown prunes 99% of it (1.14x wall at 100x data).",
+        "simhash history: the r8 run, on the then-fixed 60-bit hash with",
+        "4 x 15-bit bands, measured 221x candidates / 49.5x wall at 100x",
+        "corpus -- the LSH band-space saturation knee (random collisions",
+        "per band grow n^2/2^w once corpus >> n_bands * 2^w). Round 9",
+        "implemented the mitigation the knee called for: the entry now",
+        "uses 4 x 24-bit bands (96-bit hash, one bigint per band -- multi-",
+        "word bands remove the single-bigint 60-bit width cap), with",
+        "derive_band_bits(n_docs) ~ log2(n)+2 sizing the band space to",
+        "the corpus; 24 bits IS the derived width for this probe's ~6e5-",
+        "doc replica, and at 1e11 docs (100 TB of ~1 KB docs) the same",
+        "law derives 40 bits -- still under the per-band ceiling, so the",
+        "radius<=3 pigeonhole proof (4 bands) holds at every scale. The",
+        "residual super-linearity budget is the fixture's ~25-word",
+        "vocabulary re-drawing token-hash geometry per salted replica",
+        "(per-replica hamming<=3 rates vary with the draw), not band",
+        "saturation. embedding_ivfpq_topk's flat line is the point: its",
+        "entry caps the corpus by parameters, so only the parquet scan",
+        "grows and filter pushdown prunes 99% of it.",
     ]
 
     out_path = REPO / "docs" / "SCALEUP.md"
