@@ -20,6 +20,13 @@ from . import register
 
 _DAMP = 0.85
 
+# rounds-to-fixpoint of the last execution of each iterative entry, for
+# the scale probes (tools/scaleup_graph_probe.py): the 100 TB cost of an
+# iterative plan is rounds x per-round shuffle, so round GROWTH vs graph
+# depth is the number that must stay sub-linear (log for CC with pointer
+# doubling; peel-depth for k-core, inherent to peeling).
+LAST_ROUNDS: dict[str, int] = {}
+
 
 def _pair_edges_sql(threshold: int = 3) -> str:
     """Undirected co-occurrence edges (basket pairs in >=threshold
@@ -247,20 +254,33 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation to fixpoint, reported as one row per component
     (component_id = the component's smallest part key, plus node count).
 
-    The distributed shape: each round every node takes the min of its own
-    label and its neighbors' labels -- one equi-join + one groupBy-min, so
-    a round costs O(edges) shuffle and the loop converges in at most the
-    graph diameter rounds (probed: <= 10 on this graph family at sf0.01
-    AND sf0.1).  Convergence is detected with a monotone potential -- the
-    SUM of all labels strictly decreases until fixpoint -- so each round
-    adds exactly one scalar aggregate action, never a full comparison
-    join.  Like ``graph_bfs_hops`` above, each round is materialized via
+    The distributed shape: each round every node takes the min of its
+    own label and its neighbors' labels (one equi-join + one groupBy-min
+    over the edges), then a POINTER-DOUBLING step chases one level of
+    label indirection (labels self-joined on comp = node: comp'' =
+    min(comp', L'(comp'))), so the distance a minimum can travel DOUBLES
+    per round and the loop converges in O(log diameter) rounds, not
+    O(diameter) -- plain propagation needs ~D rounds on a diameter-D
+    graph, which at 100 TB (where each round is a full O(edges) shuffle
+    plus a materialization) is the difference between ~6 rounds and
+    ~60 on a deep graph; docs/SCALEUP.md's graph-depth probe measures
+    exactly this on chain-of-cliques replicas.  Doubling preserves the
+    fixpoint: every label value is the id of a node in the same
+    component (true initially, preserved by both steps since mins of
+    same-component ids stay in-component), values only decrease, and
+    the fixpoint of both systems is the component minimum.  Convergence
+    is detected with a monotone potential -- the SUM of all labels
+    strictly decreases until fixpoint -- so each round adds exactly one
+    scalar aggregate action, never a full comparison join.  Like
+    ``graph_bfs_hops`` above, each round is materialized via
     ``localCheckpoint`` (a lazy unroll duplicates the join subtree
     exponentially) -- building this plan EXECUTES the propagation; the
-    safety cap (50, _CC_MAX_ROUNDS) is never the stop condition in
-    practice.  At 100 TB this is the standard label-propagation CC on a
-    DataFrame engine; the label relation is (node, comp) -- narrow --
-    and the edge list is computed once and reused checkpointed.
+    safety cap (50, _CC_MAX_ROUNDS) now covers diameters up to ~2^50
+    and exhaustion raises loudly.  At 100 TB this is label-propagation
+    CC with path doubling on a DataFrame engine; the label relation is
+    (node, comp) -- narrow -- and the edge list is computed once and
+    reused checkpointed.  Rounds-to-fixpoint is recorded in
+    ``LAST_ROUNDS`` for the scale probes.
 
     The oracle states the same fixpoint as a recursive transitive-
     closure CTE pruned to min-labels (comp < dst: only a component's
@@ -284,19 +304,34 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # convergence -- decimal(38,0) makes the monotone test overflow-proof
     pot_expr = F.sum(F.col("comp").cast("decimal(38,0)"))
     potential = labels.agg(pot_expr).collect()[0][0]
-    for _ in range(_CC_MAX_ROUNDS):
+    for rnd in range(_CC_MAX_ROUNDS):
         neigh_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("comp").alias("nmin"))
         )
+        stepped = labels.join(neigh_min, "node", "left_outer").select(
+            "node", F.least("comp", "nmin").alias("comp")
+        )
+        # pointer doubling: chase one level of label indirection --
+        # comp'' = min(comp', L'(comp')).  Every comp value is a node id
+        # of the same component, so the lookup relation is `stepped`
+        # itself (narrow self-join on comp = node); min-distance
+        # traveled doubles per round => O(log diameter) rounds total.
+        lookup = stepped.select(
+            F.col("node").alias("ptr_node"), F.col("comp").alias("ptr_comp")
+        )
         labels = (
-            labels.join(neigh_min, "node", "left_outer")
-            .select("node", F.least("comp", "nmin").alias("comp"))
+            stepped.join(lookup, stepped.comp == lookup.ptr_node, "left_outer")
+            .select(
+                "node",
+                F.least("comp", "ptr_comp").alias("comp"),
+            )
             .localCheckpoint()
         )
         new_potential = labels.agg(pot_expr).collect()[0][0]
         if new_potential == potential:
+            LAST_ROUNDS["graph_connected_components"] = rnd + 1
             break
         potential = new_potential
     else:
@@ -368,11 +403,14 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOUDLY rather than silently agree.
     """
     edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    rounds = 0
     while True:
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         low = deg.filter(F.col("d") < _KCORE_K).select("src").localCheckpoint()
         if low.limit(1).count() == 0:
+            LAST_ROUNDS["kcore_parts"] = rounds
             break
+        rounds += 1
         # no broadcast hint: the low-degree set is O(nodes) in the first
         # peel rounds (potentially most of the graph), so a forced
         # broadcast can OOM the driver at scale -- AQE picks broadcast

@@ -156,6 +156,66 @@ def pick_unsampled(qs: dict, n: int) -> tuple[list[str], int, int]:
     return picked, n_rounds + 1, len(pool)
 
 
+def pick_changed(qs: dict, ref: str, evergreens: int) -> tuple[list[str], list[str]]:
+    """FRESHNESS rotation (r8 verdict ask #3): every catalog entry now has
+    at least one executed oracle row, so the risk is staleness -- an entry
+    whose implementing code changed after its last check. Selects every
+    entry AFFECTED by files changed since ``ref`` (its defining plans
+    module changed, or its source references a top-level symbol defined in
+    any changed package module -- catches operator/function edits reaching
+    entries in unchanged modules), plus ``evergreens`` deterministic
+    pseudo-random unaffected entries (seeded by ref+round count, so each
+    round re-verifies a different evergreen slice)."""
+    import inspect
+    import random
+    import re
+    import subprocess
+
+    changed = subprocess.run(
+        ["git", "diff", "--name-only", f"{ref}..HEAD"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    pkg = "state_economics_end_to_end_data_pipeline_spark/"
+    changed_py = [f for f in changed if f.startswith(pkg) and f.endswith(".py")]
+    changed_mods = {f[: -len(".py")].replace("/", ".") for f in changed_py}
+    symbols: set[str] = set()
+    for f in changed_py:
+        # registry infrastructure defines symbols every entry references
+        # (register, Query, load_all) -- a change there affects all
+        # entries equally and is the full sweep's job, not the rotation's
+        if f.endswith("plans/__init__.py"):
+            continue
+        try:
+            src = (REPO / f).read_text()
+        except OSError:
+            continue
+        symbols |= set(re.findall(r"^(?:def|class) ([A-Za-z_]\w*)", src, re.M))
+    sym_re = (
+        re.compile(r"\b(" + "|".join(sorted(map(re.escape, symbols))) + r")\b")
+        if symbols
+        else None
+    )
+    affected = []
+    for name in sorted(qs):
+        fn = qs[name]
+        if fn.__module__ in changed_mods:
+            affected.append(name)
+            continue
+        if sym_re is not None:
+            try:
+                if sym_re.search(inspect.getsource(fn)):
+                    affected.append(name)
+            except (OSError, TypeError):
+                affected.append(name)  # unsourceable: re-check, don't skip
+    rest = [n for n in sorted(qs) if n not in set(affected)]
+    rng = random.Random(f"{ref}:{len(list(REPO.glob('CORRECTNESS_r*.json')))}")
+    ever = sorted(rng.sample(rest, min(evergreens, len(rest))))
+    return affected, ever
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -167,6 +227,13 @@ def main() -> int:
         help="check N entries never sampled by any driver CORRECTNESS_r*.json "
         "(window rotates with the round number)",
     )
+    ap.add_argument(
+        "--changed-since",
+        metavar="REF",
+        help="freshness rotation: check every entry affected by package "
+        "files changed since REF, plus --evergreens random others",
+    )
+    ap.add_argument("--evergreens", type=int, default=10)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -193,6 +260,15 @@ def main() -> int:
             f"# unsampled rotation: round {rnd}, {pool_size} never-driver-sampled "
             f"entries, checking {len(names)}: {' '.join(names)}"
         )
+    elif args.changed_since:
+        affected, ever = pick_changed(qs, args.changed_since, args.evergreens)
+        names = affected + ever
+        print(
+            f"# freshness rotation since {args.changed_since}: "
+            f"{len(affected)} affected entries + {len(ever)} evergreens"
+        )
+        print(f"# affected: {' '.join(affected)}")
+        print(f"# evergreens: {' '.join(ever)}")
     else:
         names = args.names or sorted(qs)
     n_fail = 0

@@ -1,0 +1,208 @@
+"""Depth probe for the iterative-graph family (r8 verdict ask #4).
+
+The 10x/100x replicas are diameter-PRESERVING copies of the co-purchase
+graph, so they stress per-round volume but not ROUND COUNT -- and an
+iterative plan's 100 TB cost is rounds x per-round shuffle.  This probe
+builds graphs of controlled depth and records rounds-to-fixpoint
+(plans.graph_analytics.LAST_ROUNDS) next to wall-clock:
+
+- ``graph_connected_components`` on CHAIN-OF-CLIQUES graphs: K cliques
+  of c nodes, consecutive cliques sharing one bridge node -- diameter
+  ~= K.  With pointer doubling (labels chase one level of indirection
+  per round) rounds must grow ~log2(K), not ~K: the probe runs K=8 and
+  K=64 at equal clique size, so an 8x depth increase should add ~3
+  rounds, not ~56.
+- ``kcore_parts`` on ANCHORED-PATH graphs: a path of L nodes ending in
+  a 6-clique.  k=2 peeling eats the path one node per round from the
+  free end (the clique survives as the 2-core), so rounds ~= L --
+  peeling is INHERENTLY depth-sequential; the honest claim is rounds =
+  O(peel depth), and the probe pins the measured constant.  Real
+  corpora have shallow peel depth (the r8 fixture peels in 3-5
+  rounds); a deep chain is the adversarial case.
+
+Every synthetic graph is written as a lineitem.parquet (l_orderkey,
+l_partkey) replica dir so the probe runs the REGISTERED entries
+unchanged -- same edge builder (>=2 shared orders), same plan.  Each
+clique/path adjacency is expressed as two identical orders per basket,
+so every intended edge has co-occurrence count exactly 2.
+
+Usage: python tools/scaleup_graph_probe.py
+Appends/replaces the "## Graph-depth probe" section of docs/SCALEUP.md
+and prints one JSON line per run.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SECTION_HEADER = "## Graph-depth probe: rounds-to-fixpoint vs graph depth"
+
+
+def _write_lineitem(spark, rows, out_dir: str) -> None:
+    spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint").coalesce(
+        4
+    ).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+
+def build_chain_of_cliques(spark, out_dir: str, n_cliques: int, clique: int) -> dict:
+    """K cliques of `clique` nodes; clique k and k+1 share one node.
+    Every clique appears as TWO identical orders => each within-clique
+    pair co-occurs in exactly 2 orders (meets the >=2 threshold)."""
+    rows = []
+    order = 0
+    for k in range(n_cliques):
+        base = k * (clique - 1)
+        nodes = list(range(base, base + clique))
+        for _ in range(2):
+            rows += [(order, n) for n in nodes]
+            order += 1
+    _write_lineitem(spark, rows, out_dir)
+    n_nodes = n_cliques * (clique - 1) + 1
+    return {
+        "n_nodes": n_nodes,
+        "directed_edges": n_cliques * clique * (clique - 1),
+        "diameter": n_cliques,
+    }
+
+
+def build_anchored_path(spark, out_dir: str, path_len: int, clique: int = 6) -> dict:
+    """Path 0..path_len-1, node path_len-1 welded into a `clique`-node
+    clique (the surviving 2-core). Each path edge and the clique appear
+    as two identical orders."""
+    rows = []
+    order = 0
+    for i in range(path_len - 1):
+        for _ in range(2):
+            rows += [(order, i), (order, i + 1)]
+            order += 1
+    base = path_len - 1
+    nodes = list(range(base, base + clique))
+    for _ in range(2):
+        rows += [(order, n) for n in nodes]
+        order += 1
+    _write_lineitem(spark, rows, out_dir)
+    return {
+        "n_nodes": path_len + clique - 1,
+        "directed_edges": 2 * (path_len - 1) + clique * (clique - 1),
+        "peel_depth": path_len - 1,
+    }
+
+
+def main() -> int:
+    from state_economics_end_to_end_data_pipeline_spark.plans import (
+        graph_analytics as ga,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.plans import load_all
+    from state_economics_end_to_end_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="graph-depth-probe")
+    qs = load_all()
+    rows = []
+
+    def run(entry: str, build_fn, shape_desc: str, **kw) -> None:
+        d = tempfile.mkdtemp(prefix="graphdepth_")
+        shape = build_fn(spark, d, **kw)
+        t0 = time.perf_counter()
+        out = qs[entry].fn(spark, d).collect()
+        wall = round(time.perf_counter() - t0, 2)
+        row = {
+            "query": entry,
+            "shape": shape_desc,
+            **shape,
+            "rounds": ga.LAST_ROUNDS.get(entry),
+            "sec": wall,
+            "out_rows": len(out),
+        }
+        if not out:
+            row["EMPTY_RESULT"] = True
+        rows.append(row)
+        print(json.dumps(row))
+
+    # CC: 8x deeper graph at constant clique size -- rounds must grow
+    # ~log2(depth) under pointer doubling (+3), not ~linearly (+56)
+    run(
+        "graph_connected_components",
+        build_chain_of_cliques,
+        "chain of 8 cliques x 200",
+        n_cliques=8,
+        clique=200,
+    )
+    run(
+        "graph_connected_components",
+        build_chain_of_cliques,
+        "chain of 64 cliques x 200",
+        n_cliques=64,
+        clique=200,
+    )
+    # kcore: peel rounds ~= path length (inherent); pin the constant
+    run(
+        "kcore_parts",
+        build_anchored_path,
+        "path 16 + 6-clique anchor",
+        path_len=16,
+    )
+    run(
+        "kcore_parts",
+        build_anchored_path,
+        "path 64 + 6-clique anchor",
+        path_len=64,
+    )
+
+    md = [
+        SECTION_HEADER,
+        "",
+        "Generated by `python tools/scaleup_graph_probe.py` (local[32]).",
+        "Depth replicas, not volume replicas: chain-of-cliques (diameter",
+        "= chain length) for CC, anchored paths (peel depth = path",
+        "length) for k-core; every adjacency is two identical orders so",
+        "the >=2-shared-orders edge builder of the registered entries",
+        "applies unchanged. `rounds` is rounds-to-fixpoint as recorded",
+        "by the entry itself (plans.graph_analytics.LAST_ROUNDS).",
+        "",
+        "| query | graph | nodes | directed edges | depth | rounds | sec | out rows |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        depth = r.get("diameter", r.get("peel_depth"))
+        md.append(
+            f"| {r['query']} | {r['shape']} | {r['n_nodes']:,} "
+            f"| {r['directed_edges']:,} | {depth} | {r['rounds']} "
+            f"| {r['sec']} | {r['out_rows']:,} |"
+        )
+    md += [
+        "",
+        "Reading: CC rounds growing by ~log2(64/8) = 3 when the diameter",
+        "grows 8x is the pointer-doubling contract -- each round the",
+        "distance a component minimum can travel doubles, so a 100 TB",
+        "graph of diameter D costs ~log2(D) full-edge shuffles, not D.",
+        "k-core rounds track peel depth ~1:1 -- inherent to peeling",
+        "(each round only exposes the next layer); the 100 TB statement",
+        "is rounds = O(peel depth), with real corpora peeling shallow",
+        "(3-5 rounds on the driver fixtures) and each round touching",
+        "only the still-live edge relation, which shrinks monotonically.",
+    ]
+
+    out_path = REPO / "docs" / "SCALEUP.md"
+    text = out_path.read_text() if out_path.exists() else ""
+    if SECTION_HEADER in text:
+        head, _, rest = text.partition(SECTION_HEADER)
+        nxt = rest.find("\n## ")
+        tail = rest[nxt + 1 :] if nxt != -1 else ""
+        text = head + "\n".join(md) + "\n\n" + tail
+    else:
+        text = text.rstrip("\n") + "\n\n" + "\n".join(md) + "\n"
+    out_path.write_text(text)
+    print(f"# wrote {SECTION_HEADER!r} section ({len(rows)} rows)", file=sys.stderr)
+    empties = [r for r in rows if r.get("EMPTY_RESULT")]
+    return 2 if empties else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
