@@ -39,7 +39,23 @@ SCHOOL_COMBOS = [
 ]
 
 
-def gen_unemployment_xlsx(path: Path, rng: random.Random) -> None:
+def scaled_states(n_states: int) -> list[tuple[str, int]]:
+    """The real 21 jurisdictions extended with synthetic ones (unique
+    name, unique FIPS starting clear of the real/BEA ranges) -- the
+    scale axis for the ETL depth probe: every fixture's row count is
+    linear in the state list, so n_states ~ 21,000 yields a ~1000x
+    reference-shaped corpus with identical quirks (banners, sentinels,
+    cp1252, '$'-strings)."""
+    extra = [
+        (f"Synthetic State {i:05d}", 100 + i)
+        for i in range(n_states - len(STATES))
+    ]
+    return STATES + extra
+
+
+def gen_unemployment_xlsx(
+    path: Path, rng: random.Random, states: list[tuple[str, int]] = STATES
+) -> None:
     """FIXTURES.md fixture 1: 3 banner rows, empty col A, header with
     trailing-space 'FIPS ' + mixed year labels, '$'-string income, footer."""
     years = list(range(2014, 2023))
@@ -51,7 +67,7 @@ def gen_unemployment_xlsx(path: Path, rng: random.Random) -> None:
         + [str(y) if y % 2 == 0 else float(y) for y in years]
         + ["Median Household Income (2021)"],
     ]
-    for name, fips in STATES:
+    for name, fips in states:
         income = rng.randint(40_000, 90_000)
         rates: list[object] = [
             round(rng.uniform(2.0, 11.0), 1) if rng.random() > 0.05 else None
@@ -62,7 +78,9 @@ def gen_unemployment_xlsx(path: Path, rng: random.Random) -> None:
     write_xlsx(str(path), rows)
 
 
-def gen_gdp_csv(path: Path, rng: random.Random) -> None:
+def gen_gdp_csv(
+    path: Path, rng: random.Random, states: list[tuple[str, int]] = STATES
+) -> None:
     """FIXTURES.md fixture 2: ' "01000"' GeoFIPS, US-total row with '*' name
     and blank Region, (D)/(L)/(NA) sentinels, 4 footer note lines."""
     years = list(range(1997, 2021))
@@ -72,7 +90,7 @@ def gen_gdp_csv(path: Path, rng: random.Random) -> None:
     )
     lines = [header]
     geos = [("United States *", 0, " ")] + [
-        (name, fips, str(rng.randint(1, 8))) for name, fips in STATES
+        (name, fips, str(rng.randint(1, 8))) for name, fips in states
     ] + [(name, fips, " ") for name, fips in BEA_REGIONS]
     for geo_name, fips, region in geos:
         for code, desc in INDUSTRY_CODES:
@@ -100,11 +118,13 @@ def gen_gdp_csv(path: Path, rng: random.Random) -> None:
     path.write_text("\n".join(lines) + "\n", encoding="utf-8")
 
 
-def gen_school_csv(path: Path, rng: random.Random) -> None:
+def gen_school_csv(
+    path: Path, rng: random.Random, states: list[tuple[str, int]] = STATES
+) -> None:
     """FIXTURES.md fixture 3: clean CSV, 8 distinct (Type,Length,Expense)."""
     lines = ["Year,State,Type,Length,Expense,Value"]
     for year in range(2013, 2022):
-        for name, _ in STATES:
+        for name, _ in states:
             for t, length, exp in SCHOOL_COMBOS:
                 lines.append(
                     f"{year},{name},{t},{length},{exp},{rng.randint(1000, 40000)}"
@@ -112,7 +132,9 @@ def gen_school_csv(path: Path, rng: random.Random) -> None:
     path.write_text("\n".join(lines) + "\n", encoding="utf-8")
 
 
-def gen_min_wage_csv(path: Path, rng: random.Random) -> None:
+def gen_min_wage_csv(
+    path: Path, rng: random.Random, states: list[tuple[str, int]] = STATES
+) -> None:
     """FIXTURES.md fixture 4: Windows-1252 (0x96 en-dash), dotted column
     names, zero wages (division edge), extra jurisdictions, footnotes."""
     cols = [
@@ -126,7 +148,7 @@ def gen_min_wage_csv(path: Path, rng: random.Random) -> None:
         "Department.Of.Labor.Cleaned.High.Value.2020.Dollars", "Footnote",
     ]
     lines = [",".join(cols)]
-    jurisdictions = [name for name, _ in STATES] + EXTRA_JURISDICTIONS
+    jurisdictions = [name for name, _ in states] + EXTRA_JURISDICTIONS
     for year in range(1968, 2021):
         cpi = round(30.0 + (year - 1968) * 4.7, 3)
         fed = round(1.0 + (year - 1968) * 0.12, 2)
@@ -148,18 +170,21 @@ def gen_min_wage_csv(path: Path, rng: random.Random) -> None:
     path.write_bytes(("\n".join(lines) + "\n").encode("windows-1252"))
 
 
-def generate_all(dirpath: str | Path, seed: int = 42) -> dict[str, str]:
+def generate_all(
+    dirpath: str | Path, seed: int = 42, n_states: int = len(STATES)
+) -> dict[str, str]:
     d = Path(dirpath)
     d.mkdir(parents=True, exist_ok=True)
     rng = random.Random(seed)
+    states = scaled_states(n_states) if n_states > len(STATES) else STATES
     paths = {
         "unemployment_xlsx": d / "unemployment.xlsx",
         "gdp_csv": d / "gdp.csv",
         "school_csv": d / "school_expense.csv",
         "min_wage_csv": d / "min_wage.csv",
     }
-    gen_unemployment_xlsx(paths["unemployment_xlsx"], rng)
-    gen_gdp_csv(paths["gdp_csv"], rng)
-    gen_school_csv(paths["school_csv"], rng)
-    gen_min_wage_csv(paths["min_wage_csv"], rng)
+    gen_unemployment_xlsx(paths["unemployment_xlsx"], rng, states)
+    gen_gdp_csv(paths["gdp_csv"], rng, states)
+    gen_school_csv(paths["school_csv"], rng, states)
+    gen_min_wage_csv(paths["min_wage_csv"], rng, states)
     return {k: str(v) for k, v in paths.items()}
