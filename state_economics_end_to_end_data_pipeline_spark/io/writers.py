@@ -140,3 +140,54 @@ def overwrite_partitions_dynamic(
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
     finally:
         spark.conf.set(key, prev)
+
+
+def postgres_publish_sql(
+    df: DataFrame, table: str, schema: str = "final_project"
+) -> dict[str, str]:
+    """S8/S9 in the reference's ACTUAL dialect: the SQL statements of its
+    Postgres full refresh (reference DAG1:216-226 dtype->DDL map,
+    DAG1:255-286 create-if-absent / DELETE-all / COPY-with-header), built
+    from a Spark schema so any engine output can be published to Postgres
+    WITHOUT a JDBC driver on the classpath -- pair with a CSV export
+    (write_csv) and psql/copy_expert.  Returns {create, delete, copy}.
+
+    Type map (Spark -> Postgres): integral types 32-bit and under ->
+    INTEGER like the reference; LongType -> BIGINT, a DELIBERATE
+    deviation from DAG1:218 (the reference maps every pandas integer
+    dtype to INTEGER, which overflows past 2^31 -- a real hazard at
+    engine scale); float/double/decimal -> DOUBLE PRECISION; boolean ->
+    BOOLEAN; date -> DATE; timestamp -> TIMESTAMP; everything else ->
+    TEXT.  Column names normalize space and dot to underscore exactly
+    like the reference (DAG1:246-247).
+    """
+    from pyspark.sql import types as T
+
+    def sql_type(dt: T.DataType) -> str:
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            return "INTEGER"
+        if isinstance(dt, T.LongType):
+            return "BIGINT"
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return "DOUBLE PRECISION"
+        if isinstance(dt, T.BooleanType):
+            return "BOOLEAN"
+        if isinstance(dt, T.DateType):
+            return "DATE"
+        if isinstance(dt, T.TimestampType):
+            return "TIMESTAMP"
+        return "TEXT"
+
+    def norm(c: str) -> str:
+        return c.replace(" ", "_").replace(".", "_")
+
+    cols = ", ".join(f"{norm(f.name)} {sql_type(f.dataType)}" for f in df.schema)
+    qualified = f"{schema}.{table}"
+    return {
+        "create": (
+            f"CREATE SCHEMA IF NOT EXISTS {schema}; "
+            f"CREATE TABLE IF NOT EXISTS {qualified} ({cols});"
+        ),
+        "delete": f"DELETE FROM {qualified};",
+        "copy": f"COPY {qualified} FROM STDIN WITH CSV HEADER DELIMITER AS ',';",
+    }

@@ -313,8 +313,8 @@ CAND_FNS = {
 
 NOTES = {
     "ngram_jaccard_pairs": "lang-blocked inverted-index pairs",
-    "simhash_banded_pairs": "band collisions; superlinear past band-space "
-    "knee -- mitigation: wider/more bands",
+    "simhash_banded_pairs": "band collisions on the r9 4x24-bit layout "
+    "(derive_band_bits-sized); r8's fixed 15-bit bands measured 221x here",
     "jaccard_prefix_filter_pairs": "prefix+length-filter survivors",
     "graph_bfs_hops": "co-purchase edges (>=2 orders)",
     "embedding_ivfpq_topk": "probed-cell ADC rows; corpus capped at "
