@@ -1418,3 +1418,117 @@ def burstiness_interevent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "burstiness"
         ),
     )
+
+
+@register(
+    "dedup_consecutive_events",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER w AS ptype,
+             date_diff('second', LAG(ts) OVER w, ts) AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (
+             WHERE ptype = event_type AND gap <= 3600) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) FILTER (
+             WHERE ptype IS DISTINCT FROM event_type OR gap > 3600)
+             AS BIGINT) AS n_kept
+    FROM o GROUP BY user_id
+    """,
+)
+def dedup_consecutive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate suppression -- the telemetry/sensor cleaning
+    primitive (at-least-once producers resend; UIs double-fire): an
+    event is a duplicate iff the SAME user's immediately-previous event
+    (ts order, event_id tie-break) has the same event_type within 3600
+    seconds. Distinct from `dedup_subset_keep_latest` (global key dedup)
+    and `stream_dedup_watermark` (stateful exact-id dedup): consecutive
+    dedup is ORDER-dependent -- A,A,B,A keeps 3, global dedup keeps 2 --
+    which is exactly what resend suppression wants. Reported per user:
+    total, dropped, kept (kept = total - dropped by construction, both
+    published so the oracle cross-checks the complement).
+
+    Scale shape: ONE shuffle by user_id, then the lag window runs
+    inside each user partition (bounded by per-user event counts, the
+    sessionize_events_batch discipline) -- no global window, no second
+    shuffle. Gaps are integer seconds (date_diff truncation =
+    unix_timestamp subtraction, the kaplan_meier_sessions lesson).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.col("event_type") == F.lag("event_type").over(w)).alias("same_type"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap"),
+    )
+    is_dup = F.coalesce(
+        F.col("same_type") & (F.col("gap") <= 3600), F.lit(False)
+    )
+    return o.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(is_dup.cast("bigint")).cast("bigint").alias("n_dropped"),
+        F.sum((~is_dup).cast("bigint")).cast("bigint").alias("n_kept"),
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_value_nano
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate MAINTENANCE, stated as an executable algebra
+    proof: the engine splits events into a base batch (day <= 20) and a
+    late-arriving delta (day > 20), aggregates EACH SEPARATELY, then
+    merges the partials (full-outer on the group key, counts and
+    nano-snapped sums coalesce-added) -- and the oracle is the direct
+    aggregate over everything, so the driver's value-hash IS the
+    mergeability check. This is the correctness core of every
+    incremental pipeline at 100 TB: a late partition must be foldable
+    into yesterday's aggregates without rescanning history, which holds
+    exactly when the aggregate is a commutative monoid (count/sum here;
+    the sketch entries extend it to distinct-count and quantiles).
+
+    Scale shape: each partial is one hash aggregate over its slice (in
+    production the base partial is ALREADY MATERIALIZED -- only the
+    delta is scanned); the merge joins two O(groups) relations. Sums
+    accumulate in exact integer nanos, so partial + merge is
+    bit-identical to direct, not just approximately equal.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.dayofmonth("ts").alias("dom"),
+        F.floor(F.col("value") * 1e9 + F.lit(0.5)).cast("bigint").alias("vn"),
+    )
+
+    def part_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("vn").cast("bigint").alias("s"),
+        )
+
+    base = part_agg(ev.filter(F.col("dom") <= 20))
+    delta = part_agg(ev.filter(F.col("dom") > 20))
+    b = base.select("event_type", "day", F.col("n").alias("n_b"), F.col("s").alias("s_b"))
+    d = delta.select("event_type", "day", F.col("n").alias("n_d"), F.col("s").alias("s_d"))
+    return b.join(d, ["event_type", "day"], "full_outer").select(
+        "event_type",
+        "day",
+        (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+        .cast("bigint")
+        .alias("n_events"),
+        (F.coalesce("s_b", F.lit(0)) + F.coalesce("s_d", F.lit(0)))
+        .cast("bigint")
+        .alias("sum_value_nano"),
+    )

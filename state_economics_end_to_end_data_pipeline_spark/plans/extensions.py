@@ -4621,3 +4621,183 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loo_enc"),
         )
     )
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)
+                       % 8 = 0 THEN 1 ELSE 0 END AS bnd
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+                   generate_subscripts(
+                     regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+            FROM documents)
+    ),
+    cx AS (
+      SELECT doc_id, tok, pos,
+             SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - bnd AS chunk_ix
+      FROM tk
+    ),
+    ch AS (
+      SELECT doc_id, chunk_ix,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chash,
+             COUNT(*) AS n_toks
+      FROM cx GROUP BY doc_id, chunk_ix
+    ),
+    dup AS (
+      SELECT chash FROM ch GROUP BY chash HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE chash IN (SELECT chash FROM dup))
+                AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(n_toks) FILTER (
+                  WHERE chash IN (SELECT chash FROM dup)), 0)
+                AS BIGINT) AS dup_tokens
+    FROM ch GROUP BY doc_id
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) dedup -- the storage-dedup
+    primitive applied to corpus curation: a chunk boundary falls AFTER
+    any token whose md5 first hex nibble is 0 mod 8 (expected chunk
+    length 8 tokens), so boundaries depend only on LOCAL content and
+    survive insertions/deletions that shift positions -- the property
+    fixed-stride windows (`doc_chunk_overlap`) lack, and the reason CDC
+    is how backup systems and span-level corpus dedup find moved
+    duplicates. Chunks are grouped by content hash; a chunk is
+    duplicated iff it appears in >= 2 distinct docs. Per doc: chunk
+    count, duplicated-chunk count, token count, tokens inside
+    duplicated chunks (all exact ints; the synthetic ~31-word
+    vocabulary makes short chunks collide often -- 1,895 of 4,883
+    chunks at sf0.01 -- which exercises the dup path hard).
+
+    Scale shape: one scan; the chunk_ix assignment is a running sum
+    INSIDE each doc partition (bounded by doc length, the house
+    per-entity window rule); chunk hashing is one O(chunks) groupBy;
+    the dup set joins back by content hash -- a shuffle join on a
+    high-entropy key, skew-free by construction. No all-pairs stage
+    anywhere: cross-doc duplicate discovery rides entirely on the
+    hash groupBy, exactly like `dedup_exact_hash` but at sub-document
+    granularity.
+    """
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    tk = d.select(
+        "doc_id",
+        F.posexplode(tokens("text")).alias("pos", "tok"),
+    )
+    nib = F.position(F.substring(F.md5("tok"), 1, 1), F.lit("0123456789abcdef")) - 1
+    tk = tk.withColumn("bnd", ((nib % 8) == 0).cast("int"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cx = tk.withColumn("chunk_ix", F.sum("bnd").over(w) - F.col("bnd"))
+    ch = cx.groupBy("doc_id", "chunk_ix").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            )
+        ).alias("chash"),
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+    )
+    dup = (
+        ch.groupBy("chash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chash", F.lit(True).alias("is_dup"))
+    )
+    return (
+        ch.join(dup, "chash", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.coalesce("is_dup", F.lit(False)).cast("bigint"))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.coalesce("is_dup", F.lit(False)), F.col("n_toks")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+    )
+
+
+@register(
+    "gram_novelty_by_bucket",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(tk) >= 5
+                    THEN list_transform(range(1, len(tk) - 3),
+                           i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2],
+                                          tk[i + 3], tk[i + 4]))
+                    ELSE CAST([] AS VARCHAR[]) END)) AS gram
+      FROM toks
+    ),
+    firsts AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT CAST(g.doc_id // 100 AS BIGINT) AS bucket,
+           CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS grams_seen,
+           CAST(COUNT(DISTINCT CASE WHEN f.first_doc // 100 = g.doc_id // 100
+                                    THEN g.gram END) AS BIGINT) AS novel_grams
+    FROM g JOIN firsts f USING (gram)
+    GROUP BY 1
+    """,
+)
+def gram_novelty_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty-decay curve: per ingestion bucket (100 docs in
+    doc_id order), how many distinct word 5-grams appear at all vs how
+    many appear for the FIRST time in that bucket. The novelty ratio's
+    decay is the data-mixing diagnostic LLM pipelines watch to decide
+    when a source is saturated (diminishing novel content per added
+    shard) -- measured here exactly, not sampled: first occurrence is a
+    MIN over doc_id per gram, so the whole statistic is two hash
+    aggregates and one join, no window over facts and no ordering
+    assumption beyond the ids the corpus already carries.
+
+    Scale shape: gram explosion is one scan (distinct shingles per doc,
+    the `benchmark_contamination` relation); firsts is an O(grams)
+    groupBy; the join back is gram-keyed (high-entropy, skew-free).
+    Bucket granularity keeps the output O(corpus/100) regardless of
+    gram count. Both counts published as exact ints; the ratio is the
+    reader's division.
+    """
+    from ..operators.text import word_ngrams
+
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    g = d.select(
+        "doc_id",
+        F.explode(word_ngrams(tokens("text"), n=5, distinct=True)).alias("gram"),
+    )
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    # integer division end to end (float division + cast truncates the
+    # same way for the fixture's small ids, but drifts past 2^53)
+    j = g.join(firsts, "gram").select(
+        F.expr("doc_id div 100").cast("bigint").alias("bucket"),
+        "gram",
+        (F.expr("first_doc div 100") == F.expr("doc_id div 100")).alias("is_novel"),
+    )
+    return j.groupBy("bucket").agg(
+        F.countDistinct("gram").cast("bigint").alias("grams_seen"),
+        F.countDistinct(F.when(F.col("is_novel"), F.col("gram")))
+        .cast("bigint")
+        .alias("novel_grams"),
+    )

@@ -1108,3 +1108,129 @@ def test_mann_kendall_bounds_and_recomputation(spark, sf_dir):
         assert r.z == (r.s_stat + 1) / sd
     else:
         assert r.z == 0.0
+
+
+def test_consecutive_dedup_is_order_dependent_and_complementary(spark, sf_dir):
+    """dropped + kept == total per user; a planted A,A,B,A sequence keeps
+    3 of 4 (order dependence -- global dedup would keep 2); the first
+    event of every user is never dropped (no predecessor)."""
+    qs = load_all()
+    rows = _rows(qs, "dedup_consecutive_events", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r.n_dropped + r.n_kept == r.n_events
+        assert r.n_kept >= 1  # first event always kept
+    # planted sequence: same user, A A B A within the gap window
+    import datetime
+
+    base = datetime.datetime(2030, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, base, 99001, "click", 1.0, "{}"),
+            (2, base + datetime.timedelta(seconds=10), 99001, "click", 1.0, "{}"),
+            (3, base + datetime.timedelta(seconds=20), 99001, "view", 1.0, "{}"),
+            (4, base + datetime.timedelta(seconds=30), 99001, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    [r] = _rows(qs, "dedup_consecutive_events", spark, d)
+    assert (r.n_events, r.n_dropped, r.n_kept) == (4, 1, 3)
+
+
+def test_incremental_merge_equals_direct_aggregate(spark, sf_dir):
+    """The merged partials reproduce the direct aggregate exactly -- the
+    mergeability (commutative monoid) property, checked in-engine on top
+    of the oracle's cross-engine check."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    qs = load_all()
+    merged = {
+        (r.event_type, r.day): (r.n_events, r.sum_value_nano)
+        for r in _rows(qs, "incremental_agg_merge", spark, sf_dir)
+    }
+    direct = {
+        (r.event_type, r.day): (r.n, r.s)
+        for r in read_parquet_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("date").cast("string").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("value") * 1e9 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_cdc_chunks_partition_tokens_and_dup_is_bounded(spark, sf_dir):
+    """Chunks partition each doc's tokens exactly (sum of chunk tokens ==
+    doc token count), dup counts are bounded by totals, and boundaries
+    are content-defined: duplicating a doc under new ids makes ALL its
+    chunks duplicated."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "cdc_chunk_dedup", spark, sf_dir)
+    assert rows
+    tok_counts = {
+        r.doc_id: r.n
+        for r in read_parquet_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_tokens == tok_counts[r.doc_id]
+        assert 0 <= r.n_dup_chunks <= r.n_chunks
+        assert 0 <= r.dup_tokens <= r.n_tokens
+    # planted exact duplicate: every chunk of the pair is cross-doc dup
+    import tempfile
+
+    docs = read_parquet_table(spark, sf_dir, "documents").limit(1)
+    pair = docs.select(F.lit(900001).alias("doc_id"), "text").union(
+        docs.select(F.lit(900002).alias("doc_id"), "text")
+    )
+    d = tempfile.mkdtemp()
+    pair.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    for r in _rows(qs, "cdc_chunk_dedup", spark, d):
+        assert r.n_dup_chunks == r.n_chunks
+        assert r.dup_tokens == r.n_tokens
+
+
+def test_gram_novelty_first_bucket_is_fully_novel(spark, sf_dir):
+    """Bucket 0's grams are all first occurrences by construction
+    (MIN(doc_id) lives in the earliest bucket containing the gram);
+    novelty is bounded by grams seen; every gram's first bucket claims
+    it exactly once across the curve."""
+    qs = load_all()
+    rows = sorted(_rows(qs, "gram_novelty_by_bucket", spark, sf_dir), key=lambda r: r.bucket)
+    assert rows
+    assert rows[0].bucket == 0 and rows[0].novel_grams == rows[0].grams_seen
+    for r in rows:
+        assert 0 <= r.novel_grams <= r.grams_seen
+    # sum of novel == total distinct grams in the corpus
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.operators.text import (
+        tokens,
+        word_ngrams,
+    )
+
+    total = (
+        read_parquet_table(spark, sf_dir, "documents")
+        .select(F.explode(word_ngrams(tokens("text"), n=5, distinct=True)).alias("g"))
+        .agg(F.countDistinct("g"))
+        .first()[0]
+    )
+    assert sum(r.novel_grams for r in rows) == total
