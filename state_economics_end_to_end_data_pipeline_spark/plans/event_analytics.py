@@ -1532,3 +1532,114 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_value_nano"),
     )
+
+
+@register(
+    "rolling_distinct_users_7d",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d
+    FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day -- the DAU/WAU-style
+    metric whose aggregate (COUNT DISTINCT) is NOT decomposable over a
+    sliding window: no window function computes it, because distinct
+    counts don't subtract when the window slides. The scalable form is
+    exactly this plan: dedup facts to (day, user) ONCE -- O(days x
+    users) instead of O(events) -- then range-join the tiny day grid
+    (one row per calendar day, broadcast at any corpus size) and count
+    distinct per grid day. Work is O(7 x |day-user pairs|) regardless
+    of event volume; the alternative people reach for (exploding each
+    event into 7 window-copies BEFORE the dedup) is 7x the fact scan.
+
+    The `window_range_frame` entry covers value-RANGE frames where the
+    aggregate IS decomposable (sum); this entry is the non-decomposable
+    counterpart and the reason real metric stores precompute (day,user)
+    activity relations.
+    """
+    ev = t(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct().select(F.col("day").alias("grid_day"))
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("grid_day"))
+            & (F.col("day") >= F.date_sub(F.col("grid_day"), 6)),
+        )
+        .groupBy(F.col("grid_day").cast("string").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
+    )
+
+
+_AUD_MIN_EVENTS = 15
+
+
+@register(
+    "bitmap_intersection_audiences",
+    oracle=f"""
+    WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'
+               GROUP BY user_id HAVING COUNT(*) >= {_AUD_MIN_EVENTS}),
+    p AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id HAVING COUNT(*) >= {_AUD_MIN_EVENTS})
+    SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p))
+                AS BIGINT) AS n_both
+    """,
+)
+def bitmap_intersection_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience overlap via word-partitioned bitmaps -- the
+    roaring-bitmap-index primitive OLAP engines use for segment
+    intersection, expressed in pure DataFrame ops: each audience
+    (>= 15 clicks / >= 15 purchases) becomes per-word bitmaps
+    (word = user div 62, bit = user mod 62, bitmap = BIT_OR(1 << bit);
+    62 keeps every word clear of bigint sign trouble), the two bitmap
+    relations equi-join on word index, and the intersection size is
+    SUM(bit_count(a AND b)). Complements `kmv_intersection_estimate`
+    (the sketched estimate of the same question) with the exact
+    bitmap answer, and `dedup_bloom_prefilter` (lossy membership) with
+    lossless set algebra.
+
+    Scale shape: audience build is one groupBy-HAVING per side; the
+    bitmap relation is O(user_space / 62) rows REGARDLESS of audience
+    size -- the whole point of bitmap indexes: intersection cost is
+    proportional to the id space, not to |A| x |B|; the word equi-join
+    is skew-free by construction (uniform id-range partitioning).
+    """
+    ev = t(spark, sf_dir, "events")
+
+    def audience_bitmaps(event_type: str) -> DataFrame:
+        aud = (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= _AUD_MIN_EVENTS)
+        )
+        return aud.select(
+            F.expr("user_id div 62").alias("word"),
+            # SQL shiftleft takes a column shift count (the DSL wrapper
+            # requires a literal); 1L << (user_id % 62) stays positive
+            F.expr("shiftleft(1L, cast(user_id % 62 AS int))").alias("bit"),
+        ).groupBy("word").agg(F.bit_or("bit").alias("bm"))
+
+    a = audience_bitmaps("click").select("word", F.col("bm").alias("bm_a"))
+    b = audience_bitmaps("purchase").select("word", F.col("bm").alias("bm_b"))
+    counts = a.join(b, "word", "full_outer").agg(
+        F.sum(F.bit_count(F.coalesce("bm_a", F.lit(0)))).cast("bigint").alias("n_click"),
+        F.sum(F.bit_count(F.coalesce("bm_b", F.lit(0))))
+        .cast("bigint")
+        .alias("n_purchase"),
+        F.sum(
+            F.bit_count(
+                F.coalesce("bm_a", F.lit(0)).bitwiseAND(F.coalesce("bm_b", F.lit(0)))
+            )
+        )
+        .cast("bigint")
+        .alias("n_both"),
+    )
+    return counts

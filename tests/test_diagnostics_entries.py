@@ -1234,3 +1234,54 @@ def test_gram_novelty_first_bucket_is_fully_novel(spark, sf_dir):
         .first()[0]
     )
     assert sum(r.novel_grams for r in rows) == total
+
+
+def test_rolling_distinct_7d_bounds_and_monotone_window(spark, sf_dir):
+    """users_7d is bounded below by the day's own distinct users and
+    above by total distinct users; the first day's 7d count equals its
+    1d count (no history before the grid start)."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    qs = load_all()
+    rows = {r.day: r.users_7d for r in _rows(qs, "rolling_distinct_users_7d", spark, sf_dir)}
+    assert rows
+    ev = read_parquet_table(spark, sf_dir, "events")
+    daily = {
+        str(r.day): r.n
+        for r in ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    total = ev.agg(F.countDistinct("user_id")).first()[0]
+    for day, u7 in rows.items():
+        assert daily[day] <= u7 <= total
+    first = min(rows)
+    assert rows[first] == daily[first]
+
+
+def test_bitmap_intersection_matches_set_algebra(spark, sf_dir):
+    """The word-partitioned bitmap counts reproduce the direct distinct
+    set sizes, and the intersection obeys set bounds."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    qs = load_all()
+    [r] = _rows(qs, "bitmap_intersection_audiences", spark, sf_dir)
+    ev = read_parquet_table(spark, sf_dir, "events")
+
+    def aud(et):
+        return {
+            x.user_id
+            for x in ev.filter(F.col("event_type") == et)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 15)
+            .collect()
+        }
+
+    a, b = aud("click"), aud("purchase")
+    assert (r.n_click, r.n_purchase, r.n_both) == (len(a), len(b), len(a & b))
+    assert r.n_both <= min(r.n_click, r.n_purchase)
