@@ -124,6 +124,21 @@ def _persist_full_bench(payload: dict) -> None:
                 old = json.loads(out.read_text())
             except ValueError:
                 old = None
+            if (
+                isinstance(old, dict)
+                and isinstance(old.get("queries"), dict)
+                and old.get("sf") != stamped.get("sf")
+            ):
+                # a different scale factor must never min-merge into the
+                # round record (sf0.01 times would replace sf0.1 ones
+                # wholesale while the record keeps claiming sf0.1)
+                out = out.with_name(f"{out.stem}_sf{stamped.get('sf')}{out.suffix}")
+                print(
+                    f"# sf mismatch vs existing record ({old.get('sf')}): "
+                    f"writing {out.name} instead",
+                    file=sys.stderr,
+                )
+                old = json.loads(out.read_text()) if out.exists() else None
             if isinstance(old, dict) and isinstance(old.get("queries"), dict):
                 oldq = old["queries"]
                 newq = stamped["queries"]

@@ -156,9 +156,9 @@ def postgres_publish_sql(
     INTEGER like the reference; LongType -> BIGINT, a DELIBERATE
     deviation from DAG1:218 (the reference maps every pandas integer
     dtype to INTEGER, which overflows past 2^31 -- a real hazard at
-    engine scale); float/double/decimal -> DOUBLE PRECISION; boolean ->
-    BOOLEAN; date -> DATE; timestamp -> TIMESTAMP; everything else ->
-    TEXT.  Column names normalize space and dot to underscore exactly
+    engine scale); float/double -> DOUBLE PRECISION; decimal ->
+    NUMERIC(p, s) (exact stays exact); boolean -> BOOLEAN; date ->
+    DATE; timestamp -> TIMESTAMP; everything else -> TEXT.  Column names normalize space and dot to underscore exactly
     like the reference (DAG1:246-247).
     """
     from pyspark.sql import types as T
@@ -168,7 +168,11 @@ def postgres_publish_sql(
             return "INTEGER"
         if isinstance(dt, T.LongType):
             return "BIGINT"
-        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        if isinstance(dt, T.DecimalType):
+            # exact decimals stay exact: NUMERIC(p,s), not DOUBLE (the
+            # same silent-loss hazard class the BIGINT deviation fixes)
+            return f"NUMERIC({dt.precision}, {dt.scale})"
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
             return "DOUBLE PRECISION"
         if isinstance(dt, T.BooleanType):
             return "BOOLEAN"

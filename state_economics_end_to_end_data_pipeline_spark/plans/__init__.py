@@ -51,6 +51,8 @@ def register(name: str, oracle: str | None = None, eager_build: bool = False):
 
 def load_all() -> dict[str, Query]:
     """Import all catalog modules (side effect: fills QUERIES)."""
+    from dataclasses import replace
+
     from . import catalog  # noqa: F401
     from . import extensions  # noqa: F401
     from . import streaming_queries  # noqa: F401
@@ -59,5 +61,15 @@ def load_all() -> dict[str, Query]:
     from . import layout  # noqa: F401
     from . import robust_stats  # noqa: F401
     from . import tpch_workloads  # noqa: F401
+
+    # Naming contract enforced HERE (after every module has registered,
+    # so entries added to any module are covered): a stream_* entry
+    # REPLAYS its bounded stream when the DataFrame is built
+    # (availableNow trigger drained at construction), so building one is
+    # never side-effect-free and generic catalog consumers must see
+    # eager_build regardless of whether the registration said so.
+    for name, q in QUERIES.items():
+        if name.startswith("stream_") and not q.eager_build:
+            QUERIES[name] = replace(q, eager_build=True)
 
     return QUERIES

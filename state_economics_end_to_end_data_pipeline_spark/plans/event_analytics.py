@@ -1433,10 +1433,11 @@ def burstiness_interevent(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(*) FILTER (
-             WHERE ptype = event_type AND gap <= 3600) AS BIGINT) AS n_dropped,
-           CAST(COUNT(*) FILTER (
-             WHERE ptype IS DISTINCT FROM event_type OR gap > 3600)
-             AS BIGINT) AS n_kept
+             WHERE ptype IS NOT DISTINCT FROM event_type
+               AND COALESCE(gap <= 3600, FALSE)) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(*) FILTER (
+             WHERE ptype IS NOT DISTINCT FROM event_type
+               AND COALESCE(gap <= 3600, FALSE)) AS BIGINT) AS n_kept
     FROM o GROUP BY user_id
     """,
 )
@@ -1462,12 +1463,14 @@ def dedup_consecutive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
-        (F.col("event_type") == F.lag("event_type").over(w)).alias("same_type"),
+        # null-safe equality: consecutive NULL-typed events are the same
+        # type (oracle: IS NOT DISTINCT FROM); a first row (no lag) has
+        # ts-lag NULL and its eqNullSafe(NULL-event-type) would be TRUE,
+        # so the gap coalesce below is what keeps it
+        F.col("event_type").eqNullSafe(F.lag("event_type").over(w)).alias("same_type"),
         (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap"),
     )
-    is_dup = F.coalesce(
-        F.col("same_type") & (F.col("gap") <= 3600), F.lit(False)
-    )
+    is_dup = F.col("same_type") & F.coalesce(F.col("gap") <= 3600, F.lit(False))
     return o.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(is_dup.cast("bigint")).cast("bigint").alias("n_dropped"),
@@ -1561,16 +1564,25 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate IS decomposable (sum); this entry is the non-decomposable
     counterpart and the reason real metric stores precompute (day,user)
     activity relations.
+
+    Plan note: the naive form (range-join the day grid on BETWEEN) is a
+    BroadcastNestedLoopJoin -- O(pairs x calendar days), quadratic in
+    the time span. This entry EXPLODES each (day, user) into its <= 7
+    covering grid days instead (exactly-7 fan-out, constant), then
+    equi-joins the real day grid (left semi, so empty calendar days
+    vanish) and hash-aggregates -- O(7 x pairs) for any span.
     """
     ev = t(spark, sf_dir, "events")
     du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
     days = du.select("day").distinct().select(F.col("day").alias("grid_day"))
+    covered = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "grid_day"
+        ),
+        "user_id",
+    )
     return (
-        du.join(
-            F.broadcast(days),
-            (F.col("day") <= F.col("grid_day"))
-            & (F.col("day") >= F.date_sub(F.col("grid_day"), 6)),
-        )
+        covered.join(F.broadcast(days), "grid_day", "left_semi")
         .groupBy(F.col("grid_day").cast("string").alias("day"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
     )
@@ -1629,15 +1641,24 @@ def bitmap_intersection_audiences(spark: SparkSession, sf_dir: str) -> DataFrame
 
     a = audience_bitmaps("click").select("word", F.col("bm").alias("bm_a"))
     b = audience_bitmaps("purchase").select("word", F.col("bm").alias("bm_b"))
+    # outer coalesce: sum over an EMPTY join (both audiences empty) is
+    # NULL in Spark while the oracle's COUNT subqueries return 0
     counts = a.join(b, "word", "full_outer").agg(
-        F.sum(F.bit_count(F.coalesce("bm_a", F.lit(0)))).cast("bigint").alias("n_click"),
-        F.sum(F.bit_count(F.coalesce("bm_b", F.lit(0))))
+        F.coalesce(F.sum(F.bit_count(F.coalesce("bm_a", F.lit(0)))), F.lit(0))
+        .cast("bigint")
+        .alias("n_click"),
+        F.coalesce(F.sum(F.bit_count(F.coalesce("bm_b", F.lit(0)))), F.lit(0))
         .cast("bigint")
         .alias("n_purchase"),
-        F.sum(
-            F.bit_count(
-                F.coalesce("bm_a", F.lit(0)).bitwiseAND(F.coalesce("bm_b", F.lit(0)))
-            )
+        F.coalesce(
+            F.sum(
+                F.bit_count(
+                    F.coalesce("bm_a", F.lit(0)).bitwiseAND(
+                        F.coalesce("bm_b", F.lit(0))
+                    )
+                )
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_both"),

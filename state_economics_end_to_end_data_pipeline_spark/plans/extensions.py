@@ -2345,12 +2345,12 @@ def simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "val",
     )
-    cands = (
-        a.join(b, ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", *[f"a_{c}" for c in band_cols], *[f"b_{c}" for c in band_cols])
-        .distinct()  # a pair can collide in several bands
-    )
+    # hamming is computed IN the join projection (re-evaluated per
+    # colliding band, a small constant) so the distinct hauls ONE
+    # carried bigint per pair instead of all 8 band columns -- the
+    # candidate relation is the 100x probe's 4M+-row shuffle, and
+    # (id_a, id_b) functionally determines hamming, so the distinct
+    # over the triple equals the distinct over the pair
     hamming = sum(
         (
             F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
@@ -2358,10 +2358,16 @@ def simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         start=F.lit(0),
     ).cast("bigint")
+    # radius filter BEFORE the distinct: the exact verify is map-side
+    # (per join-output row), so the dedup exchange carries only true
+    # near-dups (131 rows at sf0.1) instead of every band collision
+    # (4M+ at the 100x probe)
     return (
-        cands.withColumn("hamming", hamming)
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
+        .distinct()  # a pair can collide in several bands
     )
 
 

@@ -331,7 +331,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_potential = labels.agg(pot_expr).collect()[0][0]
         if new_potential == potential:
-            LAST_ROUNDS["graph_connected_components"] = rnd + 1
+            # rnd, not rnd+1: count only rounds that CHANGED labels, so
+            # the semantics match kcore_parts (rounds that peeled) and
+            # the SCALEUP depth table compares like with like
+            LAST_ROUNDS["graph_connected_components"] = rnd
             break
         potential = new_potential
     else:

@@ -770,17 +770,3 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_value").cast("double").alias("total_value"),
     )
 
-
-# Every stream_* entry REPLAYS its bounded stream when the DataFrame is
-# built (availableNow trigger drained into an in-memory/foreachBatch sink
-# at construction time), so building one is never side-effect-free.  Mark
-# them all eager_build in one place so generic catalog consumers (plan
-# dumpers, schema walkers) can skip or defer them without a hardcoded
-# name list (ADVICE r8: registry metadata for eager-build entries).
-from dataclasses import replace as _replace  # noqa: E402
-
-from . import QUERIES as _QUERIES  # noqa: E402
-
-for _name, _q in list(_QUERIES.items()):
-    if _name.startswith("stream_") and not _q.eager_build:
-        _QUERIES[_name] = _replace(_q, eager_build=True)

@@ -77,3 +77,37 @@ def test_persist_fresh_record_written_plain(tmp_path):
     assert rec["queries"] == {"a": 5.0}
     assert rec["value"] == 5.0
     assert "load_avg_1m" in rec and "cpus" in rec
+
+
+def test_persist_sf_mismatch_never_merges_into_record(tmp_path):
+    """A run at a different scale factor must not min-merge into the
+    round record (its times would replace the record's wholesale while
+    the record keeps claiming the old sf) -- it goes to a side file."""
+    b = _load_bench()
+    (tmp_path / "docs").mkdir()
+    rec = tmp_path / "docs" / "BENCH_LOCAL_r01.json"
+    old = {
+        "metric": "catalog_suite_wall",
+        "value": 10.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {"a": 10.0},
+        "note": "quiet",
+    }
+    rec.write_text(json.dumps(old))
+    b.__dict__["__file__"] = str(tmp_path / "bench.py")
+    b._persist_full_bench(
+        {
+            "metric": "catalog_suite_wall",
+            "value": 0.5,
+            "unit": "sec",
+            "sf": 0.01,
+            "queries": {"a": 0.5},
+        }
+    )
+    unchanged = json.loads(rec.read_text())
+    assert unchanged["queries"] == {"a": 10.0} and unchanged["sf"] == 0.1
+    side = json.loads(
+        (tmp_path / "docs" / "BENCH_LOCAL_r01_sf0.01.json").read_text()
+    )
+    assert side["queries"] == {"a": 0.5} and side["sf"] == 0.01

@@ -225,9 +225,12 @@ def test_data_service_rejects_bad_input(spark):
 
 def test_minhash_lsh_finds_exact_duplicates(spark, sf_dir):
     docs = read_parquet_table(spark, sf_dir, "documents").limit(100)
-    # plant an exact duplicate pair with distinct ids
-    base = docs.limit(1).select(F.lit(900001).alias("doc_id"), "text")
-    dup = docs.limit(1).select(F.lit(900002).alias("doc_id"), "text")
+    # plant an exact duplicate pair with distinct ids -- one
+    # deterministic pick aliased twice (unordered limit(1) twice could
+    # surface different rows)
+    first = docs.orderBy("doc_id").limit(1)
+    base = first.select(F.lit(900001).alias("doc_id"), "text")
+    dup = first.select(F.lit(900002).alias("doc_id"), "text")
     aug = docs.select("doc_id", "text").union(base).union(dup)
     sigs = minhash_signatures(aug)
     pairs = lsh_candidate_pairs(sigs).collect()
@@ -554,8 +557,11 @@ def test_simhash_bands_partition_the_wide_hash(spark, sf_dir):
     )
 
     docs = read_parquet_table(spark, sf_dir, "documents").limit(20)
-    base = docs.limit(1).select(F.lit(900001).alias("doc_id"), "text")
-    dup = docs.limit(1).select(F.lit(900002).alias("doc_id"), "text")
+    # ONE deterministic pick aliased twice: two independent limit(1)
+    # subtrees over an unordered frame may surface different rows
+    first = docs.orderBy("doc_id").limit(1)
+    base = first.select(F.lit(900001).alias("doc_id"), "text")
+    dup = first.select(F.lit(900002).alias("doc_id"), "text")
     aug = docs.select("doc_id", "text").union(base).union(dup)
     rows = {
         r["doc_id"]: tuple(r[f"band{b}"] for b in range(4))

@@ -96,6 +96,14 @@ PROBES = [
     # (narrow back-to-back Arrow passes; should ride the data ratio)
     "multimodal_audio_features",
     "multimodal_video_framestats",
+    # round 9: consecutive dedup + partial-agg merge + CDC chunking +
+    # novelty curve + sliding distinct + bitmap intersection
+    "dedup_consecutive_events",
+    "incremental_agg_merge",
+    "cdc_chunk_dedup",
+    "gram_novelty_by_bucket",
+    "rolling_distinct_users_7d",
+    "bitmap_intersection_audiences",
 ]
 
 REPLICAS = 10
