@@ -539,3 +539,29 @@ def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path_factory):
     days = {r.day for r in j.collect()}
     assert days
     assert all(d.day <= 3 for d in days)
+
+
+def test_rolling_distinct_and_new_entries_plan_shapes(spark, sf_dir):
+    """Round-9 plan pins: rolling_distinct_users_7d must run as an
+    explode + equi-join (the r9 review caught the BETWEEN range join
+    executing as BroadcastNestedLoopJoin, O(pairs x calendar days));
+    cdc_chunk_dedup's dup discovery must be hash joins, never a
+    cartesian; bitmap intersection is all hash aggregates + one join."""
+    from state_economics_end_to_end_data_pipeline_spark.plans import load_all
+
+    qs = load_all()
+    plan = (
+        qs["rolling_distinct_users_7d"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan  # the explode(sequence(...)) fan-out
+
+    for name in ("cdc_chunk_dedup", "bitmap_intersection_audiences"):
+        plan = (
+            qs[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
