@@ -4807,3 +4807,130 @@ def gram_novelty_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novel_grams"),
     )
+
+
+@register(
+    "dup_cluster_size_histogram",
+    oracle=f"""
+    WITH sh AS ({{inner}}),
+    cl AS (SELECT simhash, COUNT(*) AS sz FROM sh GROUP BY simhash)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+    FROM cl GROUP BY sz
+    """.format(inner=_simhash_oracle().strip()),
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution -- the dedup REPORTING
+    primitive every curation dashboard needs: after blocking docs into
+    identity clusters (16-bit simhash here, the `simhash_blocking_pairs`
+    relation), how many clusters have size 1, 2, ... k, and how many
+    docs sit in each size class? The histogram is what turns a dedup
+    run into a decision (size-1 mass = unique content; a fat tail =
+    boilerplate to drop; `n_docs` sums back to the corpus size, which
+    the invariant test pins). Three hash aggregates, each strictly
+    smaller than the last -- O(docs) -> O(clusters) -> O(size classes);
+    nothing here is pairwise.
+    """
+    sh = simhash_table(rebalance_for_cpu(t(spark, sf_dir, "documents")))
+    cl = sh.groupBy("simhash").agg(F.count(F.lit(1)).alias("sz"))
+    return cl.groupBy(F.col("sz").cast("bigint").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "group_kfold_assign",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+               % 5 AS fold
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT f.fold,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 1000000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_value_nano
+    FROM events e JOIN f USING (user_id)
+    GROUP BY f.fold
+    """,
+)
+def group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware k-fold assignment (k=5): every event of a user lands
+    in the SAME fold (fold = md5(user_id) mod 5 -- deterministic,
+    seedless, rerun-stable), the property plain row-hash splitting
+    (`train_val_test_split`) cannot give and the one that matters for
+    CV on grouped data: a user leaking across folds inflates every
+    fold's score. Published per fold: users, events, value mass -- the
+    balance diagnostics. The invariant test pins disjointness (each
+    user in exactly one fold) and completeness (fold sizes sum to the
+    corpus).
+
+    Scale shape: the fold id is a pure projection of user_id -- no
+    shuffle to ASSIGN; the reporting aggregate shuffles by fold
+    (5 groups, map-side combined). The md5-mod idiom is the house
+    deterministic sampler (train_val_test_split, corpus_shard_shuffle).
+    """
+    ev = t(spark, sf_dir, "events")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 5
+    ).cast("bigint")
+    return (
+        ev.select("user_id", fold.alias("fold"), "value")
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1e9 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_value_nano"),
+        )
+    )
+
+
+@register("compression_ratio_quality", oracle=None)
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style compression-ratio quality signal: zlib-compressed
+    size over raw UTF-8 size per document. Highly repetitive/boiler-
+    plate text compresses far below ~0.4; high-entropy junk sits near
+    1.0; natural prose lands between -- the cheap corpus-quality filter
+    production LLM pipelines run alongside the stopword/length rules
+    (`text_quality`). No SQL engine exposes a compression primitive, so
+    this is one of the catalog's few rows-only entries, and the
+    sanctioned Python path is used: Arrow-batched ``mapInPandas``
+    (zlib level pinned for determinism; whole batches cross the
+    boundary, never rows). Invariants (tests): planted repetitive text
+    compresses below planted random-ish text, ratios are in (0, ~1.1],
+    and compressed_len is byte-exactly reproducible across runs.
+
+    Scale shape: embarrassingly parallel single scan -- per-partition
+    Arrow batches through one Python worker pass, no shuffle at all.
+    """
+    import pandas as pd
+
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def ratios(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": raw.str.len().astype("int64"),
+                    "compressed_len": comp.astype("int64"),
+                }
+            )
+            out["ratio"] = out["compressed_len"] / out["raw_len"]
+            yield out
+
+    return d.mapInPandas(
+        ratios, schema="doc_id long, raw_len long, compressed_len long, ratio double"
+    )

@@ -1285,3 +1285,66 @@ def test_bitmap_intersection_matches_set_algebra(spark, sf_dir):
     a, b = aud("click"), aud("purchase")
     assert (r.n_click, r.n_purchase, r.n_both) == (len(a), len(b), len(a & b))
     assert r.n_both <= min(r.n_click, r.n_purchase)
+
+
+def test_dup_cluster_histogram_accounts_for_every_doc(spark, sf_dir):
+    """n_docs == cluster_size * n_clusters per row and sums to the corpus;
+    cluster sizes are positive."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "dup_cluster_size_histogram", spark, sf_dir)
+    assert rows
+    total = read_parquet_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r.cluster_size >= 1
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    assert sum(r.n_docs for r in rows) == total
+
+
+def test_group_kfold_is_disjoint_and_complete(spark, sf_dir):
+    """Every user is in exactly one fold; fold event counts sum to the
+    corpus; folds are reasonably balanced (no fold empty)."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "group_kfold_assign", spark, sf_dir)
+    ev = read_parquet_table(spark, sf_dir, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    assert sum(r.n_users for r in rows) == ev.select("user_id").distinct().count()
+    assert len({r.fold for r in rows}) == len(rows)  # one row per fold
+    assert all(r.n_users > 0 for r in rows)
+
+
+def test_compression_ratio_orders_repetitive_below_random(spark, sf_dir):
+    """Planted fully-repetitive text compresses far below planted
+    hash-noise text; ratios are positive and bounded; compressed_len is
+    run-to-run reproducible (pinned zlib level)."""
+    qs = load_all()
+    rows = _rows(qs, "compression_ratio_quality", spark, sf_dir)
+    assert rows
+    for r in rows:
+        # zlib adds ~11 bytes of header/checksum, so tiny docs can land
+        # above 1.0 -- the honest bound is additive, not multiplicative
+        assert 0 < r.ratio
+        assert 0 < r.compressed_len <= r.raw_len + 64
+    again = {r.doc_id: r.compressed_len for r in _rows(qs, "compression_ratio_quality", spark, sf_dir)}
+    assert {r.doc_id: r.compressed_len for r in rows} == again
+    # planted corpus: repetition vs hex noise
+    import hashlib
+    import tempfile
+
+    noise = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(60)
+    )
+    docs = spark.createDataFrame(
+        [(1, "spam ham " * 240), (2, noise)], "doc_id long, text string"
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r.ratio for r in _rows(qs, "compression_ratio_quality", spark, d)}
+    assert got[1] < 0.1 < got[2]
