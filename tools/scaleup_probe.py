@@ -104,6 +104,9 @@ PROBES = [
     "gram_novelty_by_bucket",
     "rolling_distinct_users_7d",
     "bitmap_intersection_audiences",
+    "dup_cluster_size_histogram",
+    "group_kfold_assign",
+    "compression_ratio_quality",
 ]
 
 REPLICAS = 10
