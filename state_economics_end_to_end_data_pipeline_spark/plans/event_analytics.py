@@ -1664,3 +1664,66 @@ def bitmap_intersection_audiences(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("n_both"),
     )
     return counts
+
+
+@register(
+    "twap_user_value",
+    oracle="""
+    WITH o AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 1000000000 + 0.5) AS BIGINT) AS vn,
+             date_diff('second', ts, LEAD(ts) OVER w) AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(CAST(vn AS DECIMAL(38,0)) * gap) AS BIGINT)
+             AS twap_num_nano_sec,
+           CAST(SUM(gap) AS BIGINT) AS total_gap_sec,
+           CAST(COUNT(*) FILTER (WHERE gap IS NOT NULL) AS BIGINT) AS n_intervals
+    FROM o WHERE gap IS NOT NULL GROUP BY user_id
+    """,
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP) -- the
+    interval-weighted aggregate finance and metrics stores use when
+    samples arrive irregularly: each observation holds until the next
+    one, so its weight is the gap to the successor, not 1. Published as
+    the EXACT decimal numerator (sum of nano-value x gap-seconds --
+    a bigint product can exceed 2^63 over a long history, so the
+    accumulation routes through decimal(38,0), the house overflow
+    discipline) plus the integer denominator; the average is the
+    reader's one division. Events with no successor carry no interval
+    (standard TWAP convention). Distinct from `ema_trailing_per_user`
+    (exponential decay, count-weighted) and `events_ohlc_hourly`
+    (positional open/close): TWAP is duration-weighted.
+
+    Scale shape: one shuffle by user_id, lead window inside each user
+    partition, then a hash aggregate -- the sessionize discipline; gaps
+    are integer seconds (unix_timestamp truncation = date_diff, the
+    kaplan_meier lesson).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 1e9 + F.lit(0.5)).cast("bigint").alias("vn"),
+        (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")).alias("gap"),
+    )
+    return (
+        o.filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            # accumulate in decimal (house overflow rule), PUBLISH as
+            # bigint: per-user gaps partition the corpus time span, so
+            # sum(vn*gap) <= max_vn * span_seconds -- 4.9e11 * 2.6e6
+            # ~ 1.3e18 < 2^63 on this corpus; a multi-year 100 TB span
+            # would publish the decimal instead (driver bridge maps
+            # DECIMAL(38,0) to float64 on the DuckDB side, so bigint is
+            # also the hash-stable choice)
+            F.sum(F.col("vn").cast("decimal(38,0)") * F.col("gap"))
+            .cast("bigint")
+            .alias("twap_num_nano_sec"),
+            F.sum("gap").cast("bigint").alias("total_gap_sec"),
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        )
+    )

@@ -1348,3 +1348,49 @@ def test_compression_ratio_orders_repetitive_below_random(spark, sf_dir):
     docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
     got = {r.doc_id: r.ratio for r in _rows(qs, "compression_ratio_quality", spark, d)}
     assert got[1] < 0.1 < got[2]
+
+
+def test_neighbor_jaccard_bounds_and_symmetric_recompute(spark, sf_dir):
+    """Jaccard recomputes from its published integer parts, sits in
+    (0, 1], common <= union, and every pair is canonical (a < b)."""
+    qs = load_all()
+    rows = _rows(qs, "graph_neighbor_jaccard", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r.node_a < r.node_b
+        assert 2 <= r.common_neighbors <= r.union_neighbors
+        assert r.jaccard == r.common_neighbors / r.union_neighbors
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_twap_weights_are_interval_lengths(spark, sf_dir):
+    """Per user: interval gaps sum to exactly (last_ts - first_ts) in
+    whole seconds (gaps PARTITION the span -- the property that bounds
+    the bigint numerator), n_intervals == n_events - 1, and the implied
+    average sits inside the observed value range."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    qs = load_all()
+    rows = {r.user_id: r for r in _rows(qs, "twap_user_value", spark, sf_dir)}
+    ev = read_parquet_table(spark, sf_dir, "events")
+    spans = {
+        r.user_id: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("span"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    for uid, r in rows.items():
+        s = spans[uid]
+        assert r.total_gap_sec == s.span
+        assert r.n_intervals == s.n - 1
+        avg = r.twap_num_nano_sec / r.total_gap_sec / 1e9
+        assert s.vmin - 1e-6 <= avg <= s.vmax + 1e-6

@@ -107,6 +107,8 @@ PROBES = [
     "dup_cluster_size_histogram",
     "group_kfold_assign",
     "compression_ratio_quality",
+    "graph_neighbor_jaccard",
+    "twap_user_value",
 ]
 
 REPLICAS = 10
