@@ -525,15 +525,21 @@ def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NJ_VIA_DEGREE_CAP = 64
+
+
 @register(
     "graph_neighbor_jaccard",
     oracle=f"""
     WITH {_pair_edges_sql(threshold=2)},
     degs AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    viaok AS (SELECT node FROM degs WHERE d <= {_NJ_VIA_DEGREE_CAP}),
     common AS (
       SELECT e1.src AS a, e2.src AS b, COUNT(*) AS cn
-      FROM edges e1 JOIN edges e2 ON e1.dst = e2.dst AND e1.src < e2.src
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      FROM edges e1
+      JOIN viaok v ON v.node = e1.dst
+      JOIN edges e2 ON e1.dst = e2.dst AND e1.src < e2.src
+      GROUP BY 1, 2
     )
     SELECT CAST(c.a AS BIGINT) AS node_a, CAST(c.b AS BIGINT) AS node_b,
            CAST(c.cn AS BIGINT) AS common_neighbors,
@@ -546,37 +552,45 @@ def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction by neighborhood overlap: for node pairs sharing
-    >= 2 common neighbors in the co-purchase graph, the Jaccard of
-    their neighbor sets -- |N(a) n N(b)| / |N(a) u N(b)|, the classic
+    a common neighbor in the co-purchase graph, the Jaccard of their
+    neighbor sets -- |N(a) n N(b)| / |N(a) u N(b)|, the classic
     structural-similarity score behind 'users who bought X also
     bought Y' candidate generation and friend-of-friend recommendation.
     Common-neighbor counting is a WEDGE join (edges self-joined on the
     shared endpoint) -- the same relation the triangle entry counts,
     here grouped per pair instead of closed; degrees join in from an
     O(nodes) aggregate and the jaccard is exact ints plus ONE division
-    (IEEE-identical across engines). The >= 2 floor keeps the output
-    the high-signal pairs (cn = 1 is mostly noise and dominates the
-    pair count).
+    (IEEE-identical across engines).
 
-    Scale shape: wedge fan-out is the known quadratic hazard at hub
-    nodes -- `copurchase_triangles` (same module family) carries the
-    measured degree-orientation mitigation and the hub probe in
-    docs/SCALEUP.md; this entry inherits that discipline's analysis.
-    Distinct from `item_item_cosine_topk` (co-occurrence counts from
-    baskets) -- this scores GRAPH-structural overlap at 2 hops.
+    Scale control: wedge fan-out is quadratic in the SHARED endpoint's
+    degree, so intermediaries with degree > 64 (_NJ_VIA_DEGREE_CAP) are
+    excluded from wedge enumeration -- the standard hub exclusion in
+    similarity joins (a 100k-degree hub contributes C(100k, 2) wedges
+    and zero discrimination: everyone shares it). On the real graph the
+    cap is inert (max degree 6 at sf0.1); on the 10x key-shifted
+    replica -- whose shared part keys inflate co-occurrence ~335x into
+    artificial hubs (the documented market_basket artifact) -- it is
+    what keeps the probe bounded. Same hazard discipline as
+    `copurchase_triangles`' degree orientation and
+    `market_basket_pairs`' basket cap. Distinct from
+    `item_item_cosine_topk` (co-occurrence counts from baskets) --
+    this scores GRAPH-structural overlap at 2 hops.
     """
     edges = _copurchase_edges(spark, sf_dir, threshold=2)
     degs = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
+    viaok = degs.filter(F.col("d") <= _NJ_VIA_DEGREE_CAP).select(
+        F.col("node").alias("via")
+    )
     e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("via"))
     e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("via"))
     common = (
-        e1.join(e2, "via")
+        e1.join(viaok, "via")
+        .join(e2, "via")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("cn"))
-        .filter(F.col("cn") >= 2)
     )
     da = degs.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = degs.select(F.col("node").alias("b"), F.col("d").alias("db"))

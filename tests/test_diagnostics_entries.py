@@ -1358,7 +1358,7 @@ def test_neighbor_jaccard_bounds_and_symmetric_recompute(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.node_a < r.node_b
-        assert 2 <= r.common_neighbors <= r.union_neighbors
+        assert 1 <= r.common_neighbors <= r.union_neighbors
         assert r.jaccard == r.common_neighbors / r.union_neighbors
         assert 0.0 < r.jaccard <= 1.0
 
