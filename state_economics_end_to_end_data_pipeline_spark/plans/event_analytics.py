@@ -1682,6 +1682,7 @@ def bitmap_intersection_audiences(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(SUM(gap) AS BIGINT) AS total_gap_sec,
            CAST(COUNT(*) FILTER (WHERE gap IS NOT NULL) AS BIGINT) AS n_intervals
     FROM o WHERE gap IS NOT NULL GROUP BY user_id
+    HAVING SUM(gap) > 0
     """,
 )
 def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1726,4 +1727,8 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap").cast("bigint").alias("total_gap_sec"),
             F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
         )
+        # a user whose events all share one truncated second has
+        # total_gap 0 -- TWAP is 0/0-undefined there; exclude, like the
+        # singleton convention in target_encode_loo (oracle: HAVING)
+        .filter(F.col("total_gap_sec") > 0)
     )

@@ -4812,13 +4812,13 @@ def gram_novelty_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dup_cluster_size_histogram",
     oracle=f"""
-    WITH sh AS ({{inner}}),
+    WITH sh AS ({_simhash_oracle().strip()}),
     cl AS (SELECT simhash, COUNT(*) AS sz FROM sh GROUP BY simhash)
     SELECT CAST(sz AS BIGINT) AS cluster_size,
            CAST(COUNT(*) AS BIGINT) AS n_clusters,
            CAST(sz * COUNT(*) AS BIGINT) AS n_docs
     FROM cl GROUP BY sz
-    """.format(inner=_simhash_oracle().strip()),
+    """,
 )
 def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size distribution -- the dedup REPORTING
@@ -4834,9 +4834,13 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = simhash_table(rebalance_for_cpu(t(spark, sf_dir, "documents")))
     cl = sh.groupBy("simhash").agg(F.count(F.lit(1)).alias("sz"))
+    # n_docs = sz * n_clusters, computed as SUM(sz) -- every sz in the
+    # group equals the grouping key, and sum avoids referencing the
+    # grouping alias inside agg (lateral-alias resolution is Spark>=3.4
+    # and flag-dependent)
     return cl.groupBy(F.col("sz").cast("bigint").alias("cluster_size")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
-        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
     )
 
 
@@ -4913,7 +4917,15 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    d = rebalance_for_cpu(t(spark, sf_dir, "documents")).select("doc_id", "text")
+    # null/empty texts are dropped JVM-side BEFORE the Python boundary:
+    # encode(None) raises in the worker and an empty doc has no defined
+    # ratio (x/0) -- and a production quality filter discards both
+    # anyway. The filter is a pushdown-able scan predicate.
+    d = (
+        rebalance_for_cpu(t(spark, sf_dir, "documents"))
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
 
     def ratios(batches):
         import zlib

@@ -1316,7 +1316,10 @@ def test_group_kfold_is_disjoint_and_complete(spark, sf_dir):
     ev = read_parquet_table(spark, sf_dir, "events")
     assert sum(r.n_events for r in rows) == ev.count()
     assert sum(r.n_users for r in rows) == ev.select("user_id").distinct().count()
-    assert len({r.fold for r in rows}) == len(rows)  # one row per fold
+    # ALL 5 folds must exist: an empty fold simply emits no group row,
+    # so the check is on the row count, not on per-row positivity
+    assert len(rows) == 5
+    assert {r.fold for r in rows} == set(range(5))
     assert all(r.n_users > 0 for r in rows)
 
 
@@ -1391,6 +1394,7 @@ def test_twap_weights_are_interval_lengths(spark, sf_dir):
     for uid, r in rows.items():
         s = spans[uid]
         assert r.total_gap_sec == s.span
+        assert r.total_gap_sec > 0  # zero-span groups are excluded
         assert r.n_intervals == s.n - 1
         avg = r.twap_num_nano_sec / r.total_gap_sec / 1e9
         assert s.vmin - 1e-6 <= avg <= s.vmax + 1e-6
