@@ -1563,6 +1563,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_survivors",
+    eager_build=True,
     oracle=_minhash_sig_cte()
     + """
     , pairs AS (
@@ -3279,6 +3280,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semantic_clusters",
+    eager_build=True,
     oracle=f"""
     WITH base AS (
       SELECT vec_id AS id,

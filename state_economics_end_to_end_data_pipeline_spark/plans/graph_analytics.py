@@ -169,6 +169,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pagerank_parts_3iter",
+    eager_build=True,
     oracle=f"""
     WITH {_pair_edges_sql()},
     r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.n_nodes AS rank
