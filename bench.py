@@ -138,7 +138,14 @@ def _persist_full_bench(payload: dict) -> None:
                     f"writing {out.name} instead",
                     file=sys.stderr,
                 )
-                old = json.loads(out.read_text()) if out.exists() else None
+                # same ValueError guard as the primary record: a corrupt
+                # side file must not crash persist after a full bench run
+                old = None
+                if out.exists():
+                    try:
+                        old = json.loads(out.read_text())
+                    except ValueError:
+                        old = None
             if isinstance(old, dict) and isinstance(old.get("queries"), dict):
                 oldq = old["queries"]
                 newq = stamped["queries"]
@@ -156,9 +163,27 @@ def _persist_full_bench(payload: dict) -> None:
                     if k in oldq and isinstance(oldq[k], (int, float))
                     and 0 <= merged[k] < oldq[k]
                 )
+                # a query that FAILED this run but passed before keeps its
+                # old time under min-merge; record the regression instead
+                # of dropping the signal (r9 advice)
+                failed_now = sorted(
+                    k
+                    for k, v in newq.items()
+                    if isinstance(v, (int, float)) and v < 0
+                    and isinstance(oldq.get(k), (int, float)) and oldq[k] >= 0
+                )
                 # existing record wins on non-timing fields (note, quiet-run
                 # load stamps); only the merged timings and total update
                 stamped = {**stamped, **old}
+                if failed_now:
+                    stamped["failed_now"] = failed_now
+                    print(
+                        f"# WARNING: {len(failed_now)} queries failed this "
+                        f"run but keep old passing times: {failed_now}",
+                        file=sys.stderr,
+                    )
+                else:
+                    stamped.pop("failed_now", None)
                 stamped["queries"] = merged
                 stamped["value"] = round(
                     sum(v for v in merged.values() if v >= 0), 3

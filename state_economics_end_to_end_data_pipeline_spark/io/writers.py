@@ -185,11 +185,21 @@ def postgres_publish_sql(
     def norm(c: str) -> str:
         return c.replace(" ", "_").replace(".", "_")
 
-    cols = ", ".join(f"{norm(f.name)} {sql_type(f.dataType)}" for f in df.schema)
-    qualified = f"{schema}.{table}"
+    def quote(ident: str) -> str:
+        # double-quote every identifier (r9 advice): a normalized name
+        # that is a Postgres reserved word ("order", "user") or starts
+        # with a digit is invalid DDL unquoted, and mixed case silently
+        # folds to lowercase. Lowercase first so unquoted readers keep
+        # reference-parity folding; embedded quotes are doubled per SQL.
+        return '"' + ident.lower().replace('"', '""') + '"'
+
+    cols = ", ".join(
+        f"{quote(norm(f.name))} {sql_type(f.dataType)}" for f in df.schema
+    )
+    qualified = f"{quote(schema)}.{quote(table)}"
     return {
         "create": (
-            f"CREATE SCHEMA IF NOT EXISTS {schema}; "
+            f"CREATE SCHEMA IF NOT EXISTS {quote(schema)}; "
             f"CREATE TABLE IF NOT EXISTS {qualified} ({cols});"
         ),
         "delete": f"DELETE FROM {qualified};",

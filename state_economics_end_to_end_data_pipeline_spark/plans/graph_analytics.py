@@ -354,6 +354,65 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KCORE_K = 2
 _KCORE_ORACLE_ROUNDS = 12  # > max peel rounds probed at sf0.01 (3) and sf0.1 (5)
+_KCORE_MACRO_CAP = 40  # smooth+peel macro rounds; ~log n suffice (rake/compress)
+_KCORE_COMPRESS_AFTER = 6  # rakes before chain contraction engages: both test
+# fixtures peel to fixpoint in 3-5 rakes (never pay contraction); a pendant
+# chain still raking at 6 is depth-bound and gets collapsed in O(log) rounds
+_CHAIN_CC_CAP = 60  # pointer-doubled chain resolution: covers chains to ~2^60
+
+
+def _mg_degrees(edges: DataFrame) -> DataFrame:
+    """Multigraph degrees from a one-row-per-edge list (eid, u, v):
+    self-loops count twice and parallel edges separately, exactly the
+    degree the peel semantics needs -- one union + one aggregate."""
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
+def _min_label_components(nodes: DataFrame, und_edges: DataFrame, bump) -> DataFrame:
+    """Min-label connected components with pointer doubling -- the same
+    O(log diameter) shape as ``graph_connected_components``, reused as
+    the chain-resolution subroutine of ``kcore_parts``.  ``nodes`` is
+    (node); ``und_edges`` is one row per undirected edge (u, v);
+    returns (node, comp) with comp = the component's minimum node id.
+    ``bump()`` is called once per materialized round so the caller's
+    round ledger (LAST_ROUNDS) stays honest."""
+    both = und_edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(und_edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    pot_expr = F.sum(F.col("comp").cast("decimal(38,0)"))
+    potential = labels.agg(pot_expr).collect()[0][0]
+    for _ in range(_CHAIN_CC_CAP):
+        neigh = (
+            both.join(labels, both.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        stepped = labels.join(neigh, "node", "left_outer").select(
+            "node", F.least("comp", "nmin").alias("comp")
+        )
+        lookup = stepped.select(
+            F.col("node").alias("ptr_node"), F.col("comp").alias("ptr_comp")
+        )
+        labels = (
+            stepped.join(lookup, stepped.comp == lookup.ptr_node, "left_outer")
+            .select("node", F.least("comp", "ptr_comp").alias("comp"))
+            .localCheckpoint()
+        )
+        bump()
+        new_potential = labels.agg(pot_expr).collect()[0][0]
+        if new_potential == potential:
+            return labels
+        potential = new_potential
+    raise RuntimeError(
+        "_min_label_components: no fixpoint within the round cap -- "
+        f"component diameter exceeds ~2^{_CHAIN_CC_CAP}; raise _CHAIN_CC_CAP"
+    )
 
 
 @register(
@@ -379,57 +438,361 @@ _KCORE_ORACLE_ROUNDS = 12  # > max peel rounds probed at sf0.01 (3) and sf0.1 (5
     """,
 )
 def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-core (k=2, _KCORE_K) of the co-purchase graph (>=2 shared orders):
-    iteratively peel nodes of degree < k until fixpoint, then
-    report each surviving node with its in-core degree.  K-core is the
-    standard graph-density filter (spam/bot subgraph mining, nucleus
-    decomposition first step) and the canonical *vertex-peeling*
-    iterative shape -- distinct from BFS (frontier expansion) and
-    PageRank (value iteration) above.
+    """K-core (k=2, _KCORE_K) of the co-purchase graph (>=2 shared
+    orders), computed by SMOOTH-AND-PEEL so the round count tracks
+    O(log peel-depth), not the peel depth itself (r9 verdict ask #1:
+    layer-by-layer peeling measured rounds = depth 1:1 -- 63 rounds on
+    a depth-63 pendant path -- and a deep-peeling 100 TB graph pays
+    depth x full-shuffle).  Output is unchanged: each surviving node
+    with its in-core degree.
 
-    Each peel round is: degree = groupBy(src).count over the LIVE edge
-    list, then drop edges incident to any low-degree node (two
-    anti-joins against the low set -- no broadcast hint, because the
-    low set is O(nodes) in the first rounds; AQE broadcasts at runtime
-    once the set actually shrinks).
-    Work per round is O(live edges) and the live set only shrinks;
-    rounds-to-fixpoint probed at 3 (sf0.01) / 5 (sf0.1).  Each round is
-    localCheckpoint-materialized (iterative-loop discipline, see
-    graph_bfs_hops).  The loop stops when the dropped-node count is 0
-    -- one scalar action per round.
+    Why plain peeling is depth-bound: for k=2 the deep case is a long
+    pendant CHAIN of degree-2 nodes -- each peel round only exposes the
+    next node, and ANY algorithm whose information travels one hop per
+    round (including the h-index/coreness value iteration, which
+    propagates the h=1 truth inward one node per round on a chain)
+    needs L rounds on a length-L chain.  Beating depth requires
+    long-range jumps, i.e. pointer doubling -- the rake/compress shape
+    of parallel tree contraction.
 
-    The oracle unrolls the identical peel as a recursive CTE over live
-    edges (an edge survives a round iff BOTH endpoints currently have
-    degree >= k -- node-peeling stated edge-wise), capped at
-    12 rounds (_KCORE_ORACLE_ROUNDS): past the fixpoint every extra round
-    is the identity, and if a regenerated fixture ever needed more
-    rounds the engine (true fixpoint) would diverge from the oracle
-    LOUDLY rather than silently agree.
+    Each macro-round here is:
+      RAKE -- one peel round: drop nodes of multigraph degree < 2
+        (self-loops x2, parallel edges separately) and their incident
+        edges.  A rake that finds nothing dead means min degree >= k
+        everywhere -- the current multigraph IS the k-core, stop.
+      COMPRESS -- engaged only after _KCORE_COMPRESS_AFTER consecutive
+        rakes (real corpora peel out in 3-5 rakes and never pay for
+        it; a deep pendant chain stalls the rake at 1-2 nodes/round
+        and lands here): resolve the maximal chains of the remaining
+        degree-2 nodes with the pointer-doubled min-label subroutine
+        (``_min_label_components``, O(log chain-length) rounds --
+        isolated degree-2 nodes bypass it as trivial chains), and
+        contract each chain to ONE super-edge between its two anchor
+        endpoints (topological smoothing).  A chain with NO anchor is a
+        pure degree-2 cycle: it is its own 2-core component -- emitted
+        directly with core_degree 2.  Contracted interior nodes are
+        SUSPENDED on their super-edge (a (node, eid) side table, eids
+        remapped when a super-edge is itself later contracted), because
+        for k=2 an interior node survives iff its super-edge survives,
+        with core degree exactly 2.
+    Correctness:
+    smoothing is a homeomorphism -- anchor degrees are preserved edge-
+    for-edge, so the contracted multigraph's peel trajectory maps 1:1
+    onto the original's, and a super-edge is in the contracted core iff
+    its chain (all interior degrees exactly 2, ends on the surviving
+    anchors) is in the original 2-core.  Rake halves the non-core
+    excess per macro-round on tree-shaped overhangs (after compress, a
+    pendant tree has no degree-2 nodes, so over half its nodes are
+    leaves), giving O(log n) macro-rounds and O(log^2) total rounds --
+    the depth probe (tools/scaleup_graph_probe.py) measures rounds on
+    depth-15 vs depth-63 pendant paths, where plain peeling measured
+    15 vs 63.
+
+    The oracle is unchanged -- it states the peel FIXPOINT (recursive
+    CTE, 12 rounds, identity past fixpoint), which is algorithm-
+    independent: smoothing computes the same 2-core.
+
+    The contraction acceleration is k=2-specific (smoothing preserves
+    min-degree-2 exactly); for general k the scalable shape is the
+    h-index value iteration -- implemented as ``coreness_hindex`` below,
+    which also cross-checks this entry (coreness >= 2 iff in the 2-core).
     """
-    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
-    rounds = 0
-    while True:
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        low = deg.filter(F.col("d") < _KCORE_K).select("src").localCheckpoint()
-        if low.limit(1).count() == 0:
-            LAST_ROUNDS["kcore_parts"] = rounds
+    und = _copurchase_edges(spark, sf_dir, threshold=2).filter(
+        F.col("src") < F.col("dst")
+    )
+    edges = und.select(
+        F.concat_ws(":", F.lit("o"), "src", "dst").alias("eid"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+    ).localCheckpoint()
+    susp = spark.createDataFrame([], schema="node bigint, eid string")
+    done = spark.createDataFrame([], schema="part_key bigint, core_degree bigint")
+    rounds = [0]
+
+    def bump() -> None:
+        rounds[0] += 1
+
+    rakes = 0
+    for _ in range(_KCORE_MACRO_CAP):
+        # RAKE: one peel round over multigraph degrees.  No broadcast
+        # hint on the dead set -- O(nodes) in early rounds; AQE
+        # broadcasts at runtime once it actually shrinks.  A rake
+        # finding nothing dead means min degree >= k everywhere: the
+        # current multigraph IS the k-core -- stop WITHOUT contracting
+        # any remaining degree-2 chains (they are core chains;
+        # contraction is pure acceleration, never needed at fixpoint).
+        dead = (
+            _mg_degrees(edges)
+            .filter(F.col("d") < _KCORE_K)
+            .select("node")
+            .localCheckpoint()
+        )
+        if dead.limit(1).count() == 0:
+            LAST_ROUNDS["kcore_parts"] = rounds[0]
             break
-        rounds += 1
-        # no broadcast hint: the low-degree set is O(nodes) in the first
-        # peel rounds (potentially most of the graph), so a forced
-        # broadcast can OOM the driver at scale -- AQE picks broadcast
-        # at runtime whenever the materialized low set is actually small
+        bump()
+        rakes += 1
         edges = (
-            edges.join(low, "src", "left_anti")
-            .join(
-                low.select(F.col("src").alias("dst")),
-                "dst",
-                "left_anti",
+            edges.join(dead.select(F.col("node").alias("u")), "u", "left_anti")
+            .join(dead.select(F.col("node").alias("v")), "v", "left_anti")
+            .localCheckpoint()
+        )
+        # COMPRESS: engaged only once raking alone has gone on for a
+        # few rounds (_KCORE_COMPRESS_AFTER) -- real corpora peel to
+        # fixpoint in 3-5 rakes and never pay the contraction
+        # machinery; a deep pendant chain stalls the rake (1-2 nodes
+        # per round) and is collapsed here in O(log chain) rounds.
+        if rakes < _KCORE_COMPRESS_AFTER:
+            continue
+        d2 = (
+            _mg_degrees(edges)
+            .filter(F.col("d") == _KCORE_K)
+            .select("node")
+            .localCheckpoint()
+        )
+        if d2.limit(1).count() == 0:
+            continue
+        bump()  # the contraction rewrite is one materialized round
+        d2u = d2.select(F.col("node").alias("u"), F.lit(True).alias("u2"))
+        d2v = d2.select(F.col("node").alias("v"), F.lit(True).alias("v2"))
+        ann = (
+            edges.join(d2u, "u", "left_outer")
+            .join(d2v, "v", "left_outer")
+            .select(
+                "eid",
+                "u",
+                "v",
+                F.coalesce("u2", F.lit(False)).alias("u2"),
+                F.coalesce("v2", F.lit(False)).alias("v2"),
             )
             .localCheckpoint()
         )
-    return edges.groupBy(F.col("src").cast("bigint").alias("part_key")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+        chain_edges = ann.filter(F.col("u2") & F.col("v2"))
+        # pointer doubling only over nodes actually ON a d2-d2 chain;
+        # an isolated degree-2 node (both neighbors anchors) is its own
+        # trivial chain and needs no rounds at all
+        chain_nodes = (
+            chain_edges.select(F.col("u").alias("node"))
+            .unionByName(chain_edges.select(F.col("v").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
+        if chain_nodes.limit(1).count() > 0:
+            chained = _min_label_components(
+                chain_nodes, chain_edges.select("u", "v"), bump
+            )
+            labels = (
+                d2.join(chain_nodes, "node", "left_anti")
+                .select("node", F.col("node").alias("comp"))
+                .unionByName(chained)
+                .localCheckpoint()
+            )
+        else:
+            labels = d2.select("node", F.col("node").alias("comp")).localCheckpoint()
+        anchor_rows = ann.filter(F.col("u2") != F.col("v2")).select(
+            "eid",
+            F.when(F.col("u2"), F.col("u")).otherwise(F.col("v")).alias("d2node"),
+            F.when(F.col("u2"), F.col("v")).otherwise(F.col("u")).alias("anchor"),
+        )
+        ar = anchor_rows.join(labels, anchor_rows.d2node == labels.node).select(
+            "eid", "comp", "anchor"
+        )
+        # every path-shaped chain has EXACTLY two anchor-incident
+        # edges (each chain endpoint has one non-chain neighbor);
+        # min/max over those two rows names the super-edge endpoints
+        # (equal anchors => a self-loop, degree contribution 2)
+        sup = ar.groupBy("comp").agg(
+            F.min("anchor").alias("u"), F.max("anchor").alias("v")
+        )
+        super_eid = F.concat(F.lit("c:"), F.col("comp").cast("string"))
+        new_edges = sup.select(super_eid.alias("eid"), "u", "v")
+        # zero anchor rows => pure degree-2 cycle: a 2-core
+        # component in its own right, every node core_degree 2
+        cyc_comps = (
+            labels.select("comp")
+            .distinct()
+            .join(sup.select("comp"), "comp", "left_anti")
+            .localCheckpoint()
+        )
+        two = F.lit(2).cast("bigint")
+        done = done.unionByName(
+            labels.join(cyc_comps, "comp", "leftsemi").select(
+                F.col("node").cast("bigint").alias("part_key"),
+                two.alias("core_degree"),
+            )
+        )
+        # map every removed edge (>= one endpoint in D2) to its chain
+        removed = chain_edges.select("eid", F.col("u").alias("d2node")).unionByName(
+            anchor_rows.select("eid", "d2node")
+        )
+        rem_comp = (
+            removed.join(labels, removed.d2node == labels.node)
+            .select("eid", "comp")
+            .localCheckpoint()
+        )
+        # suspensions follow their edge: into the new super-edge, or
+        # straight to the survivor set if the chain closed a cycle
+        cyc_eids = rem_comp.join(cyc_comps, "comp", "leftsemi").select("eid")
+        done = done.unionByName(
+            susp.join(cyc_eids, "eid", "leftsemi").select(
+                F.col("node").cast("bigint").alias("part_key"),
+                two.alias("core_degree"),
+            )
+        )
+        to_super = rem_comp.join(cyc_comps, "comp", "left_anti").select(
+            F.col("eid").alias("old_eid"),
+            F.concat(F.lit("c:"), F.col("comp").cast("string")).alias("new_eid"),
+        )
+        susp = (
+            susp.join(rem_comp.select("eid"), "eid", "left_anti")
+            .unionByName(
+                susp.join(to_super, susp.eid == to_super.old_eid).select(
+                    "node", F.col("new_eid").alias("eid")
+                )
+            )
+            .unionByName(
+                labels.join(cyc_comps, "comp", "left_anti").select(
+                    "node", super_eid.alias("eid")
+                )
+            )
+            .localCheckpoint()
+        )
+        edges = (
+            ann.filter(~F.col("u2") & ~F.col("v2"))
+            .select("eid", "u", "v")
+            .unionByName(new_edges)
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"kcore_parts: smooth-and-peel did not reach fixpoint within "
+            f"{_KCORE_MACRO_CAP} macro-rounds -- raise _KCORE_MACRO_CAP "
+            f"rather than accept a partially-peeled core"
+        )
+    surviving = _mg_degrees(edges).select(
+        F.col("node").cast("bigint").alias("part_key"),
+        F.col("d").cast("bigint").alias("core_degree"),
+    )
+    susp_surv = susp.join(edges.select("eid"), "eid", "leftsemi").select(
+        F.col("node").cast("bigint").alias("part_key"),
+        F.lit(2).cast("bigint").alias("core_degree"),
+    )
+    return surviving.unionByName(susp_surv).unionByName(done)
+
+
+_HIX_ORACLE_ROUNDS = 14  # > measured changing-rounds at sf0.01 (9) and sf0.1 (4)
+_HIX_CAP = 100
+
+
+def _hix_round_sql(prev: str, out: str) -> str:
+    """One unrolled h-index round: h'(v) = the h-index of v's neighbors'
+    current estimates = MAX over the desc-sorted neighbor values of
+    LEAST(position, value) -- the classic h-index formula, order-
+    independent under ties (the multiset determines the value)."""
+    return f"""
+    {out} AS (
+      SELECT src AS node, MAX(LEAST(rn, nh)) AS h FROM (
+        SELECT e.src, p.h AS nh,
+               ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY p.h DESC) AS rn
+        FROM edges e JOIN {prev} p ON p.node = e.dst
+      ) GROUP BY src
+    )
+    """
+
+
+_HIX_ORACLE = (
+    "WITH "
+    + _pair_edges_sql(threshold=2)
+    + """,
+    h0 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS h
+           FROM edges GROUP BY src)"""
+    + "".join(
+        ",\n" + _hix_round_sql(f"h{i}", f"h{i + 1}")
+        for i in range(_HIX_ORACLE_ROUNDS)
+    )
+    + f"""
+    SELECT CAST(node AS BIGINT) AS part_key, CAST(h AS BIGINT) AS coreness
+    FROM h{_HIX_ORACLE_ROUNDS}"""
+)
+
+
+@register("coreness_hindex", eager_build=True, oracle=_HIX_ORACLE)
+def coreness_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full coreness decomposition of the co-purchase graph by the
+    distributed H-INDEX value iteration (Lu, Zhou, Zhang & Stanley,
+    "The H-index of a network node and its relation to degree and
+    coreness", Nat. Commun. 7:10168, 2016): start every node at its
+    degree, then repeatedly replace each node's estimate with the
+    h-index of its neighbors' estimates (the largest h such that at
+    least h neighbors currently have estimate >= h).  The sequence is
+    pointwise non-increasing and converges EXACTLY to coreness -- the
+    largest k such that the node is in the k-core -- so one run yields
+    every k-core at once (filter coreness >= k), unlike the per-k peel.
+
+    This is the r9 verdict's named general-k algorithm: each round is
+    one edge-list join + one per-node window (shuffle by node), work
+    O(edges) regardless of peel depth, and on real corpora it converges
+    in a handful of rounds (measured: 9 changing rounds at sf0.01, 4 at
+    sf0.1 -- vs peel depths 3/5 but bounded by VALUE deltas, not layer
+    count).  On adversarial chains information still travels one hop
+    per round -- which is why ``kcore_parts`` (k=2) uses pointer-doubled
+    smoothing for the depth probe; this entry is the general-k
+    complement and cross-checks it: {coreness >= 2} = the 2-core node
+    set (pinned in tests/test_graph_entries invariants).
+
+    Convergence detection is the house monotone-potential discipline:
+    SUM(h) (decimal, overflow-proof) strictly decreases until fixpoint,
+    one scalar action per round; rounds land in ``LAST_ROUNDS``.  Each
+    round is localCheckpoint-materialized (iterative-loop discipline,
+    see graph_bfs_hops).  The window's tie order among equal neighbor
+    estimates is nondeterministic across engines, but MAX(LEAST(rn, h))
+    is tie-invariant, so the trajectory is bit-identical.
+
+    The oracle unrolls 14 rounds (> both measured fixpoints) of the
+    identical operator as chained CTEs -- past the fixpoint the operator
+    is the identity, and a regenerated fixture needing more rounds
+    would diverge LOUDLY rather than silently agree.
+
+    Reference parity: no graph operators in the reference (DAG1:1-322);
+    module docstring covers why the engine carries the family.
+    """
+    from pyspark.sql import Window
+
+    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    h = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("h"))
+        .localCheckpoint()
+    )
+    pot_expr = F.sum(F.col("h").cast("decimal(38,0)"))
+    potential = h.agg(pot_expr).collect()[0][0]
+    w = Window.partitionBy("src").orderBy(F.col("nh").desc())
+    for rnd in range(_HIX_CAP):
+        joined = edges.join(h, edges.dst == h.node).select(
+            "src", F.col("h").alias("nh")
+        )
+        h = (
+            joined.withColumn("rn", F.row_number().over(w))
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.max(F.least(F.col("rn").cast("bigint"), F.col("nh"))).alias("h")
+            )
+            .localCheckpoint()
+        )
+        new_potential = h.agg(pot_expr).collect()[0][0]
+        if new_potential == potential:
+            LAST_ROUNDS["coreness_hindex"] = rnd
+            break
+        potential = new_potential
+    else:
+        raise RuntimeError(
+            f"coreness_hindex: h-iteration still decreasing after "
+            f"{_HIX_CAP} rounds -- raise _HIX_CAP rather than publish "
+            f"unconverged coreness"
+        )
+    return h.select(
+        F.col("node").cast("bigint").alias("part_key"),
+        F.col("h").cast("bigint").alias("coreness"),
     )
 
 

@@ -1398,3 +1398,59 @@ def test_twap_weights_are_interval_lengths(spark, sf_dir):
         assert r.n_intervals == s.n - 1
         avg = r.twap_num_nano_sec / r.total_gap_sec / 1e9
         assert s.vmin - 1e-6 <= avg <= s.vmax + 1e-6
+
+
+def test_coreness_hindex_crosschecks_kcore(spark, sf_dir):
+    """The h-index value iteration (coreness_hindex) and smooth-and-peel
+    (kcore_parts) are independent algorithms over the same graph; their
+    shared fixpoint theory says {coreness >= 2} IS the 2-core node set.
+    Also pins 1 <= coreness <= degree for every node (the h-iteration
+    starts at degree and decreases monotonically to coreness)."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _copurchase_edges,
+    )
+
+    qs = load_all()
+    cor = {r.part_key: r.coreness for r in _rows(qs, "coreness_hindex", spark, sf_dir)}
+    core2 = {r.part_key for r in _rows(qs, "kcore_parts", spark, sf_dir)}
+    deg = {}
+    for r in _copurchase_edges(spark, sf_dir, threshold=2).collect():
+        deg[r.src] = deg.get(r.src, 0) + 1
+    assert set(cor) == set(deg)  # every graph node gets a coreness
+    assert all(1 <= c <= deg[n] for n, c in cor.items())
+    assert {n for n, c in cor.items() if c >= 2} == core2
+
+
+def test_kcore_smooth_and_peel_collapses_deep_chains(spark, tmp_path):
+    """r9 verdict ask #1, pinned as a regression test: on an anchored
+    pendant path (depth-63 peel) the old layer-by-layer peel measured
+    rounds = depth exactly (63); smooth-and-peel must (a) produce the
+    identical 2-core -- the 6-clique, every node core_degree 5 -- and
+    (b) finish in <= depth/3 rounds (measured ~15: 7 rakes + pointer-
+    doubled chain contraction)."""
+    from state_economics_end_to_end_data_pipeline_spark.plans import (
+        graph_analytics as ga,
+    )
+
+    path_len, clique = 64, 6
+    rows, order = [], 0
+    for i in range(path_len - 1):  # each adjacency twice => co-occurrence 2
+        for _ in range(2):
+            rows += [(order, i), (order, i + 1)]
+            order += 1
+    base = path_len - 1
+    for _ in range(2):
+        rows += [(order, n) for n in range(base, base + clique)]
+        order += 1
+    spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint").coalesce(
+        2
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    qs = load_all()
+    out = {
+        r.part_key: r.core_degree
+        for r in qs["kcore_parts"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {n: 5 for n in range(base, base + clique)}
+    depth = path_len - 1
+    rounds = ga.LAST_ROUNDS["kcore_parts"]
+    assert rounds <= depth // 3, (rounds, depth)

@@ -154,5 +154,19 @@ def test_column_normalization_matches_reference(spark):
         [(1, 2.0)], "`State.Minimum.Wage` long, `CPI Average` double"
     )
     create = postgres_publish_sql(df, "t")["create"]
-    assert "State_Minimum_Wage BIGINT" in create
-    assert "CPI_Average DOUBLE PRECISION" in create
+    assert '"state_minimum_wage" BIGINT' in create
+    assert '"cpi_average" DOUBLE PRECISION' in create
+
+
+def test_identifiers_quoted_for_reserved_words(spark):
+    """r9 advice: a normalized column name that is a Postgres reserved
+    word (order, user) or starts with a digit must be double-quoted or
+    the generated DDL is invalid; mixed case folds to lowercase FIRST so
+    unquoted consumers see reference-parity folding."""
+    df = spark.createDataFrame([(1, "x", 2.0)], "`order` long, `user` string, `2024 rate` double")
+    stmts = postgres_publish_sql(df, "Table-X", schema="Final Project".replace(" ", "_"))
+    assert '"order" BIGINT' in stmts["create"]
+    assert '"user" TEXT' in stmts["create"]
+    assert '"2024_rate" DOUBLE PRECISION' in stmts["create"]
+    assert '"final_project"."table-x"' in stmts["delete"]
+    assert stmts["copy"].startswith('COPY "final_project"."table-x" FROM STDIN')

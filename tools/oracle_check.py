@@ -171,8 +171,11 @@ def pick_changed(qs: dict, ref: str, evergreens: int) -> tuple[list[str], list[s
     import re
     import subprocess
 
+    # bare <ref> (not <ref>..HEAD) diffs against the WORKTREE, so
+    # uncommitted edits are part of the affected set (r9 advice: with
+    # ..HEAD a pre-commit rotation silently saw an empty affected set)
     changed = subprocess.run(
-        ["git", "diff", "--name-only", f"{ref}..HEAD"],
+        ["git", "diff", "--name-only", ref],
         cwd=REPO,
         capture_output=True,
         text=True,

