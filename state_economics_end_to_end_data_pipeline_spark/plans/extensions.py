@@ -4913,6 +4913,11 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary, never rows). Invariants (tests): planted repetitive text
     compresses below planted random-ish text, ratios are in (0, ~1.1],
     and compressed_len is byte-exactly reproducible across runs.
+    The SQL-expressible half is additionally VALUE-HASHED by the
+    companion ``compression_ratio_rawlen`` below (same worker, same
+    filter, (doc_id, raw_len) projection vs a DuckDB
+    octet_length(encode(..)) oracle), so the only unhashed surface is
+    the zlib call itself.
 
     Scale shape: embarrassingly parallel single scan -- per-partition
     Arrow batches through one Python worker pass, no shuffle at all.
@@ -4948,3 +4953,32 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         ratios, schema="doc_id long, raw_len long, compressed_len long, ratio double"
     )
+
+
+@register(
+    "compression_ratio_rawlen",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS raw_len
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+    """,
+)
+def compression_ratio_rawlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-hashed companion to ``compression_ratio_quality`` (r9
+    verdict ask #2): the zlib half of that entry is inherently
+    rows-only (no SQL engine exposes a compression primitive), but its
+    deterministic half -- per-doc UTF-8 byte length, the ratio's
+    denominator -- IS SQL-expressible.  This entry routes the IDENTICAL
+    Arrow-batched ``mapInPandas`` worker (same null/empty pushdown
+    filter, same pandas ``str.encode('utf-8')``) and projects
+    (doc_id, raw_len), so the DuckDB oracle
+    (``octet_length(encode(text))``) value-hashes everything about the
+    Python boundary except the zlib call itself: row alignment across
+    Arrow batches, the encode step (UTF-8 BYTES by construction on both
+    sides -- though the driver fixture happens to be ASCII-only, probed,
+    so bytes == code points there), and the JVM-side filter.  The zlib
+    column keeps its pytest invariants
+    (tests/test_diagnostics_entries.py); together the split leaves no
+    untested surface, with the documented remainder being exactly
+    `len(zlib.compress(b, 6))`."""
+    return compression_ratio_quality(spark, sf_dir).select("doc_id", "raw_len")

@@ -65,6 +65,7 @@ HEAVY = [
     "simhash_banded_pairs",
     "jaccard_prefix_filter_pairs",
     "graph_bfs_hops",
+    "graph_neighbor_jaccard",
     "embedding_ivfpq_topk",
 ]
 
@@ -303,11 +304,43 @@ def _cand_ivfpq(spark, sf_dir: str) -> int:
     )
 
 
+def _cand_neighbor_wedges(spark, sf_dir: str) -> int:
+    """Wedge-enumeration volume of graph_neighbor_jaccard (r9 verdict
+    ask #5): rows of the edges-self-join on the shared endpoint AFTER
+    the degree-64 hub exclusion, BEFORE the per-pair groupBy -- the
+    quantity the via-degree cap exists to bound (fan-out is quadratic
+    in the shared endpoint's degree; a hub contributes C(d,2) wedges
+    and zero discrimination). Mirrors the entry's generator exactly."""
+    from pyspark.sql import functions as F
+
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _NJ_VIA_DEGREE_CAP,
+        _copurchase_edges,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir, threshold=2)
+    degs = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    viaok = degs.filter(F.col("d") <= _NJ_VIA_DEGREE_CAP).select(
+        F.col("node").alias("via")
+    )
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("via"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("via"))
+    return (
+        e1.join(viaok, "via")
+        .join(e2, "via")
+        .filter(F.col("a") < F.col("b"))
+        .count()
+    )
+
+
 CAND_FNS = {
     "ngram_jaccard_pairs": _cand_ngram_jaccard,
     "simhash_banded_pairs": _cand_simhash_banded,
     "jaccard_prefix_filter_pairs": _cand_prefix_filter,
     "graph_bfs_hops": _cand_bfs_edges,
+    "graph_neighbor_jaccard": _cand_neighbor_wedges,
     "embedding_ivfpq_topk": _cand_ivfpq,
 }
 
@@ -317,6 +350,9 @@ NOTES = {
     "(derive_band_bits-sized); r8's fixed 15-bit bands measured 221x here",
     "jaccard_prefix_filter_pairs": "prefix+length-filter survivors",
     "graph_bfs_hops": "co-purchase edges (>=2 orders)",
+    "graph_neighbor_jaccard": "wedges enumerated after the degree-64 hub "
+    "exclusion; cap inert on the real graph (max degree 6), load-bearing "
+    "on shared-key hub artifacts",
     "embedding_ivfpq_topk": "probed-cell ADC rows; corpus capped at "
     "vec_id<200 by entry params, only the pruned scan grows",
 }
@@ -417,9 +453,14 @@ def main() -> int:
         "residual super-linearity budget is the fixture's ~25-word",
         "vocabulary re-drawing token-hash geometry per salted replica",
         "(per-replica hamming<=3 rates vary with the draw), not band",
-        "saturation. embedding_ivfpq_topk's flat line is the point: its",
-        "entry caps the corpus by parameters, so only the parquet scan",
-        "grows and filter pushdown prunes 99% of it.",
+        "saturation. graph_neighbor_jaccard's wedge count (the relation",
+        "its degree-64 via-cap bounds) rides the disjoint-replica edge",
+        "count exactly linearly -- the cap is inert on the real graph",
+        "(max degree 6) and exists for hub-shaped skew, where it turns a",
+        "C(d,2) blowup into a hard ceiling. embedding_ivfpq_topk's flat",
+        "line is the point: its entry caps the corpus by parameters, so",
+        "only the parquet scan grows and filter pushdown prunes 99% of",
+        "it.",
     ]
 
     out_path = REPO / "docs" / "SCALEUP.md"
