@@ -500,10 +500,11 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = _copurchase_edges(spark, sf_dir, threshold=2).filter(
         F.col("src") < F.col("dst")
     )
+    # edge ids are only needed once contraction engages (suspension
+    # bookkeeping); pure-rake rounds -- the entire life of the loop on
+    # real corpora -- carry the narrow (u, v) relation only
     edges = und.select(
-        F.concat_ws(":", F.lit("o"), "src", "dst").alias("eid"),
-        F.col("src").alias("u"),
-        F.col("dst").alias("v"),
+        F.col("src").alias("u"), F.col("dst").alias("v")
     ).localCheckpoint()
     susp = spark.createDataFrame([], schema="node bigint, eid string")
     done = spark.createDataFrame([], schema="part_key bigint, core_degree bigint")
@@ -553,6 +554,10 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         if d2.limit(1).count() == 0:
             continue
         bump()  # the contraction rewrite is one materialized round
+        if "eid" not in edges.columns:  # first contraction: attach ids
+            edges = edges.select(
+                F.concat_ws(":", F.lit("o"), "u", "v").alias("eid"), "u", "v"
+            )
         d2u = d2.select(F.col("node").alias("u"), F.lit(True).alias("u2"))
         d2v = d2.select(F.col("node").alias("v"), F.lit(True).alias("v2"))
         ann = (
@@ -673,6 +678,8 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("part_key"),
         F.col("d").cast("bigint").alias("core_degree"),
     )
+    if "eid" not in edges.columns:  # contraction never engaged
+        return surviving.unionByName(done)
     susp_surv = susp.join(edges.select("eid"), "eid", "leftsemi").select(
         F.col("node").cast("bigint").alias("part_key"),
         F.lit(2).cast("bigint").alias("core_degree"),
