@@ -4982,3 +4982,155 @@ def compression_ratio_rawlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     untested surface, with the documented remainder being exactly
     `len(zlib.compress(b, 6))`."""
     return compression_ratio_quality(spark, sf_dir).select("doc_id", "raw_len")
+
+
+# ------------------------------------------------- iterative linear algebra
+
+_PCA_DIM = 64
+_PCA_ROUNDS = 3
+
+
+def _pca_round_sql(prev_v: str, r: int) -> str:
+    """One unrolled power-iteration round in DuckDB: s = X v (per-row
+    left-fold dot, same IEEE order as Spark's aggregate()), then the
+    centered matvec (Cv)_d = sum_i x_id s_i - mu_d * sum_i s_i (exact
+    identity: sum_i x_id = n mu_d), decimal-routed sums, then
+    normalization by the left-fold 2-norm."""
+    return f"""
+    s{r} AS (
+      SELECT e.vec_id, e.embedding,
+             list_reduce(list_transform(range(1, {_PCA_DIM} + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * v.v[i]), (x, y) -> x + y) AS s
+      FROM embeddings e CROSS JOIN {prev_v} v
+    ),
+    a{r} AS (
+      SELECT u.dim,
+             SUM(CAST(CAST(embedding[u.dim + 1] AS DOUBLE) * s
+                 AS DECIMAL(38,18))) AS t
+      FROM s{r} CROSS JOIN (SELECT unnest(range(0, {_PCA_DIM})) AS dim) u
+      GROUP BY u.dim
+    ),
+    ssum{r} AS (SELECT SUM(CAST(s AS DECIMAL(38,18))) AS ss FROM s{r}),
+    w{r} AS (
+      SELECT a.dim, CAST(a.t AS DOUBLE) - m.mu * CAST(ss.ss AS DOUBLE) AS w
+      FROM a{r} a JOIN mu m ON m.dim = a.dim CROSS JOIN ssum{r} ss
+    ),
+    wl{r} AS (SELECT list(w ORDER BY dim) AS wl FROM w{r}),
+    v{r} AS (
+      SELECT list_transform(wl, e -> e / sqrt(list_reduce(
+               list_transform(wl, q -> q * q), (x, y) -> x + y))) AS v
+      FROM wl{r}
+    )
+    """
+
+
+def _pca_power_oracle() -> str:
+    rounds = "".join(
+        "," + _pca_round_sql(f"v{r - 1}", r) for r in range(1, _PCA_ROUNDS + 1)
+    )
+    return f"""
+    WITH nrows AS (SELECT COUNT(*) AS n FROM embeddings),
+    mu AS (
+      SELECT u.dim,
+             CAST(SUM(CAST(CAST(embedding[u.dim + 1] AS DOUBLE)
+                 AS DECIMAL(38,18))) AS DOUBLE) / n.n AS mu
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, {_PCA_DIM})) AS dim) u
+      CROSS JOIN nrows n
+      GROUP BY u.dim, n.n
+    ),
+    v0 AS (SELECT list_transform(range(1, {_PCA_DIM} + 1),
+                    i -> CAST(0.125 AS DOUBLE)) AS v)
+    {rounds}
+    SELECT CAST(u.dim AS BIGINT) AS dim,
+           round(v.v[u.dim + 1], 12) AS loading
+    FROM v{_PCA_ROUNDS} v
+    CROSS JOIN (SELECT unnest(range(0, {_PCA_DIM})) AS dim) u
+    """
+
+
+@register("embedding_pca_power", eager_build=True, oracle=_pca_power_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by POWER
+    ITERATION -- the iterative-linear-algebra shape the catalog's other
+    iterative families (value iteration: pagerank/h-index; traversal:
+    BFS/CC; peeling: k-core) don't cover, and the standard first step of
+    embedding-space analysis in LLM data pipelines (anisotropy
+    measurement, top-component removal a la all-but-the-top, drift
+    directions).
+
+    Three unrolled rounds of v <- normalize(C v) on the CENTERED
+    covariance C = sum_i (x_i - mu)(x_i - mu)^T, computed WITHOUT
+    materializing C or centering X, via the exact identity
+    (Cv)_d = sum_i x_id s_i - mu_d sum_i s_i  with  s_i = x_i . v
+    (uses sum_i x_id = n mu_d).  Distributed shape per round: ONE
+    whole-stage-codegen pass over the corpus -- s_i is a per-row
+    zip_with/aggregate fold (no UDF), and the 64 t_d sums + sum s_i are
+    a single map-side-combined global aggregate producing ONE row.  No
+    shuffle of the data at all, at any scale: a 1e9 x 64 matrix costs 3
+    scans (cacheable) and three O(dim) driver reductions.  The vector
+    itself is O(dim) driver state, the same bounded-collect contract as
+    the kmeans centroids (operators/similarity.py).
+
+    Cross-engine exactness (the house determinism discipline): every
+    cross-row sum routes through DECIMAL(38,18) (order-independent),
+    every per-row dot is the identical IEEE left fold on both engines
+    (Spark aggregate() == DuckDB list_reduce; 0.0 + x == x exactly),
+    decimal->double casts are correctly rounded on both, and the
+    between-round driver arithmetic (w_d = t_d - mu_d * S, v = w/||w||)
+    is plain double IEEE mirrored expression-for-expression by the
+    oracle's unrolled CTEs.  Init v0 = 1/sqrt(64) = 0.125 exactly.
+    Three fixed rounds make the result well-defined independent of
+    convergence (same contract as pagerank_parts_3iter); sign follows
+    deterministically from the init.
+
+    Reference parity: the reference has no linear-algebra operators
+    (linear pandas flows, DAG1:1-322); this extends the engine the way
+    corpus-scale embedding analysis needs."""
+    import math
+
+    emb = t(spark, sf_dir, "embeddings").select("embedding")
+    dec = "decimal(38,18)"
+    mu: list[float] | None = None
+    v = [0.125] * _PCA_DIM
+    for rnd in range(_PCA_ROUNDS):
+        vcol = F.array(*[F.lit(x) for x in v])
+        s_expr = F.aggregate(
+            F.zip_with("embedding", vcol, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ).alias("s")
+        aggs = [
+            F.sum(F.col("s").cast(dec)).alias("ss"),
+            *[
+                F.sum(
+                    (F.col("embedding")[d].cast("double") * F.col("s")).cast(dec)
+                ).alias(f"t{d}")
+                for d in range(_PCA_DIM)
+            ],
+        ]
+        if rnd == 0:
+            # column means ride the first round's single pass (mu is
+            # reused by every later round; identical decimal sums)
+            aggs += [
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.col("embedding")[d].cast("double").cast(dec)).alias(
+                        f"m{d}"
+                    )
+                    for d in range(_PCA_DIM)
+                ],
+            ]
+        row = emb.select("embedding", s_expr).agg(*aggs).collect()[0]
+        if rnd == 0:
+            mu = [float(row[f"m{d}"]) / row["n"] for d in range(_PCA_DIM)]
+        s_total = float(row["ss"])
+        w = [float(row[f"t{d}"]) - mu[d] * s_total for d in range(_PCA_DIM)]
+        norm = math.sqrt(sum(q * q for q in w))
+        v = [q / norm for q in w]
+    # publish rounded to 12 digits (the pagerank float-publishing
+    # discipline): decimal routing makes sums order-independent, but
+    # double->decimal cast TIES can still round differently across
+    # engines -- measured 1-ulp (~5.6e-17) deltas on 44/64 loadings
+    return spark.createDataFrame(
+        [(d, v[d]) for d in range(_PCA_DIM)], "dim bigint, loading double"
+    ).select("dim", F.round("loading", 12).alias("loading"))

@@ -1454,3 +1454,43 @@ def test_kcore_smooth_and_peel_collapses_deep_chains(spark, tmp_path):
     depth = path_len - 1
     rounds = ga.LAST_ROUNDS["kcore_parts"]
     assert rounds <= depth // 3, (rounds, depth)
+
+
+def test_pca_power_direction_is_unit_norm_and_improves_rayleigh(spark, sf_dir):
+    """Power-iteration invariants the oracle can't see: the published
+    direction is exactly unit-norm (12-digit published, 1e-9 bar), the
+    build is deterministic across two constructions, and the Rayleigh
+    quotient v'Cv of the result strictly dominates the uniform init's
+    (power iteration on a PSD matrix never decreases the quotient)."""
+    import math
+
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "embedding_pca_power", spark, sf_dir)
+    assert len(rows) == 64
+    v = [r.loading for r in sorted(rows, key=lambda r: r.dim)]
+    assert abs(math.sqrt(sum(q * q for q in v)) - 1.0) < 1e-9
+    rows2 = _rows(qs, "embedding_pca_power", spark, sf_dir)
+    assert sorted((r.dim, r.loading) for r in rows2) == sorted(
+        (r.dim, r.loading) for r in rows
+    )
+    X = [
+        list(map(float, r.embedding))
+        for r in read_parquet_table(spark, sf_dir, "embeddings").collect()
+    ]
+    n, dim = len(X), 64
+    mu = [sum(x[d] for x in X) / n for d in range(dim)]
+
+    def rayleigh(u):
+        nrm2 = sum(q * q for q in u)
+        tot = 0.0
+        for x in X:
+            s = sum((x[d] - mu[d]) * u[d] for d in range(dim))
+            tot += s * s
+        return tot / nrm2
+
+    v0 = [1.0] * dim
+    assert rayleigh(v) > rayleigh(v0)
