@@ -271,8 +271,19 @@ def derive_band_bits(
     else:
         w = max(16, min(max_band_bits, math.ceil((math.log2(n_docs) + 2) / 4) * 4))
     if hash_bits is not None:
-        # supply clamp: nibble-aligned share of the vote hash per band
-        w = min(w, (hash_bits // n_bands) // 4 * 4)
+        # supply clamp: nibble-aligned share of the vote hash per band.
+        # A supply too short for even the 16-bit floor fails LOUDLY --
+        # returning a sub-floor width would void the birthday bound the
+        # function exists to guarantee (same discipline as
+        # simhash_band_cols' budget check).
+        supply = (hash_bits // n_bands) // 4 * 4
+        if supply < 16:
+            raise ValueError(
+                f"hash_bits={hash_bits} cannot supply {n_bands} bands of the "
+                f"16-bit minimum width (per-band supply {supply}); use a "
+                f"longer vote hash or fewer bands"
+            )
+        w = min(w, supply)
     return w
 
 

@@ -5042,7 +5042,7 @@ def _pca_power_oracle() -> str:
                     i -> CAST(0.125 AS DOUBLE)) AS v)
     {rounds}
     SELECT CAST(u.dim AS BIGINT) AS dim,
-           round(v.v[u.dim + 1], 12) AS loading
+           round(v.v[u.dim + 1], 9) AS loading
     FROM v{_PCA_ROUNDS} v
     CROSS JOIN (SELECT unnest(range(0, {_PCA_DIM})) AS dim) u
     """
@@ -5088,7 +5088,9 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scale embedding analysis needs."""
     import math
 
-    emb = t(spark, sf_dir, "embeddings").select("embedding")
+    # cache across the _PCA_ROUNDS actions (iterative-loop discipline:
+    # each round's collect would otherwise rescan the parquet)
+    emb = t(spark, sf_dir, "embeddings").select("embedding").cache()
     dec = "decimal(38,18)"
     mu: list[float] | None = None
     v = [0.125] * _PCA_DIM
@@ -5127,10 +5129,14 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = [float(row[f"t{d}"]) - mu[d] * s_total for d in range(_PCA_DIM)]
         norm = math.sqrt(sum(q * q for q in w))
         v = [q / norm for q in w]
-    # publish rounded to 12 digits (the pagerank float-publishing
-    # discipline): decimal routing makes sums order-independent, but
-    # double->decimal cast TIES can still round differently across
-    # engines -- measured 1-ulp (~5.6e-17) deltas on 44/64 loadings
+    emb.unpersist()
+    # publish rounded to 9 digits (the pagerank float-publishing
+    # discipline, one notch coarser): decimal routing makes sums order-
+    # independent, but the engines' double->decimal casts still disagree
+    # by 1 ulp on ~2/3 of products (measured ~5.6e-17 loading deltas).
+    # Rounding is discontinuous, so absorption is probabilistic; at 9
+    # digits the flip chance per loading is ~1e-17/1e-9 = 1e-8 --
+    # negligible -- where 12 digits left it at ~1e-5 per loading.
     return spark.createDataFrame(
         [(d, v[d]) for d in range(_PCA_DIM)], "dim bigint, loading double"
-    ).select("dim", F.round("loading", 12).alias("loading"))
+    ).select("dim", F.round("loading", 9).alias("loading"))

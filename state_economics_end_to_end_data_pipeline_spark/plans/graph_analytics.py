@@ -294,59 +294,18 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment at corpus scale).
     """
     edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
-        .localCheckpoint()
-    )
-    # decimal accumulation: at 100 TB key ranges SUM(bigint ids) can wrap
-    # int64 silently in non-ANSI mode, and a wrapped potential could fake
-    # convergence -- decimal(38,0) makes the monotone test overflow-proof
-    pot_expr = F.sum(F.col("comp").cast("decimal(38,0)"))
-    potential = labels.agg(pot_expr).collect()[0][0]
-    for rnd in range(_CC_MAX_ROUNDS):
-        neigh_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("comp").alias("nmin"))
-        )
-        stepped = labels.join(neigh_min, "node", "left_outer").select(
-            "node", F.least("comp", "nmin").alias("comp")
-        )
-        # pointer doubling: chase one level of label indirection --
-        # comp'' = min(comp', L'(comp')).  Every comp value is a node id
-        # of the same component, so the lookup relation is `stepped`
-        # itself (narrow self-join on comp = node); min-distance
-        # traveled doubles per round => O(log diameter) rounds total.
-        lookup = stepped.select(
-            F.col("node").alias("ptr_node"), F.col("comp").alias("ptr_comp")
-        )
-        labels = (
-            stepped.join(lookup, stepped.comp == lookup.ptr_node, "left_outer")
-            .select(
-                "node",
-                F.least("comp", "ptr_comp").alias("comp"),
-            )
-            .localCheckpoint()
-        )
-        new_potential = labels.agg(pot_expr).collect()[0][0]
-        if new_potential == potential:
-            # rnd, not rnd+1: count only rounds that CHANGED labels, so
-            # the semantics match kcore_parts (rounds that peeled) and
-            # the SCALEUP depth table compares like with like
-            LAST_ROUNDS["graph_connected_components"] = rnd
-            break
-        potential = new_potential
-    else:
-        # cap exhaustion must fail LOUDLY: returning the current labels
-        # would silently publish partially-propagated (wrong) components
-        # on any graph with diameter > _CC_MAX_ROUNDS
-        raise RuntimeError(
-            f"graph_connected_components: potential still decreasing after "
-            f"{_CC_MAX_ROUNDS} rounds -- graph diameter exceeds the cap; "
-            f"raise _CC_MAX_ROUNDS rather than accept unconverged labels"
-        )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    rounds = [0]
+
+    def bump() -> None:
+        rounds[0] += 1
+
+    # the propagation loop itself lives in _min_label_components (ONE
+    # implementation, shared with kcore_parts' chain resolution): min-
+    # label + pointer doubling, decimal monotone-potential convergence,
+    # per-round localCheckpoint, loud cap exhaustion
+    labels = _min_label_components(nodes, edges, bump, cap=_CC_MAX_ROUNDS)
+    LAST_ROUNDS["graph_connected_components"] = rounds[0]
     return labels.groupBy(F.col("comp").cast("bigint").alias("component_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
@@ -373,21 +332,31 @@ def _mg_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def _min_label_components(nodes: DataFrame, und_edges: DataFrame, bump) -> DataFrame:
-    """Min-label connected components with pointer doubling -- the same
-    O(log diameter) shape as ``graph_connected_components``, reused as
-    the chain-resolution subroutine of ``kcore_parts``.  ``nodes`` is
-    (node); ``und_edges`` is one row per undirected edge (u, v);
-    returns (node, comp) with comp = the component's minimum node id.
-    ``bump()`` is called once per materialized round so the caller's
-    round ledger (LAST_ROUNDS) stays honest."""
-    both = und_edges.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionByName(und_edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+def _min_label_components(
+    nodes: DataFrame, both: DataFrame, bump, cap: int = _CHAIN_CC_CAP
+) -> DataFrame:
+    """Min-label connected components with pointer doubling: each round
+    every node takes the min of its own and its neighbors' labels, then
+    chases one level of label indirection (comp'' = min(comp',
+    L'(comp'))), so the distance a minimum can travel DOUBLES per round
+    -- O(log diameter) rounds to fixpoint.  THE single implementation:
+    ``graph_connected_components`` is a thin wrapper over it, and
+    ``kcore_parts`` calls it as the chain-resolution subroutine of the
+    compress step.  ``nodes`` is (node); ``both`` is the directed edge
+    list (src, dst), both directions present; returns (node, comp) with
+    comp = the component's minimum node id.  Convergence is the
+    monotone-potential discipline (decimal SUM of labels strictly
+    decreases until fixpoint -- decimal(38,0) so wrapped bigint sums can
+    never fake convergence); each round is localCheckpoint-materialized
+    (iterative-loop discipline, see graph_bfs_hops).  ``bump()`` fires
+    once per round that CHANGED labels -- the LAST_ROUNDS convention
+    every iterative entry shares, so depth-probe round counts compare
+    like with like.  Cap exhaustion raises rather than returning
+    partially-propagated labels."""
     labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
     pot_expr = F.sum(F.col("comp").cast("decimal(38,0)"))
     potential = labels.agg(pot_expr).collect()[0][0]
-    for _ in range(_CHAIN_CC_CAP):
+    for _ in range(cap):
         neigh = (
             both.join(labels, both.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
@@ -404,14 +373,15 @@ def _min_label_components(nodes: DataFrame, und_edges: DataFrame, bump) -> DataF
             .select("node", F.least("comp", "ptr_comp").alias("comp"))
             .localCheckpoint()
         )
-        bump()
         new_potential = labels.agg(pot_expr).collect()[0][0]
         if new_potential == potential:
             return labels
+        bump()
         potential = new_potential
     raise RuntimeError(
-        "_min_label_components: no fixpoint within the round cap -- "
-        f"component diameter exceeds ~2^{_CHAIN_CC_CAP}; raise _CHAIN_CC_CAP"
+        "_min_label_components: potential still decreasing after "
+        f"{cap} rounds -- component diameter exceeds the cap; raise it "
+        "rather than accept unconverged labels"
     )
 
 
@@ -583,8 +553,15 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         if chain_nodes.limit(1).count() > 0:
+            ce = chain_edges.select(
+                F.col("u").alias("src"), F.col("v").alias("dst")
+            )
             chained = _min_label_components(
-                chain_nodes, chain_edges.select("u", "v"), bump
+                chain_nodes,
+                ce.unionByName(
+                    ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                ),
+                bump,
             )
             labels = (
                 d2.join(chain_nodes, "node", "left_anti")

@@ -582,32 +582,29 @@ def test_simhash_bands_partition_the_wide_hash(spark, sf_dir):
     assert ham == 0
 
 
-def test_derive_band_bits_pins_the_scaling_law(spark):
-    """r9 verdict ask #3: the 100 TB simhash claim rests on the band
-    sizing law -- pin it at the corpus sizes the claim cites so a future
-    edit cannot silently break the pigeonhole-completeness argument.
-    Also pins the SUPPLY clamp: md5 feeds at most 128/4 = 32 bits per
-    band, so the 40-bit regime at 1e11 docs needs a 256-bit vote hash
-    (the function must say so via hash_bits, and simhash_band_cols
-    refuses to build past the md5 budget)."""
+def test_derive_band_bits_supply_clamp(spark):
+    """The hash-SUPPLY side of the band sizing law (the law itself is
+    pinned by test_derive_band_bits_scaling_law above): the vote hash
+    must provide n_bands * w independent bits, so hash_bits clamps the
+    derived width -- md5 (128 bits) tops out at 32-bit bands with 4
+    bands, the 40-bit regime at 1e11 docs needs sha256 -- and a clamp
+    that would push w below the 16-bit birthday floor raises rather
+    than silently return a saturating width. simhash_band_cols
+    enforces the same budget at expression-build time."""
     from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
         derive_band_bits,
         simhash_band_cols,
     )
 
-    # the law: w = ceil((log2 n + 2) / 4) * 4, clamped to [16, 60]
-    assert derive_band_bits(int(1e4)) == 16
-    assert derive_band_bits(int(6e5)) == 24  # the pinned catalog width
-    assert derive_band_bits(int(1e8)) == 32
-    assert derive_band_bits(int(1e11)) == 40  # the 100 TB point
-    for n in (1, 2, int(1e4), int(6e5), int(1e8), int(1e11), int(1e15), 2**200):
-        w = derive_band_bits(n)
-        assert 16 <= w <= 60  # per-band bigint ceiling
-        assert w % 4 == 0  # nibble-aligned (whole hex digits)
-    # supply clamp: 4 bands must fit the vote hash's bit budget
     assert derive_band_bits(int(1e11), hash_bits=128) == 32  # md5 exhausted
     assert derive_band_bits(int(1e11), hash_bits=256) == 40  # sha256 suffices
     assert 4 * derive_band_bits(int(1e11), hash_bits=256) <= 256
-    # and the expression builder enforces the same budget loudly
+    # a supply too short for even the 16-bit floor must fail LOUDLY:
+    # w below the floor voids the birthday bound the function exists for
+    with pytest.raises(ValueError):
+        derive_band_bits(int(1e6), hash_bits=48)  # 48/4 = 12 < 16
+    with pytest.raises(ValueError):
+        derive_band_bits(int(1e6), hash_bits=12)
+    # and the expression builder enforces the md5 budget loudly
     with pytest.raises(ValueError):
         simhash_band_cols(F.lit("00"), band_bits=40, n_bands=4)  # 160 > 128
