@@ -109,6 +109,14 @@ PROBES = [
     "compression_ratio_quality",
     "graph_neighbor_jaccard",
     "twap_user_value",
+    # round 10: the h-index coreness iteration (rounds bounded by value
+    # deltas, one edge join + window per round), the power-iteration PCA
+    # (three shuffle-free map-side-combined passes -- should be nearly
+    # flat), and the value-hashed raw-length companion (same mapInPandas
+    # pass as compression_ratio_quality minus the zlib column)
+    "coreness_hindex",
+    "embedding_pca_power",
+    "compression_ratio_rawlen",
 ]
 
 REPLICAS = 10
