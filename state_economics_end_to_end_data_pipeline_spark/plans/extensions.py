@@ -4988,34 +4988,55 @@ def compression_ratio_rawlen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PCA_DIM = 64
 _PCA_ROUNDS = 3
+_PCA_SNAP = 1_000_000.0  # micro-unit input/score quantization (see docstring)
 
 
 def _pca_round_sql(prev_v: str, r: int) -> str:
-    """One unrolled power-iteration round in DuckDB: s = X v (per-row
-    left-fold dot, same IEEE order as Spark's aggregate()), then the
-    centered matvec (Cv)_d = sum_i x_id s_i - mu_d * sum_i s_i (exact
-    identity: sum_i x_id = n mu_d), decimal-routed sums, then
-    normalization by the left-fold 2-norm."""
+    """One unrolled power-iteration round in DuckDB, mirroring the
+    engine's arithmetic EXACTLY (docs/DETERMINISM.md rules 2/3/6/7/8):
+    s = X v as a per-row left-fold dot (same IEEE order as Spark's
+    aggregate()), snapped to micro-int via floor(x*1e6 + 0.5) (rule 7:
+    floor(x+0.5), never round()); the centered matvec numerator
+    n*t_d - m_d*S in exact int128 (HUGEINT -- DECIMAL(38,0)*DECIMAL(38,0)
+    would silently promote to DOUBLE, measured); then int->double via
+    the sign/2^48/2^24 split (rule 3: DuckDB's wide-int->double cast
+    double-rounds; three correctly-rounded IEEE ops are engine-exact),
+    and the left-fold 2-norm."""
+    dot = (
+        f"list_reduce(list_transform(range(1, {_PCA_DIM} + 1), "
+        f"i -> CAST(e.embedding[i] AS DOUBLE) * v.v[i]), (x, y) -> x + y)"
+    )
+    xm = (
+        "CAST(floor(CAST(embedding[u.dim + 1] AS DOUBLE) * 1000000.0 + 0.5) "
+        "AS BIGINT)"
+    )
     return f"""
     s{r} AS (
-      SELECT e.vec_id, e.embedding,
-             list_reduce(list_transform(range(1, {_PCA_DIM} + 1),
-               i -> CAST(e.embedding[i] AS DOUBLE) * v.v[i]), (x, y) -> x + y) AS s
+      SELECT e.embedding,
+             CAST(floor({dot} * 1000000.0 + 0.5) AS BIGINT) AS sn
       FROM embeddings e CROSS JOIN {prev_v} v
     ),
     a{r} AS (
-      SELECT u.dim,
-             SUM(CAST(CAST(embedding[u.dim + 1] AS DOUBLE) * s
-                 AS DECIMAL(38,18))) AS t
+      SELECT u.dim, SUM({xm} * sn) AS t
       FROM s{r} CROSS JOIN (SELECT unnest(range(0, {_PCA_DIM})) AS dim) u
       GROUP BY u.dim
     ),
-    ssum{r} AS (SELECT SUM(CAST(s AS DECIMAL(38,18))) AS ss FROM s{r}),
+    ss{r} AS (SELECT SUM(sn) AS ss, CAST(COUNT(*) AS HUGEINT) AS n FROM s{r}),
     w{r} AS (
-      SELECT a.dim, CAST(a.t AS DOUBLE) - m.mu * CAST(ss.ss AS DOUBLE) AS w
-      FROM a{r} a JOIN mu m ON m.dim = a.dim CROSS JOIN ssum{r} ss
+      SELECT a.dim,
+             ss.n * CAST(a.t AS HUGEINT)
+               - CAST(mu.m AS HUGEINT) * CAST(ss.ss AS HUGEINT) AS wi
+      FROM a{r} a JOIN mu ON mu.dim = a.dim CROSS JOIN ss{r} ss
     ),
-    wl{r} AS (SELECT list(w ORDER BY dim) AS wl FROM w{r}),
+    wd{r} AS (
+      SELECT dim,
+        (CASE WHEN wi < 0 THEN -1.0 ELSE 1.0 END) * (
+          CAST(abs(wi) // 281474976710656 AS DOUBLE) * 281474976710656.0
+          + CAST((abs(wi) % 281474976710656) // 16777216 AS DOUBLE) * 16777216.0
+          + CAST(abs(wi) % 16777216 AS DOUBLE)) AS w
+      FROM w{r}
+    ),
+    wl{r} AS (SELECT list(w ORDER BY dim) AS wl FROM wd{r}),
     v{r} AS (
       SELECT list_transform(wl, e -> e / sqrt(list_reduce(
                list_transform(wl, q -> q * q), (x, y) -> x + y))) AS v
@@ -5029,23 +5050,34 @@ def _pca_power_oracle() -> str:
         "," + _pca_round_sql(f"v{r - 1}", r) for r in range(1, _PCA_ROUNDS + 1)
     )
     return f"""
-    WITH nrows AS (SELECT COUNT(*) AS n FROM embeddings),
-    mu AS (
+    WITH mu AS (
       SELECT u.dim,
-             CAST(SUM(CAST(CAST(embedding[u.dim + 1] AS DOUBLE)
-                 AS DECIMAL(38,18))) AS DOUBLE) / n.n AS mu
+             SUM(CAST(floor(CAST(embedding[u.dim + 1] AS DOUBLE)
+                 * 1000000.0 + 0.5) AS BIGINT)) AS m
       FROM embeddings CROSS JOIN (SELECT unnest(range(0, {_PCA_DIM})) AS dim) u
-      CROSS JOIN nrows n
-      GROUP BY u.dim, n.n
+      GROUP BY u.dim
     ),
     v0 AS (SELECT list_transform(range(1, {_PCA_DIM} + 1),
                     i -> CAST(0.125 AS DOUBLE)) AS v)
     {rounds}
-    SELECT CAST(u.dim AS BIGINT) AS dim,
-           round(v.v[u.dim + 1], 9) AS loading
+    SELECT CAST(u.dim AS BIGINT) AS dim, v.v[u.dim + 1] AS loading
     FROM v{_PCA_ROUNDS} v
     CROSS JOIN (SELECT unnest(range(0, {_PCA_DIM})) AS dim) u
     """
+
+
+def _wide_int_to_double(wi: int) -> float:
+    """Exact-integer -> double conversion both engines reproduce
+    bit-identically (DETERMINISM.md rule 3): sign * (h2*2^48 + h1*2^24
+    + lo), each chunk < 2^53 so its own conversion is exact, and the
+    three IEEE multiply/adds are correctly rounded by spec on both
+    sides. A single direct cast of an int128-sized value is NOT safe:
+    DuckDB's wide-int path double-rounds (observed 1-ulp skew)."""
+    sign = -1.0 if wi < 0 else 1.0
+    a = abs(wi)
+    h2, rem = divmod(a, 1 << 48)
+    h1, lo = divmod(rem, 1 << 24)
+    return sign * (float(h2) * 2.0**48 + float(h1) * 2.0**24 + float(lo))
 
 
 @register("embedding_pca_power", eager_build=True, oracle=_pca_power_oracle())
@@ -5060,28 +5092,45 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Three unrolled rounds of v <- normalize(C v) on the CENTERED
     covariance C = sum_i (x_i - mu)(x_i - mu)^T, computed WITHOUT
-    materializing C or centering X, via the exact identity
-    (Cv)_d = sum_i x_id s_i - mu_d sum_i s_i  with  s_i = x_i . v
-    (uses sum_i x_id = n mu_d).  Distributed shape per round: ONE
-    whole-stage-codegen pass over the corpus -- s_i is a per-row
-    zip_with/aggregate fold (no UDF), and the 64 t_d sums + sum s_i are
-    a single map-side-combined global aggregate producing ONE row.  No
-    shuffle of the data at all, at any scale: a 1e9 x 64 matrix costs 3
-    scans (cacheable) and three O(dim) driver reductions.  The vector
-    itself is O(dim) driver state, the same bounded-collect contract as
-    the kmeans centroids (operators/similarity.py).
+    materializing C or centering X.  With micro-quantized inputs and
+    scores (x~_id = floor(x_id * 1e6 + 0.5), s~_i = floor((x_i . v)
+    * 1e6 + 0.5)) the centered-matvec numerator is the EXACT integer
+        w_d  (prop to)  n * sum_i x~_id s~_i  -  m_d * sum_i s~_i
+    (m_d = sum_i x~_id; the identity sum_i x_id = n mu_d multiplied
+    through by n -- normalization absorbs the scale).  Quantization at
+    1e-6 on unit-scale embeddings perturbs the direction ~1e-6, far
+    below estimation noise -- the same scaled-integer trade the
+    seasonal-decompose/ACF entries make (docs/DETERMINISM.md).
 
-    Cross-engine exactness (the house determinism discipline): every
-    cross-row sum routes through DECIMAL(38,18) (order-independent),
-    every per-row dot is the identical IEEE left fold on both engines
-    (Spark aggregate() == DuckDB list_reduce; 0.0 + x == x exactly),
-    decimal->double casts are correctly rounded on both, and the
-    between-round driver arithmetic (w_d = t_d - mu_d * S, v = w/||w||)
-    is plain double IEEE mirrored expression-for-expression by the
-    oracle's unrolled CTEs.  Init v0 = 1/sqrt(64) = 0.125 exactly.
-    Three fixed rounds make the result well-defined independent of
-    convergence (same contract as pagerank_parts_3iter); sign follows
-    deterministically from the init.
+    Distributed shape per round: ONE whole-stage-codegen pass over the
+    corpus -- s~_i is a per-row zip_with/aggregate fold (no UDF), and
+    the 64 integer t_d sums + S + (first round only) the 64 m_d sums
+    are a single map-side-combined global aggregate producing ONE row.
+    No shuffle of the data at all, at any scale: a 1e9 x 64 matrix
+    costs 3 cached scans and three O(dim) driver reductions.  The
+    vector itself is O(dim) driver state, the same bounded-collect
+    contract as the kmeans centroids (operators/similarity.py).
+
+    Cross-engine BIT-EXACTNESS (no published rounding at all): every
+    cross-row sum is an exact integer routed through decimal/HUGEINT
+    (order-independent); the per-row dot is the identical IEEE left
+    fold on both engines (Spark aggregate() == DuckDB list_reduce);
+    snapping uses floor(x + 0.5), deterministic on both (rule 7);
+    the wide integer w_d converts to double via the rule-3 hi/lo split
+    (`_wide_int_to_double`, mirrored term-for-term in the oracle's
+    wd CTE); normalization is sqrt/div, correctly rounded by IEEE
+    spec (rule 19).  Init v0 = 1/sqrt(64) = 0.125 exactly.  The first
+    draft cast double PRODUCTS to DECIMAL(38,18) and measured the
+    rule-2 hazard live: 1-ulp engine skew on 44/64 loadings -- the
+    integer redesign eliminates it (prototype: 64/64 loadings
+    bit-equal).  Three fixed rounds make the result well-defined
+    independent of convergence (same contract as pagerank_parts_3iter);
+    sign follows deterministically from the init.
+
+    Bounds: |x| <= ~0.6, |s| <= sqrt(64) at unit v, so the bigint
+    product x~ * s~ is < 2^63 with ~10^5 headroom; per-dim sums are
+    decimal(38,0) (engine) / HUGEINT (oracle), exact to 1e38 -- at
+    n = 1e9 rows the numerator is ~1e26, five orders inside int128.
 
     Reference parity: the reference has no linear-algebra operators
     (linear pandas flows, DAG1:1-322); this extends the engine the way
@@ -5091,8 +5140,15 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache across the _PCA_ROUNDS actions (iterative-loop discipline:
     # each round's collect would otherwise rescan the parquet)
     emb = t(spark, sf_dir, "embeddings").select("embedding").cache()
-    dec = "decimal(38,18)"
-    mu: list[float] | None = None
+    dec = "decimal(38,0)"
+
+    def xm(d: int):
+        return F.floor(
+            F.col("embedding")[d].cast("double") * F.lit(_PCA_SNAP) + F.lit(0.5)
+        )
+
+    m_ints: list[int] = []
+    n = 0
     v = [0.125] * _PCA_DIM
     for rnd in range(_PCA_ROUNDS):
         vcol = F.array(*[F.lit(x) for x in v])
@@ -5100,43 +5156,33 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with("embedding", vcol, lambda a, b: a.cast("double") * b),
             F.lit(0.0),
             lambda acc, y: acc + y,
-        ).alias("s")
+        )
+        sn = F.floor(s_expr * F.lit(_PCA_SNAP) + F.lit(0.5)).alias("sn")
         aggs = [
-            F.sum(F.col("s").cast(dec)).alias("ss"),
+            F.sum(F.col("sn").cast(dec)).alias("ss"),
             *[
-                F.sum(
-                    (F.col("embedding")[d].cast("double") * F.col("s")).cast(dec)
-                ).alias(f"t{d}")
+                F.sum((xm(d) * F.col("sn")).cast(dec)).alias(f"t{d}")
                 for d in range(_PCA_DIM)
             ],
         ]
         if rnd == 0:
-            # column means ride the first round's single pass (mu is
-            # reused by every later round; identical decimal sums)
+            # column sums m_d and n ride the first round's single pass
             aggs += [
                 F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.col("embedding")[d].cast("double").cast(dec)).alias(
-                        f"m{d}"
-                    )
-                    for d in range(_PCA_DIM)
-                ],
+                *[F.sum(xm(d).cast(dec)).alias(f"m{d}") for d in range(_PCA_DIM)],
             ]
-        row = emb.select("embedding", s_expr).agg(*aggs).collect()[0]
+        row = emb.select("embedding", sn).agg(*aggs).collect()[0]
         if rnd == 0:
-            mu = [float(row[f"m{d}"]) / row["n"] for d in range(_PCA_DIM)]
-        s_total = float(row["ss"])
-        w = [float(row[f"t{d}"]) - mu[d] * s_total for d in range(_PCA_DIM)]
-        norm = math.sqrt(sum(q * q for q in w))
-        v = [q / norm for q in w]
+            n = int(row["n"])
+            m_ints = [int(row[f"m{d}"]) for d in range(_PCA_DIM)]
+        ss = int(row["ss"])
+        wd = [
+            _wide_int_to_double(n * int(row[f"t{d}"]) - m_ints[d] * ss)
+            for d in range(_PCA_DIM)
+        ]
+        norm = math.sqrt(sum(q * q for q in wd))
+        v = [q / norm for q in wd]
     emb.unpersist()
-    # publish rounded to 9 digits (the pagerank float-publishing
-    # discipline, one notch coarser): decimal routing makes sums order-
-    # independent, but the engines' double->decimal casts still disagree
-    # by 1 ulp on ~2/3 of products (measured ~5.6e-17 loading deltas).
-    # Rounding is discontinuous, so absorption is probabilistic; at 9
-    # digits the flip chance per loading is ~1e-17/1e-9 = 1e-8 --
-    # negligible -- where 12 digits left it at ~1e-5 per loading.
     return spark.createDataFrame(
         [(d, v[d]) for d in range(_PCA_DIM)], "dim bigint, loading double"
-    ).select("dim", F.round("loading", 9).alias("loading"))
+    )

@@ -1458,10 +1458,13 @@ def test_kcore_smooth_and_peel_collapses_deep_chains(spark, tmp_path):
 
 def test_pca_power_direction_is_unit_norm_and_improves_rayleigh(spark, sf_dir):
     """Power-iteration invariants the oracle can't see: the published
-    direction is exactly unit-norm (12-digit published, 1e-9 bar), the
-    build is deterministic across two constructions, and the Rayleigh
-    quotient v'Cv of the result strictly dominates the uniform init's
-    (power iteration on a PSD matrix never decreases the quotient)."""
+    direction is unit-norm to machine epsilon (raw doubles, no
+    rounding -- the scaled-integer design is bit-exact cross-engine),
+    the build is deterministic across two constructions, and the
+    Rayleigh quotient v'Cv of the result strictly dominates the uniform
+    init's (power iteration on a PSD matrix never decreases the
+    quotient; computed here on the UNquantized data, so it also bounds
+    the 1e-6 quantization perturbation)."""
     import math
 
     from state_economics_end_to_end_data_pipeline_spark.io.readers import (
