@@ -118,12 +118,19 @@ def _persist_full_bench(payload: dict) -> None:
         stamped = dict(payload)
         stamped["load_avg_1m"] = round(os.getloadavg()[0], 2)
         stamped["cpus"] = os.cpu_count()
-        out = repo / "docs" / f"BENCH_LOCAL_r{rnd:02d}.json"
-        if out.exists():
+        def read_record_or_none(p: Path):
+            # shared corrupt-record guard: a malformed JSON file must
+            # never crash persist after a full bench run
+            if not p.exists():
+                return None
             try:
-                old = json.loads(out.read_text())
+                return json.loads(p.read_text())
             except ValueError:
-                old = None
+                return None
+
+        out = repo / "docs" / f"BENCH_LOCAL_r{rnd:02d}.json"
+        old = read_record_or_none(out)
+        if out.exists():
             if (
                 isinstance(old, dict)
                 and isinstance(old.get("queries"), dict)
@@ -138,14 +145,7 @@ def _persist_full_bench(payload: dict) -> None:
                     f"writing {out.name} instead",
                     file=sys.stderr,
                 )
-                # same ValueError guard as the primary record: a corrupt
-                # side file must not crash persist after a full bench run
-                old = None
-                if out.exists():
-                    try:
-                        old = json.loads(out.read_text())
-                    except ValueError:
-                        old = None
+                old = read_record_or_none(out)
             if isinstance(old, dict) and isinstance(old.get("queries"), dict):
                 oldq = old["queries"]
                 newq = stamped["queries"]

@@ -5150,39 +5150,46 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_ints: list[int] = []
     n = 0
     v = [0.125] * _PCA_DIM
-    for rnd in range(_PCA_ROUNDS):
-        vcol = F.array(*[F.lit(x) for x in v])
-        s_expr = F.aggregate(
-            F.zip_with("embedding", vcol, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, y: acc + y,
-        )
-        sn = F.floor(s_expr * F.lit(_PCA_SNAP) + F.lit(0.5)).alias("sn")
-        aggs = [
-            F.sum(F.col("sn").cast(dec)).alias("ss"),
-            *[
-                F.sum((xm(d) * F.col("sn")).cast(dec)).alias(f"t{d}")
-                for d in range(_PCA_DIM)
-            ],
-        ]
-        if rnd == 0:
-            # column sums m_d and n ride the first round's single pass
-            aggs += [
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(xm(d).cast(dec)).alias(f"m{d}") for d in range(_PCA_DIM)],
+    try:
+        for rnd in range(_PCA_ROUNDS):
+            vcol = F.array(*[F.lit(x) for x in v])
+            s_expr = F.aggregate(
+                F.zip_with("embedding", vcol, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            )
+            sn = F.floor(s_expr * F.lit(_PCA_SNAP) + F.lit(0.5)).alias("sn")
+            aggs = [
+                F.sum(F.col("sn").cast(dec)).alias("ss"),
+                *[
+                    F.sum((xm(d) * F.col("sn")).cast(dec)).alias(f"t{d}")
+                    for d in range(_PCA_DIM)
+                ],
             ]
-        row = emb.select("embedding", sn).agg(*aggs).collect()[0]
-        if rnd == 0:
-            n = int(row["n"])
-            m_ints = [int(row[f"m{d}"]) for d in range(_PCA_DIM)]
-        ss = int(row["ss"])
-        wd = [
-            _wide_int_to_double(n * int(row[f"t{d}"]) - m_ints[d] * ss)
-            for d in range(_PCA_DIM)
-        ]
-        norm = math.sqrt(sum(q * q for q in wd))
-        v = [q / norm for q in wd]
-    emb.unpersist()
+            if rnd == 0:
+                # column sums m_d and n ride the first round's single pass
+                aggs += [
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(xm(d).cast(dec)).alias(f"m{d}")
+                        for d in range(_PCA_DIM)
+                    ],
+                ]
+            row = emb.select("embedding", sn).agg(*aggs).collect()[0]
+            if rnd == 0:
+                n = int(row["n"])
+                m_ints = [int(row[f"m{d}"]) for d in range(_PCA_DIM)]
+            ss = int(row["ss"])
+            wd = [
+                _wide_int_to_double(n * int(row[f"t{d}"]) - m_ints[d] * ss)
+                for d in range(_PCA_DIM)
+            ]
+            norm = math.sqrt(sum(q * q for q in wd))
+            v = [q / norm for q in wd]
+    finally:
+        # a failed mid-round action must not leave cached blocks pinned
+        # for the rest of a long bench/sweep session
+        emb.unpersist()
     return spark.createDataFrame(
         [(d, v[d]) for d in range(_PCA_DIM)], "dim bigint, loading double"
     )

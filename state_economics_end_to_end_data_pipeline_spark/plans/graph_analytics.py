@@ -645,6 +645,9 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(new_edges)
             .localCheckpoint()
         )
+        # keep the accumulator's plan flat too (iterative-loop
+        # discipline): it gains ~2 union branches per contraction
+        done = done.localCheckpoint()
     else:
         raise RuntimeError(
             f"kcore_parts: smooth-and-peel did not reach fixpoint within "
