@@ -5135,6 +5135,19 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference has no linear-algebra operators
     (linear pandas flows, DAG1:1-322); this extends the engine the way
     corpus-scale embedding analysis needs."""
+    v, _, _ = _pca_power_vector(spark, sf_dir)
+    return spark.createDataFrame(
+        [(d, v[d]) for d in range(_PCA_DIM)], "dim bigint, loading double"
+    )
+
+
+def _pca_power_vector(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[float], list[int], int]:
+    """The driver computation behind ``embedding_pca_power`` (and reused
+    by ``embedding_anisotropy_abtt``): returns (v, m_ints, n) -- the
+    unit top-direction after _PCA_ROUNDS power rounds, the exact
+    micro-snapped per-dim column sums, and the row count."""
     import math
 
     # cache across the _PCA_ROUNDS actions (iterative-loop discipline:
@@ -5190,6 +5203,167 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a failed mid-round action must not leave cached blocks pinned
         # for the rest of a long bench/sweep session
         emb.unpersist()
-    return spark.createDataFrame(
-        [(d, v[d]) for d in range(_PCA_DIM)], "dim bigint, loading double"
+    return v, m_ints, n
+
+
+_ABTT_QUERY_CAP = 50  # sampled query set: 50 vectors -> 1225 pairs, bounded
+
+
+def _abtt_oracle() -> str:
+    """Composes the full unrolled power iteration (shared CTE text with
+    ``_pca_power_oracle``) with the all-but-the-top projection and the
+    nano-snapped pairwise-cosine sums.  Every per-pair cosine is the
+    identical IEEE expression on both engines (_cos_sql == the
+    operators.similarity fold shape, proven by embedding_cosine_topk);
+    cross-row aggregation is exact integers only."""
+    rounds = "".join(
+        "," + _pca_round_sql(f"v{r - 1}", r) for r in range(1, _PCA_ROUNDS + 1)
+    )
+    idx = f"range(1, {_PCA_DIM} + 1)"
+    return f"""
+    WITH mu AS (
+      SELECT u.dim,
+             SUM(CAST(floor(CAST(embedding[u.dim + 1] AS DOUBLE)
+                 * 1000000.0 + 0.5) AS BIGINT)) AS m
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, {_PCA_DIM})) AS dim) u
+      GROUP BY u.dim
+    ),
+    v0 AS (SELECT list_transform({idx}, i -> CAST(0.125 AS DOUBLE)) AS v)
+    {rounds},
+    mud AS (
+      SELECT list(CAST(mu.m AS DOUBLE) / (CAST(ss1.n AS DOUBLE) * 1000000.0)
+                  ORDER BY mu.dim) AS mu
+      FROM mu CROSS JOIN ss1 GROUP BY ss1.n
+    ),
+    q AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id < {_ABTT_QUERY_CAP}),
+    pc AS (
+      SELECT vec_id, embedding,
+             list_transform({idx},
+               i -> CAST(embedding[i] AS DOUBLE) - mud.mu[i]) AS xc
+      FROM q CROSS JOIN mud
+    ),
+    pj AS (
+      SELECT vec_id, embedding, xc,
+             list_reduce(list_transform({idx}, i -> xc[i] * v.v[i]),
+                         (x, y) -> x + y) AS proj
+      FROM pc CROSS JOIN v{_PCA_ROUNDS} v
+    ),
+    pp AS (
+      SELECT vec_id, embedding,
+             list_transform({idx}, i -> xc[i] - proj * v.v[i]) AS xp
+      FROM pj CROSS JOIN v{_PCA_ROUNDS} v
+    ),
+    prs AS (
+      SELECT {_cos_sql('a.embedding', 'b.embedding')} AS cr,
+             {_cos_sql('a.xp', 'b.xp')} AS cp
+      FROM pp a JOIN pp b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(floor(cr * 1000000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cos_nano_raw,
+           CAST(SUM(CAST(floor(cp * 1000000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cos_nano_abtt
+    FROM prs
+    """
+
+
+@register("embedding_anisotropy_abtt", eager_build=True, oracle=_abtt_oracle())
+def embedding_anisotropy_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-BUT-THE-TOP embedding postprocessing (Mu & Viswanath, ICLR
+    2018), measured as an anisotropy diagnostic: embedding spaces are
+    notoriously anisotropic -- random pairs have systematically positive
+    cosine because every vector shares the mean offset and a dominant
+    direction -- and the standard cheap fix is x' = (x - mu) minus its
+    projection on the top principal component.  This entry removes
+    exactly that (mu and v reused from the power iteration,
+    ``_pca_power_vector`` -- one computation, two entries) and reports
+    the mean pairwise cosine over a fixed 50-vector query sample
+    (_ABTT_QUERY_CAP -> 1225 pairs) BEFORE and AFTER, published as
+    exact nano-snapped integer sums (n_pairs, sum_cos_nano_raw,
+    sum_cos_nano_abtt) so the oracle match is bit-exact with no float
+    hashing at all.  On real embedding corpora the postprocessed mean
+    sits closer to zero; the SYNTHETIC fixture is already isotropic
+    (measured mean pairwise cosine within +-0.004 at every SF), so the
+    pytest invariant pins the operator's ALGEBRAIC contract instead --
+    xp is orthogonal to the removed direction, the projection changed
+    the statistic -- never the data-dependent improvement direction
+    (tests/test_diagnostics_entries.py::test_abtt_projection_contract).
+
+    Distributed shape: the corpus-wide statistics (mu, v) come from the
+    power iteration's shuffle-free passes; the diagnostic itself stages
+    xc -> proj -> xp as ATTRIBUTE REFS before the pair join (house HOF
+    discipline: Catalyst skips CSE inside lambdas, so un-staged arrays
+    re-fold once per PAIR instead of once per row), then one bounded
+    50x50 broadcast self-join and a single global integer aggregate.
+    At 100 TB the sample stays O(1) by construction while mu/v remain
+    exact corpus-wide statistics.
+
+    Cross-engine exactness: mu_d = m_d / (n * 1e6) is one correctly-
+    rounded division of exact operands; xc/proj/xp and both cosines are
+    identical IEEE expression trees (the fold shapes proven by
+    embedding_pca_power and embedding_cosine_topk); per-pair cosines
+    snap via floor(cos * 1e9 + 0.5) (DETERMINISM rule 7) and sum as
+    exact integers (rule 20 discipline).
+
+    Reference parity: no linear-algebra or embedding operators in the
+    reference (DAG1:1-322); see the module docstring."""
+    from ..operators.similarity import cosine, dot
+
+    v, m_ints, n = _pca_power_vector(spark, sf_dir)
+    mu_list = [float(m) / (n * 1e6) for m in m_ints]
+    v_lit = F.array(*[F.lit(x) for x in v])
+    mu_lit = F.array(*[F.lit(x) for x in mu_list])
+
+    q = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _ABTT_QUERY_CAP)
+        .select("vec_id", "embedding")
+    )
+    staged = q.select(
+        "vec_id",
+        "embedding",
+        F.zip_with("embedding", mu_lit, lambda a, b: a.cast("double") - b).alias(
+            "xc"
+        ),
+    )
+    staged = staged.select(
+        "vec_id",
+        "embedding",
+        "xc",
+        F.aggregate(
+            F.zip_with("xc", v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ).alias("proj"),
+    )
+    staged = staged.select(
+        "vec_id",
+        "embedding",
+        F.zip_with("xc", v_lit, lambda a, b: a - F.col("proj") * b).alias("xp"),
+    )
+    a = staged.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("emb_a"),
+        F.col("xp").alias("xp_a"),
+    )
+    b = staged.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("emb_b"),
+        F.col("xp").alias("xp_b"),
+    )
+    pairs = a.join(b, F.col("ida") < F.col("idb")).select(
+        cosine(F.col("emb_a"), F.col("emb_b")).alias("cr"),
+        cosine(F.col("xp_a"), F.col("xp_b")).alias("cp"),
+    )
+    dec = "decimal(38,0)"
+    nano = 1_000_000_000.0
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.floor(F.col("cr") * F.lit(nano) + F.lit(0.5)).cast(dec))
+        .cast("bigint")
+        .alias("sum_cos_nano_raw"),
+        F.sum(F.floor(F.col("cp") * F.lit(nano) + F.lit(0.5)).cast(dec))
+        .cast("bigint")
+        .alias("sum_cos_nano_abtt"),
     )

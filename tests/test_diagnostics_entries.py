@@ -1497,3 +1497,43 @@ def test_pca_power_direction_is_unit_norm_and_improves_rayleigh(spark, sf_dir):
 
     v0 = [1.0] * dim
     assert rayleigh(v) > rayleigh(v0)
+
+
+def test_abtt_projection_contract(spark, sf_dir):
+    """The all-but-the-top ALGEBRAIC contract (the data-dependent
+    'reduces anisotropy' claim is NOT pinned: the synthetic embeddings
+    are already isotropic -- measured mean pairwise cosine within
+    +-0.004 at every SF -- so the improvement direction is noise there,
+    while real corpora are the anisotropic case the operator exists
+    for). Pinned instead: pair count = C(sample, 2); both means are
+    valid cosines; the projection changed the statistic; and every
+    postprocessed vector is orthogonal to the removed top direction
+    (dot(xp, v) = (xc.v)(1 - ||v||^2) ~ 0), recomputed independently
+    driver-side."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.plans.extensions import (
+        _ABTT_QUERY_CAP,
+        _pca_power_vector,
+    )
+
+    qs = load_all()
+    [r] = _rows(qs, "embedding_anisotropy_abtt", spark, sf_dir)
+    assert r.n_pairs == _ABTT_QUERY_CAP * (_ABTT_QUERY_CAP - 1) // 2
+    mean_raw = r.sum_cos_nano_raw / 1e9 / r.n_pairs
+    mean_abtt = r.sum_cos_nano_abtt / 1e9 / r.n_pairs
+    assert -1.0 <= mean_abtt <= 1.0 and -1.0 <= mean_raw <= 1.0
+    assert r.sum_cos_nano_abtt != r.sum_cos_nano_raw  # projection acted
+    v, m_ints, n = _pca_power_vector(spark, sf_dir)
+    mu = [float(m) / (n * 1e6) for m in m_ints]
+    sample = (
+        read_parquet_table(spark, sf_dir, "embeddings")
+        .filter(f"vec_id < {_ABTT_QUERY_CAP}")
+        .collect()
+    )
+    for row in sample:
+        xc = [float(x) - mu[d] for d, x in enumerate(row.embedding)]
+        proj = sum(a * b for a, b in zip(xc, v))
+        xp = [a - proj * b for a, b in zip(xc, v)]
+        assert abs(sum(a * b for a, b in zip(xp, v))) < 1e-9

@@ -117,6 +117,9 @@ PROBES = [
     "coreness_hindex",
     "embedding_pca_power",
     "compression_ratio_rawlen",
+    # the abtt diagnostic: corpus stats ride the PCA passes, the pair
+    # sample is O(1) by construction -- should be nearly flat
+    "embedding_anisotropy_abtt",
 ]
 
 REPLICAS = 10
