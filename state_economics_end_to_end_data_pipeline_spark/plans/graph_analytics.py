@@ -229,6 +229,128 @@ def pagerank_parts_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("part"), F.round("rank", 12).alias("rank"))
 
 
+def _ppr_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PERSONALIZED PageRank iteration: teleport mass goes
+    to the seed only (is_seed carried on the rank relation), contrib
+    sums decimal-exact like ``_iter_sql``."""
+    return f"""
+    {out} AS (
+      SELECT p.node,
+             CAST({(1 - _DAMP)!r} AS DOUBLE) * p.is_seed
+               + CAST({_DAMP!r} AS DOUBLE)
+                 * COALESCE(CAST(s.contrib AS DOUBLE), 0.0) AS rank,
+             p.is_seed
+      FROM {prev} p
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               SUM(CAST(pp.rank / d.outdeg AS DECIMAL(38,18))) AS contrib
+        FROM edges e
+        JOIN {prev} pp ON e.src = pp.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) s ON s.node = p.node
+    )
+    """
+
+
+@register(
+    "ppr_parts_3iter",
+    oracle=f"""
+    WITH {_pair_edges_sql(threshold=2)},
+    seed AS (SELECT src AS node FROM deg ORDER BY outdeg DESC, src LIMIT 1),
+    p0 AS (
+      SELECT nodes.node,
+             CASE WHEN nodes.node = seed.node
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS rank,
+             CASE WHEN nodes.node = seed.node THEN 1 ELSE 0 END AS is_seed
+      FROM nodes CROSS JOIN seed
+    ),
+    {_ppr_iter_sql('p0', 'p1')},
+    {_ppr_iter_sql('p1', 'p2')},
+    {_ppr_iter_sql('p2', 'p3')}
+    SELECT node AS part, round(rank, 12) AS rank FROM p3 WHERE rank > 0
+    """,
+)
+def ppr_parts_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (3 iterations, d=0.85, restart at the
+    hub part): the graph-retrieval twin of ``pagerank_parts_3iter`` --
+    teleport mass returns to ONE seed instead of spreading uniformly,
+    so the stationary mass measures proximity TO THE SEED (the
+    'similar items via random walk' primitive behind co-purchase
+    recommendation and GraphSAGE-style neighborhood sampling).  The
+    seed is chosen in-plan (argmax degree, min-id tie-break,
+    broadcast 1-row join -- no driver collect), carried as an is_seed
+    flag on the narrow rank relation; each iteration is the same
+    edges-join + decimal-exact contribution aggregate as global
+    PageRank (one shuffle per round over the edge relation), and the
+    zero-mass tail is dropped at publish (rank > 0: nodes beyond 3
+    hops of the seed -- keeps the result proportional to the seed's
+    neighborhood at any graph size, exactly what a retrieval consumer
+    wants).  Lazy 3-round unroll like pagerank (the rank relation is
+    referenced once per round -- linear lineage, no localCheckpoint
+    needed, plan-only consumers stay safe).  Floats publish at 12
+    digits (the pagerank discipline).
+
+    The graph is the >=2-shared-orders co-purchase graph (denser than
+    global pagerank's threshold-3 one: probed, the threshold-3 graph
+    collapses to 4 nodes at sf0.1 and a seed neighborhood of 2 -- a
+    degenerate retrieval surface; at threshold 2 the seed's 3-hop
+    support is 12/255/200 nodes across the three SFs).
+
+    Reference parity: no graph operators in the reference
+    (DAG1:1-322); module docstring covers the family.
+    """
+    edges = _copurchase_edges(spark, sf_dir, threshold=2).cache()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    seed = (
+        deg.orderBy(F.col("outdeg").desc(), F.col("src").asc())
+        .limit(1)
+        .select(F.col("src").alias("seed_node"))
+    )
+    # base carries (node, is_seed) and is the LEFT side of every
+    # round's rebuild, so the previous ranks relation is referenced
+    # exactly ONCE per iteration (inside contrib) -- linear lineage;
+    # joining prev ranks on both sides would duplicate the subtree
+    # 2^rounds times (the lazy-unroll trap graph_bfs_hops documents)
+    base = (
+        nodes.crossJoin(F.broadcast(seed))
+        .select(
+            "node",
+            F.when(F.col("node") == F.col("seed_node"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_seed"),
+        )
+        .cache()
+    )
+    ranks = base.select(
+        "node", F.col("is_seed").cast("double").alias("rank"), "is_seed"
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks.select("node", "rank"), edges.src == F.col("node"))
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("rank") / F.col("outdeg")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("contrib")
+            )
+        )
+        ranks = base.join(contrib, base.node == contrib.dst, "left_outer").select(
+            "node",
+            (
+                F.lit(1 - _DAMP) * F.col("is_seed")
+                + F.lit(_DAMP) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+            "is_seed",
+        )
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .select(F.col("node").alias("part"), F.round("rank", 12).alias("rank"))
+    )
+
+
 _CC_MAX_ROUNDS = 50
 
 

@@ -1537,3 +1537,23 @@ def test_abtt_projection_contract(spark, sf_dir):
         proj = sum(a * b for a, b in zip(xc, v))
         xp = [a - proj * b for a, b in zip(xc, v)]
         assert abs(sum(a * b for a, b in zip(xp, v))) < 1e-9
+
+
+def test_ppr_conserves_probability_mass(spark, sf_dir):
+    """Personalized-PageRank invariants: every published rank is
+    positive (the zero tail is dropped by contract), the support is a
+    subset of the graph's nodes, and total mass is exactly 1 up to fp
+    accumulation -- the >=2-orders co-purchase graph has no dangling
+    nodes (every node in the edge list has outdegree >= 1), so the
+    teleport + propagation step conserves probability."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _copurchase_edges,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "ppr_parts_3iter", spark, sf_dir)
+    assert rows
+    assert all(r.rank > 0 for r in rows)
+    nodes = {r.src for r in _copurchase_edges(spark, sf_dir, threshold=2).collect()}
+    assert {r.part for r in rows} <= nodes
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-9
