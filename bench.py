@@ -53,12 +53,21 @@ def main() -> int:
             print(f"# bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    # rounds-to-fixpoint of the iterative graph entries, stamped per run
+    # (r10 verdict ask #7): catches an iteration-count regression (e.g.
+    # a fixture change doubling rounds) even when wall-clock noise hides
+    # it. The bench's last execution of each entry filled LAST_ROUNDS.
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (  # noqa: E501
+        LAST_ROUNDS,
+    )
+
     payload = {
         "metric": "catalog_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "last_rounds": {k: int(v) for k, v in sorted(LAST_ROUNDS.items())},
     }
     print(json.dumps(payload))
     _persist_full_bench(payload)
@@ -175,6 +184,11 @@ def _persist_full_bench(payload: dict) -> None:
                 # existing record wins on non-timing fields (note, quiet-run
                 # load stamps); only the merged timings and total update
                 stamped = {**stamped, **old}
+                # ... except last_rounds: the CURRENT run's iteration
+                # counts are the regression signal being recorded, so the
+                # fresh values always win over a stale stamp
+                if payload.get("last_rounds"):
+                    stamped["last_rounds"] = payload["last_rounds"]
                 if failed_now:
                     stamped["failed_now"] = failed_now
                     print(

@@ -5148,11 +5148,36 @@ def _pca_power_vector(
     by ``embedding_anisotropy_abtt``): returns (v, m_ints, n) -- the
     unit top-direction after _PCA_ROUNDS power rounds, the exact
     micro-snapped per-dim column sums, and the row count."""
-    import math
-
     # cache across the _PCA_ROUNDS actions (iterative-loop discipline:
     # each round's collect would otherwise rescan the parquet)
     emb = t(spark, sf_dir, "embeddings").select("embedding").cache()
+    state: dict = {}
+    try:
+        v = _pca_power_rounds(emb, state)
+    finally:
+        # a failed mid-round action must not leave cached blocks pinned
+        # for the rest of a long bench/sweep session
+        emb.unpersist()
+    return v, state["m"], state["n"]
+
+
+def _pca_power_rounds(
+    emb: DataFrame, state: dict, deflate: list[float] | None = None
+) -> list[float]:
+    """_PCA_ROUNDS exact power rounds on the (cached) embedding frame:
+    v <- normalize(C v), with C the centered covariance applied via the
+    scaled-integer matvec of ``embedding_pca_power``.  ``state`` carries
+    the exact column sums m_d and the row count n across calls (filled
+    by whichever call runs the first action, so a two-component caller
+    pays for them once).  ``deflate``, when given, is an already-
+    computed unit direction: after every matvec the component along it
+    is removed (w <- w - (w . deflate) deflate) BEFORE normalization --
+    per-round Gram-Schmidt deflation, the textbook second-eigenvector
+    power scheme.  The deflation arithmetic is O(dim) driver floats in
+    LEFT-FOLD order, mirrored expression-for-expression by the oracle's
+    list_reduce CTEs so the published vector stays bit-equal."""
+    import math
+
     dec = "decimal(38,0)"
 
     def xm(d: int):
@@ -5160,50 +5185,189 @@ def _pca_power_vector(
             F.col("embedding")[d].cast("double") * F.lit(_PCA_SNAP) + F.lit(0.5)
         )
 
-    m_ints: list[int] = []
-    n = 0
     v = [0.125] * _PCA_DIM
-    try:
-        for rnd in range(_PCA_ROUNDS):
-            vcol = F.array(*[F.lit(x) for x in v])
-            s_expr = F.aggregate(
-                F.zip_with("embedding", vcol, lambda a, b: a.cast("double") * b),
-                F.lit(0.0),
-                lambda acc, y: acc + y,
-            )
-            sn = F.floor(s_expr * F.lit(_PCA_SNAP) + F.lit(0.5)).alias("sn")
-            aggs = [
-                F.sum(F.col("sn").cast(dec)).alias("ss"),
-                *[
-                    F.sum((xm(d) * F.col("sn")).cast(dec)).alias(f"t{d}")
-                    for d in range(_PCA_DIM)
-                ],
-            ]
-            if rnd == 0:
-                # column sums m_d and n ride the first round's single pass
-                aggs += [
-                    F.count(F.lit(1)).alias("n"),
-                    *[
-                        F.sum(xm(d).cast(dec)).alias(f"m{d}")
-                        for d in range(_PCA_DIM)
-                    ],
-                ]
-            row = emb.select("embedding", sn).agg(*aggs).collect()[0]
-            if rnd == 0:
-                n = int(row["n"])
-                m_ints = [int(row[f"m{d}"]) for d in range(_PCA_DIM)]
-            ss = int(row["ss"])
-            wd = [
-                _wide_int_to_double(n * int(row[f"t{d}"]) - m_ints[d] * ss)
+    for _rnd in range(_PCA_ROUNDS):
+        vcol = F.array(*[F.lit(x) for x in v])
+        s_expr = F.aggregate(
+            F.zip_with("embedding", vcol, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        sn = F.floor(s_expr * F.lit(_PCA_SNAP) + F.lit(0.5)).alias("sn")
+        aggs = [
+            F.sum(F.col("sn").cast(dec)).alias("ss"),
+            *[
+                F.sum((xm(d) * F.col("sn")).cast(dec)).alias(f"t{d}")
                 for d in range(_PCA_DIM)
+            ],
+        ]
+        need_m = "n" not in state
+        if need_m:
+            # column sums m_d and n ride the first round's single pass
+            aggs += [
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(xm(d).cast(dec)).alias(f"m{d}") for d in range(_PCA_DIM)],
             ]
-            norm = math.sqrt(sum(q * q for q in wd))
-            v = [q / norm for q in wd]
+        row = emb.select("embedding", sn).agg(*aggs).collect()[0]
+        if need_m:
+            state["n"] = int(row["n"])
+            state["m"] = [int(row[f"m{d}"]) for d in range(_PCA_DIM)]
+        n, m_ints = state["n"], state["m"]
+        ss = int(row["ss"])
+        wd = [
+            _wide_int_to_double(n * int(row[f"t{d}"]) - m_ints[d] * ss)
+            for d in range(_PCA_DIM)
+        ]
+        if deflate is not None:
+            p = 0.0
+            for i in range(_PCA_DIM):
+                p = p + wd[i] * deflate[i]
+            wd = [wd[i] - p * deflate[i] for i in range(_PCA_DIM)]
+        norm = math.sqrt(sum(q * q for q in wd))
+        v = [q / norm for q in wd]
+    return v
+
+
+def _pca_round2_sql(prev_u: str, r: int) -> str:
+    """One unrolled DEFLATED power round for the SECOND component:
+    the identical exact matvec CTE chain as ``_pca_round_sql`` (renamed
+    sy/ay/ssy/wy/wdy/wly to coexist), then Gram-Schmidt against the
+    finished first component v{_PCA_ROUNDS} -- p = left-fold dot, then
+    w[i] - p * v1[i] -- before the normalization.  Every float op is
+    the same IEEE expression the driver runs in ``_pca_power_rounds``
+    (list_reduce left fold == Python's 0.0-seeded accumulation, exact
+    because 0.0 + x == x)."""
+    dot = (
+        f"list_reduce(list_transform(range(1, {_PCA_DIM} + 1), "
+        f"i -> CAST(e.embedding[i] AS DOUBLE) * v.v[i]), (x, y) -> x + y)"
+    )
+    xm = (
+        "CAST(floor(CAST(embedding[u.dim + 1] AS DOUBLE) * 1000000.0 + 0.5) "
+        "AS BIGINT)"
+    )
+    idx = f"range(1, {_PCA_DIM} + 1)"
+    return f"""
+    sy{r} AS (
+      SELECT e.embedding,
+             CAST(floor({dot} * 1000000.0 + 0.5) AS BIGINT) AS sn
+      FROM embeddings e CROSS JOIN {prev_u} v
+    ),
+    ay{r} AS (
+      SELECT u.dim, SUM({xm} * sn) AS t
+      FROM sy{r} CROSS JOIN (SELECT unnest(range(0, {_PCA_DIM})) AS dim) u
+      GROUP BY u.dim
+    ),
+    ssy{r} AS (SELECT SUM(sn) AS ss, CAST(COUNT(*) AS HUGEINT) AS n FROM sy{r}),
+    wy{r} AS (
+      SELECT a.dim,
+             ss.n * CAST(a.t AS HUGEINT)
+               - CAST(mu.m AS HUGEINT) * CAST(ss.ss AS HUGEINT) AS wi
+      FROM ay{r} a JOIN mu ON mu.dim = a.dim CROSS JOIN ssy{r} ss
+    ),
+    wdy{r} AS (
+      SELECT dim,
+        (CASE WHEN wi < 0 THEN -1.0 ELSE 1.0 END) * (
+          CAST(abs(wi) // 281474976710656 AS DOUBLE) * 281474976710656.0
+          + CAST((abs(wi) % 281474976710656) // 16777216 AS DOUBLE) * 16777216.0
+          + CAST(abs(wi) % 16777216 AS DOUBLE)) AS w
+      FROM wy{r}
+    ),
+    wly{r} AS (SELECT list(w ORDER BY dim) AS wl FROM wdy{r}),
+    py{r} AS (
+      SELECT list_reduce(list_transform({idx}, i -> wl.wl[i] * vk.v[i]),
+                         (x, y) -> x + y) AS p
+      FROM wly{r} wl CROSS JOIN v{_PCA_ROUNDS} vk
+    ),
+    uly{r} AS (
+      SELECT list_transform({idx}, i -> wl.wl[i] - p.p * vk.v[i]) AS w
+      FROM wly{r} wl CROSS JOIN py{r} p CROSS JOIN v{_PCA_ROUNDS} vk
+    ),
+    u{r} AS (
+      SELECT list_transform(w, e -> e / sqrt(list_reduce(
+               list_transform(w, q -> q * q), (x, y) -> x + y))) AS v
+      FROM uly{r}
+    )
+    """
+
+
+def _pca_top2_oracle() -> str:
+    rounds1 = "".join(
+        "," + _pca_round_sql(f"v{r - 1}", r) for r in range(1, _PCA_ROUNDS + 1)
+    )
+    rounds2 = "".join(
+        "," + _pca_round2_sql(f"u{r - 1}", r) for r in range(1, _PCA_ROUNDS + 1)
+    )
+    return f"""
+    WITH mu AS (
+      SELECT u.dim,
+             SUM(CAST(floor(CAST(embedding[u.dim + 1] AS DOUBLE)
+                 * 1000000.0 + 0.5) AS BIGINT)) AS m
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, {_PCA_DIM})) AS dim) u
+      GROUP BY u.dim
+    ),
+    v0 AS (SELECT list_transform(range(1, {_PCA_DIM} + 1),
+                    i -> CAST(0.125 AS DOUBLE)) AS v)
+    {rounds1},
+    u0 AS (SELECT list_transform(range(1, {_PCA_DIM} + 1),
+                    i -> CAST(0.125 AS DOUBLE)) AS v)
+    {rounds2}
+    SELECT CAST(1 AS BIGINT) AS component, CAST(u.dim AS BIGINT) AS dim,
+           v.v[u.dim + 1] AS loading
+    FROM v{_PCA_ROUNDS} v
+    CROSS JOIN (SELECT unnest(range(0, {_PCA_DIM})) AS dim) u
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS component, CAST(u.dim AS BIGINT) AS dim,
+           w.v[u.dim + 1] AS loading
+    FROM u{_PCA_ROUNDS} w
+    CROSS JOIN (SELECT unnest(range(0, {_PCA_DIM})) AS dim) u
+    """
+
+
+@register("embedding_pca_top2", eager_build=True, oracle=_pca_top2_oracle())
+def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-2 PRINCIPAL SUBSPACE of the embedding matrix by deflated
+    power iteration (r10 verdict ask #6): component 1 is exactly
+    ``embedding_pca_power``'s vector; component 2 runs the SAME
+    _PCA_ROUNDS exact-integer centered matvec but Gram-Schmidt-deflates
+    against component 1 after every round (w <- w - (w . v1) v1) -- the
+    textbook second-eigenvector scheme, converging to the second
+    principal direction when the spectrum separates.  All-but-the-top
+    (Mu & Viswanath 2018) removes the top k ~ dim/100 components; this
+    publishes the subspace that postprocessing consumes.
+
+    Distributed shape: SIX cached corpus scans total (3 per component
+    -- the column sums m_d and n ride the first scan and are CARRIED
+    ACROSS components via the shared state dict, so component 2 adds no
+    extra aggregates), each one whole-stage-codegen pass producing ONE
+    driver row; zero data shuffle at any scale.  Deflation itself is
+    O(dim) driver arithmetic -- the same bounded-collect contract as
+    the kmeans centroids.
+
+    Cross-engine BIT-EXACTNESS: the matvec inherits
+    ``embedding_pca_power``'s proof (exact integer cross-row sums,
+    rule-3 hi/lo int->double split, identical IEEE per-row folds); the
+    NEW float surface -- the projection dot, the subtraction, and the
+    re-normalization -- is pure O(dim) IEEE arithmetic mirrored
+    term-for-term in the oracle's py/uly/u CTEs (left folds match
+    Python's 0.0-seeded sums exactly since 0.0 + x == x).  Three fixed
+    rounds per component make the output well-defined independent of
+    convergence (the synthetic fixture is near-isotropic, so the
+    CONTRACT pinned by tests is algebraic: unit norms and v2 . v1 == 0
+    to float precision -- not a data-dependent spectral claim).
+
+    Reference parity: no linear-algebra operators in the reference
+    (DAG1:1-322); see the module docstring."""
+    emb = t(spark, sf_dir, "embeddings").select("embedding").cache()
+    state: dict = {}
+    try:
+        v1 = _pca_power_rounds(emb, state)
+        v2 = _pca_power_rounds(emb, state, deflate=v1)
     finally:
-        # a failed mid-round action must not leave cached blocks pinned
-        # for the rest of a long bench/sweep session
         emb.unpersist()
-    return v, m_ints, n
+    rows = [(1, d, v1[d]) for d in range(_PCA_DIM)] + [
+        (2, d, v2[d]) for d in range(_PCA_DIM)
+    ]
+    return spark.createDataFrame(rows, "component bigint, dim bigint, loading double")
 
 
 _ABTT_QUERY_CAP = 50  # sampled query set: 50 vectors -> 1225 pairs, bounded
@@ -5308,7 +5472,7 @@ def embedding_anisotropy_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: no linear-algebra or embedding operators in the
     reference (DAG1:1-322); see the module docstring."""
-    from ..operators.similarity import cosine, dot
+    from ..operators.similarity import cosine
 
     v, m_ints, n = _pca_power_vector(spark, sf_dir)
     mu_list = [float(m) / (n * 1e6) for m in m_ints]

@@ -351,6 +351,146 @@ def ppr_parts_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPR_SEEDS = 3
+
+
+def _ppr_ms_iter_sql(prev: str, out: str) -> str:
+    """One unrolled MULTI-SEED personalized-PageRank iteration: the
+    rank relation is keyed (seed_id, node); contrib groups by
+    (seed_id, dst) so ONE pass over the edge join serves every seed."""
+    return f"""
+    {out} AS (
+      SELECT p.seed_id, p.node,
+             CAST({(1 - _DAMP)!r} AS DOUBLE) * p.is_seed
+               + CAST({_DAMP!r} AS DOUBLE)
+                 * COALESCE(CAST(s.contrib AS DOUBLE), 0.0) AS rank,
+             p.is_seed
+      FROM {prev} p
+      LEFT JOIN (
+        SELECT pp.seed_id, e.dst AS node,
+               SUM(CAST(pp.rank / d.outdeg AS DECIMAL(38,18))) AS contrib
+        FROM edges e
+        JOIN {prev} pp ON e.src = pp.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY pp.seed_id, e.dst
+      ) s ON s.seed_id = p.seed_id AND s.node = p.node
+    )
+    """
+
+
+@register(
+    "ppr_multiseed",
+    oracle=f"""
+    WITH {_pair_edges_sql(threshold=2)},
+    seeds AS (
+      SELECT src AS seed_node,
+             ROW_NUMBER() OVER (ORDER BY outdeg DESC, src) AS seed_id
+      FROM deg ORDER BY outdeg DESC, src LIMIT {_PPR_SEEDS}
+    ),
+    p0 AS (
+      SELECT s.seed_id, nodes.node,
+             CASE WHEN nodes.node = s.seed_node
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS rank,
+             CASE WHEN nodes.node = s.seed_node THEN 1 ELSE 0 END AS is_seed
+      FROM nodes CROSS JOIN seeds s
+    ),
+    {_ppr_ms_iter_sql('p0', 'p1')},
+    {_ppr_ms_iter_sql('p1', 'p2')},
+    {_ppr_ms_iter_sql('p2', 'p3')}
+    SELECT CAST(seed_id AS BIGINT) AS seed_id, node AS part,
+           round(rank, 12) AS rank
+    FROM p3 WHERE rank > 0
+    """,
+)
+def ppr_multiseed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED personalized PageRank (r10 verdict ask #3): K=3 seeds
+    served by ONE value iteration -- real retrieval workloads restart
+    at many query nodes per pass, and the whole point of the batch is
+    that the per-round edge shuffle AMORTIZES: the rank relation is
+    keyed (seed_id, node), the contribution aggregate groups by
+    (seed_id, dst), so each round is still exactly one join against
+    the edge list + one shuffle, independent of K (K multiplies rows
+    within the shuffle, never the number of passes -- at 1000 seeds on
+    a 100 TB graph this is 1000x fewer edge scans than serial PPR).
+
+    Seeds are the top-K degree parts chosen in-plan (TakeOrdered
+    limit-K -- a distributed top-k, no global sort -- then seed_id by
+    row_number over the already-3-row relation; deterministic because
+    the ordering is total: degree desc, id asc).  Everything else
+    mirrors ``ppr_parts_3iter``: broadcast seed join onto the node
+    base, base is the LEFT side of every rebuild so prev ranks are
+    referenced ONCE per round (linear lazy lineage), decimal-exact
+    contribution sums, teleport mass to each seed's own row, zero-mass
+    tail dropped at publish (each seed's output stays proportional to
+    ITS neighborhood).  Floats publish at 12 digits.
+
+    Reference parity: no graph operators in the reference
+    (DAG1:1-322); module docstring covers the family.
+    """
+    from pyspark.sql import Window
+
+    edges = _copurchase_edges(spark, sf_dir, threshold=2).cache()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    wseed = Window.orderBy(F.col("outdeg").desc(), F.col("src").asc())
+    seeds = (
+        deg.orderBy(F.col("outdeg").desc(), F.col("src").asc())
+        .limit(_PPR_SEEDS)
+        .select(
+            F.col("src").alias("seed_node"),
+            F.row_number().over(wseed).cast("bigint").alias("seed_id"),
+        )
+    )
+    base = (
+        nodes.crossJoin(F.broadcast(seeds))
+        .select(
+            "seed_id",
+            "node",
+            F.when(F.col("node") == F.col("seed_node"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_seed"),
+        )
+        .cache()
+    )
+    ranks = base.select(
+        "seed_id", "node", F.col("is_seed").cast("double").alias("rank"), "is_seed"
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("seed_id").alias("sid"), F.col("node").alias("rn"), "rank"
+                ),
+                edges.src == F.col("rn"),
+            )
+            .join(deg, "src")
+            .groupBy("sid", "dst")
+            .agg(
+                F.sum((F.col("rank") / F.col("outdeg")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("contrib")
+            )
+        )
+        ranks = base.join(
+            contrib,
+            (base.seed_id == contrib.sid) & (base.node == contrib.dst),
+            "left_outer",
+        ).select(
+            base.seed_id,
+            base.node,
+            (
+                F.lit(1 - _DAMP) * base.is_seed
+                + F.lit(_DAMP) * F.coalesce(contrib.contrib, F.lit(0.0))
+            ).alias("rank"),
+            base.is_seed,
+        )
+    return ranks.filter(F.col("rank") > 0).select(
+        "seed_id",
+        F.col("node").alias("part"),
+        F.round("rank", 12).alias("rank"),
+    )
+
+
 _CC_MAX_ROUNDS = 50
 
 
@@ -794,17 +934,32 @@ _HIX_CAP = 100
 
 
 def _hix_round_sql(prev: str, out: str) -> str:
-    """One unrolled h-index round: h'(v) = the h-index of v's neighbors'
-    current estimates = MAX over the desc-sorted neighbor values of
-    LEAST(position, value) -- the classic h-index formula, order-
-    independent under ties (the multiset determines the value)."""
+    """One unrolled HISTOGRAM h-index round (r10 verdict ask #1):
+    h'(v) = max over distinct neighbor-estimate values c of
+    LEAST(c, #neighbors with estimate >= c) -- the suffix-count argmax.
+    Equivalent to the sorted-position formula (for t in the half-open
+    interval between consecutive distinct values, the >=t count is
+    constant, so the optimum lands on a distinct value), but the inner
+    relation has ONE ROW PER (node, distinct value) instead of one per
+    edge, and every estimate is <= H0 (see the entry docstring), so the
+    per-node partition is degeneracy-bounded, never degree-bounded.
+
+    AS MATERIALIZED is load-bearing: DuckDB inlines single-reference
+    CTEs, and this round's 3-level nested subquery inflates the inlined
+    plan ~3.5x per round (measured: 14 plain rounds hung for 15+ min;
+    14 materialized rounds run in 0.5 s at sf0.01)."""
     return f"""
-    {out} AS (
-      SELECT src AS node, MAX(LEAST(rn, nh)) AS h FROM (
-        SELECT e.src, p.h AS nh,
-               ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY p.h DESC) AS rn
-        FROM edges e JOIN {prev} p ON p.node = e.dst
-      ) GROUP BY src
+    {out} AS MATERIALIZED (
+      SELECT node, MAX(LEAST(nh, s)) AS h FROM (
+        SELECT node, nh, SUM(cnt) OVER (
+                 PARTITION BY node ORDER BY nh DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM (
+          SELECT e.src AS node, p.h AS nh, COUNT(*) AS cnt
+          FROM edges e JOIN {prev} p ON p.node = e.dst
+          GROUP BY 1, 2
+        )
+      ) GROUP BY node
     )
     """
 
@@ -813,8 +968,17 @@ _HIX_ORACLE = (
     "WITH "
     + _pair_edges_sql(threshold=2)
     + """,
-    h0 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS h
-           FROM edges GROUP BY src)"""
+    ddist AS (SELECT outdeg AS d, COUNT(*) AS nd FROM deg GROUP BY 1),
+    h0cap AS (
+      SELECT MAX(LEAST(d, s)) AS h0 FROM (
+        SELECT d, SUM(nd) OVER (
+                 ORDER BY d DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM ddist
+      )
+    ),
+    h0 AS (SELECT src AS node, CAST(LEAST(outdeg, h0cap.h0) AS BIGINT) AS h
+           FROM deg CROSS JOIN h0cap)"""
     + "".join(
         ",\n" + _hix_round_sql(f"h{i}", f"h{i + 1}")
         for i in range(_HIX_ORACLE_ROUNDS)
@@ -838,12 +1002,40 @@ def coreness_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     largest k such that the node is in the k-core -- so one run yields
     every k-core at once (filter coreness >= k), unlike the per-k peel.
 
-    This is the r9 verdict's named general-k algorithm: each round is
-    one edge-list join + one per-node window (shuffle by node), work
-    O(edges) regardless of peel depth, and on real corpora it converges
-    in a handful of rounds (measured: 9 changing rounds at sf0.01, 4 at
-    sf0.1 -- vs peel depths 3/5 but bounded by VALUE deltas, not layer
-    count).  On adversarial chains information still travels one hop
+    This is the r9 verdict's named general-k algorithm, in the r10
+    verdict's SKEW-SAFE histogram formulation: each round is one
+    edge-list join + one hash-aggregate ``groupBy(node, estimate)``
+    (distributed, map-side combine absorbs any hub's fan-in) + one
+    per-node suffix-sum argmax over the DISTINCT estimate values.  Two
+    facts bound that per-node partition by the graph's DEGENERACY, not
+    by degree:
+
+    1. Estimates start at h0(v) = LEAST(degree(v), H0), where H0 is the
+       h-index of the DEGREE SEQUENCE (max h such that >= h nodes have
+       degree >= h).  H0 >= degeneracy: a k-core contains >= k+1 nodes
+       of original degree >= k, so max coreness k* <= H0.  Hence
+       coreness <= h0 <= degree pointwise; the h-operator T is monotone,
+       so T^n(coreness)=coreness <= T^n(h0) <= T^n(degree) -> coreness
+       (Lu et al.), and the sandwich forces T^n(h0) -> coreness too.
+       T(h0) <= h0 (a node's h-index is at most its neighbor count and
+       at most the max neighbor estimate <= H0), so the trajectory is
+       still pointwise non-increasing from round one.
+    2. Every estimate is therefore <= H0 forever, so a node sees at
+       most H0+1 distinct neighbor-estimate values: the argmax window
+       partition holds <= H0+1 rows even for a 1e8-degree hub (which
+       previously sorted its full adjacency in ONE task per round).
+
+    H0 itself is computed the same way (groupBy(degree).count + a
+    suffix sum over the distinct-degree histogram -- one row per
+    distinct degree value, a sketch-sized single-partition window) and
+    collected as one scalar.
+
+    Work per round stays O(edges) for the join; on real corpora it
+    converges in a handful of rounds (measured under the capped start:
+    9 changing rounds at sf0.01, 4 at sf0.1 -- the cap can only shorten
+    the trajectory, pointwise T^n(h0) <= T^n(degree), and here matches
+    the uncapped counts because the fixture's degrees sit mostly at or
+    below H0) -- bounded by VALUE deltas, not layer count.  On adversarial chains information still travels one hop
     per round -- which is why ``kcore_parts`` (k=2) uses pointer-doubled
     smoothing for the depth probe; this entry is the general-k
     complement and cross-checks it: {coreness >= 2} = the 2-core node
@@ -853,9 +1045,9 @@ def coreness_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM(h) (decimal, overflow-proof) strictly decreases until fixpoint,
     one scalar action per round; rounds land in ``LAST_ROUNDS``.  Each
     round is localCheckpoint-materialized (iterative-loop discipline,
-    see graph_bfs_hops).  The window's tie order among equal neighbor
-    estimates is nondeterministic across engines, but MAX(LEAST(rn, h))
-    is tie-invariant, so the trajectory is bit-identical.
+    see graph_bfs_hops).  The histogram argmax MAX(LEAST(value,
+    suffix_count)) is a pure function of the neighbor-estimate multiset
+    -- no tie order exists to diverge across engines.
 
     The oracle unrolls 14 rounds (> both measured fixpoints) of the
     identical operator as chained CTEs -- past the fixpoint the operator
@@ -868,24 +1060,40 @@ def coreness_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
-    h = (
+    deg = (
         edges.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
         .localCheckpoint()
     )
+    wg = Window.orderBy(F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    h0cap = (
+        deg.groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+        .select(F.least(F.col("d"), F.sum("nd").over(wg)).alias("cand"))
+        .agg(F.max("cand").alias("h0"))
+        .collect()[0][0]
+    )
+    h = deg.select(
+        "node", F.least(F.col("d"), F.lit(int(h0cap))).cast("bigint").alias("h")
+    ).localCheckpoint()
     pot_expr = F.sum(F.col("h").cast("decimal(38,0)"))
     potential = h.agg(pot_expr).collect()[0][0]
-    w = Window.partitionBy("src").orderBy(F.col("nh").desc())
+    w = Window.partitionBy("node").orderBy(F.col("nh").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     for rnd in range(_HIX_CAP):
-        joined = edges.join(h, edges.dst == h.node).select(
-            "src", F.col("h").alias("nh")
+        cnt = (
+            edges.join(h, edges.dst == h.node)
+            .select(F.col("src").alias("node"), F.col("h").alias("nh"))
+            .groupBy("node", "nh")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         )
         h = (
-            joined.withColumn("rn", F.row_number().over(w))
-            .groupBy(F.col("src").alias("node"))
-            .agg(
-                F.max(F.least(F.col("rn").cast("bigint"), F.col("nh"))).alias("h")
-            )
+            cnt.withColumn("s", F.sum("cnt").over(w))
+            .groupBy("node")
+            .agg(F.max(F.least(F.col("nh"), F.col("s"))).alias("h"))
             .localCheckpoint()
         )
         new_potential = h.agg(pot_expr).collect()[0][0]

@@ -32,6 +32,7 @@ def test_persist_min_merges_existing_record(tmp_path):
         "note": "quiet min-of-3",
         "merged_runs": 2,
         "load_avg_1m": 1.5,
+        "last_rounds": {"graph_connected_components": 3, "kcore_parts": 9},
     }
     rec = tmp_path / "docs" / "BENCH_LOCAL_r02.json"
     rec.write_text(json.dumps(old))
@@ -45,6 +46,7 @@ def test_persist_min_merges_existing_record(tmp_path):
             # a: faster (wins), b: slower (old wins), c: -1 failure (old
             # wins), d: new query (taken), failed_before: first valid time
             "queries": {"a": 1.5, "b": 9.0, "c": -1.0, "d": 4.0, "failed_before": 2.5},
+            "last_rounds": {"graph_connected_components": 3, "kcore_parts": 4},
         }
     )
     merged = json.loads(rec.read_text())
@@ -58,6 +60,12 @@ def test_persist_min_merges_existing_record(tmp_path):
     assert merged["value"] == 16.0  # recomputed from merged map
     assert merged["note"] == "quiet min-of-3"  # non-timing fields preserved
     assert merged["merged_runs"] == 3
+    # iteration counts are a REGRESSION SIGNAL, not a timing: the
+    # current run's values replace the stale stamp (r10 verdict ask #7)
+    assert merged["last_rounds"] == {
+        "graph_connected_components": 3,
+        "kcore_parts": 4,
+    }
 
 
 def test_persist_fresh_record_written_plain(tmp_path):

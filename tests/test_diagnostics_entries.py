@@ -1557,3 +1557,82 @@ def test_ppr_conserves_probability_mass(spark, sf_dir):
     nodes = {r.src for r in _copurchase_edges(spark, sf_dir, threshold=2).collect()}
     assert {r.part for r in rows} <= nodes
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-9
+
+
+def test_ppr_multiseed_batches_k_independent_walks(spark, sf_dir):
+    """Multi-seed PPR invariants: exactly _PPR_SEEDS seed slices, each a
+    probability distribution (mass 1, positive support inside the node
+    set), and seed_id=1 -- the argmax-degree seed, same total order as
+    ppr_parts_3iter's single seed -- reproduces the single-seed entry's
+    ranks EXACTLY (the batch is K independent walks sharing shuffles,
+    not an approximation)."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _PPR_SEEDS,
+        _copurchase_edges,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "ppr_multiseed", spark, sf_dir)
+    assert rows
+    by_seed: dict = {}
+    for r in rows:
+        by_seed.setdefault(r.seed_id, {})[r.part] = r.rank
+    assert set(by_seed) == set(range(1, _PPR_SEEDS + 1))
+    nodes = {r.src for r in _copurchase_edges(spark, sf_dir, threshold=2).collect()}
+    for sid, ranks in by_seed.items():
+        assert all(v > 0 for v in ranks.values())
+        assert set(ranks) <= nodes
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    single = {r.part: r.rank for r in _rows(qs, "ppr_parts_3iter", spark, sf_dir)}
+    assert by_seed[1] == single
+
+
+def test_pca_top2_is_an_orthonormal_subspace(spark, sf_dir):
+    """Deflated power iteration invariants (the fixture is near-
+    isotropic, so the pinned contract is ALGEBRAIC, not spectral):
+    component 1 is bit-identical to embedding_pca_power's vector (same
+    rounds, same arithmetic); both components are unit-norm; and the
+    published v2 is orthogonal to v1 to float precision (deflation was
+    the last operation before normalization)."""
+    qs = load_all()
+    rows = _rows(qs, "embedding_pca_top2", spark, sf_dir)
+    assert len(rows) == 2 * 64
+    v1 = [r.loading for r in sorted(rows, key=lambda r: r.dim) if r.component == 1]
+    v2 = [r.loading for r in sorted(rows, key=lambda r: r.dim) if r.component == 2]
+    top = {r.dim: r.loading for r in _rows(qs, "embedding_pca_power", spark, sf_dir)}
+    assert v1 == [top[d] for d in range(64)]
+    assert abs(sum(q * q for q in v1) - 1.0) < 1e-12
+    assert abs(sum(q * q for q in v2) - 1.0) < 1e-12
+    assert abs(sum(a * b for a, b in zip(v1, v2))) < 1e-9
+
+
+def test_coreness_capped_start_respects_degree_hindex_bound(spark, sf_dir):
+    """The histogram h-index iteration starts at min(degree, H0) where
+    H0 is the degree-sequence h-index; H0 bounds degeneracy (a k-core
+    has >= k+1 nodes of degree >= k), so every published coreness must
+    be <= H0 -- and the per-node suffix-sum window the round uses can
+    never see more than H0+1 distinct values."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _copurchase_edges,
+    )
+
+    qs = load_all()
+    cor = _rows(qs, "coreness_hindex", spark, sf_dir)
+    assert cor
+    degs: dict = {}
+    for r in _copurchase_edges(spark, sf_dir, threshold=2).collect():
+        degs[r.src] = degs.get(r.src, 0) + 1
+    h0 = max(
+        min(d, sum(1 for x in degs.values() if x >= d)) for d in set(degs.values())
+    )
+    assert max(r.coreness for r in cor) <= h0
+    # exact-coreness spot check: every node's h must equal the h-index
+    # of its neighbors' published coreness values (fixpoint property)
+    nbrs: dict = {}
+    for r in _copurchase_edges(spark, sf_dir, threshold=2).collect():
+        nbrs.setdefault(r.src, []).append(r.dst)
+    pub = {r.part_key: r.coreness for r in cor}
+    for node, h in pub.items():
+        vals = sorted((pub[v] for v in nbrs[node]), reverse=True)
+        hidx = max(min(i + 1, v) for i, v in enumerate(vals))
+        assert h == hidx, f"node {node}: published {h}, fixpoint h-index {hidx}"

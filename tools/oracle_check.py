@@ -181,6 +181,16 @@ def pick_changed(qs: dict, ref: str, evergreens: int) -> tuple[list[str], list[s
         text=True,
         check=True,
     ).stdout.split()
+    # `git diff <ref>` omits UNTRACKED files, so a brand-new plan module
+    # that hasn't been `git add`ed would be invisible to the affected-set
+    # rotation (r10 advice #2) -- union in the untracked set
+    changed += subprocess.run(
+        ["git", "ls-files", "--others", "--exclude-standard"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
     pkg = "state_economics_end_to_end_data_pipeline_spark/"
     changed_py = [f for f in changed if f.startswith(pkg) and f.endswith(".py")]
     changed_mods = {f[: -len(".py")].replace("/", ".") for f in changed_py}

@@ -120,6 +120,12 @@ PROBES = [
     # the abtt diagnostic: corpus stats ride the PCA passes, the pair
     # sample is O(1) by construction -- should be nearly flat
     "embedding_anisotropy_abtt",
+    # round 11: single- and multi-seed personalized PageRank (per-round
+    # edge join rides the data; multi-seed shares it across K seeds),
+    # and the deflated second PCA component (6 cached scans, flat)
+    "ppr_parts_3iter",
+    "ppr_multiseed",
+    "embedding_pca_top2",
 ]
 
 REPLICAS = 10
