@@ -1291,3 +1291,104 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_HITS_ROUNDS = 2
+
+
+@register(
+    "hits_bipartite_2iter",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    a1 AS (SELECT p, CAST(COUNT(*) AS HUGEINT) AS a FROM e GROUP BY p),
+    h1 AS (
+      SELECT e.c, SUM(a1.a) AS h FROM e JOIN a1 ON a1.p = e.p GROUP BY e.c
+    ),
+    a2 AS (
+      SELECT e.p, SUM(h1.h) AS a FROM e JOIN h1 ON h1.c = e.c GROUP BY e.p
+    ),
+    h2 AS (
+      SELECT e.c, SUM(a2.a) AS h FROM e JOIN a2 ON a2.p = e.p GROUP BY e.c
+    )
+    SELECT 'authority' AS side, CAST(p AS BIGINT) AS node,
+           CAST(a AS BIGINT) AS score FROM a2
+    UNION ALL
+    SELECT 'hub' AS side, CAST(c AS BIGINT) AS node,
+           CAST(h AS BIGINT) AS score FROM h2
+    """,
+)
+def hits_bipartite_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) on the bipartite purchase graph -- the
+    MUTUAL-RECURSION value iteration the catalog's other iterative
+    families don't cover (pagerank/PPR: one relation; h-index: one
+    relation; HITS: two relations updating each other).  Edges are
+    distinct (customer, part) purchase pairs; hubs are customers,
+    authorities are parts: a(p) = sum of its buyers' hub scores,
+    h(c) = sum of its parts' authority scores, two rounds unrolled.
+
+    INTEGER-EXACT by design: scores start at 1, so every update is a
+    pure integer path count (a1 = part degree; h1(c) = number of
+    (c -> p -> c') co-purchase wedges rooted at c; a2, h2 = length-3/4
+    path counts) -- the classic unnormalized HITS iterate, whose ranking
+    equals the normalized one's (normalization is a positive scalar per
+    round).  Cross-row sums ride decimal(38,0) (engine) / HUGEINT
+    (oracle): no floats anywhere, bit-exactness is free -- the same
+    trade the r10 PCA rewrite measured its way to, here with zero
+    snapping because the inputs are already integers.  Growth bound:
+    score <= (max degree)^4 ~ 1e12 at this fixture -- published as
+    BIGINT (DuckDB's DECIMAL(38) lands in pandas as float64, which the
+    driver gate hashes differently; the HUGEINT->BIGINT oracle cast
+    fails LOUDLY on overflow, so a fixture ever outgrowing int64 breaks
+    the gate instead of silently rounding).  At a 1e6-max-degree
+    100 TB graph scores reach ~1e24: the internal decimal(38,0) sums
+    stay exact and the publish cast is where a deployment would widen.
+
+    Distributed shape per half-round: one equi-join of the edge list
+    against the O(nodes) score relation + one hash aggregate -- the
+    same amortized message-passing shuffle as ppr_multiseed, and the
+    edge relation is reused across all four half-rounds (cached once).
+    No windows, no driver state beyond plan construction; lazy 2-round
+    unroll with linear lineage (each score relation referenced once).
+
+    Reference parity: no graph operators in the reference (DAG1:1-322);
+    module docstring covers why the engine carries the family.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .cache()
+    )
+    dec = "decimal(38,0)"
+    a = e.groupBy("p").agg(F.count(F.lit(1)).cast(dec).alias("a"))
+    for _ in range(_HITS_ROUNDS - 1):
+        h = (
+            e.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum("a").cast(dec).alias("h"))
+        )
+        a = (
+            e.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum("h").cast(dec).alias("a"))
+        )
+    h = e.join(a, "p").groupBy("c").agg(F.sum("a").cast(dec).alias("h"))
+    return (
+        a.select(
+            F.lit("authority").alias("side"),
+            F.col("p").cast("bigint").alias("node"),
+            F.col("a").cast("bigint").alias("score"),
+        )
+        .unionByName(
+            h.select(
+                F.lit("hub").alias("side"),
+                F.col("c").cast("bigint").alias("node"),
+                F.col("h").cast("bigint").alias("score"),
+            )
+        )
+    )

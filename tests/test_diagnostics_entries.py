@@ -1636,3 +1636,41 @@ def test_coreness_capped_start_respects_degree_hindex_bound(spark, sf_dir):
         vals = sorted((pub[v] for v in nbrs[node]), reverse=True)
         hidx = max(min(i + 1, v) for i, v in enumerate(vals))
         assert h == hidx, f"node {node}: published {h}, fixpoint h-index {hidx}"
+
+
+def test_hits_scores_are_path_counts(spark, sf_dir):
+    """Unnormalized integer HITS invariants: the published hub score is
+    EXACTLY the sum of its parts' published authority scores (h2 is
+    computed from a2 -- recomputed here from the raw edge list), every
+    score is a positive path count, and the node sets are exactly the
+    purchase graph's two sides."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "hits_bipartite_2iter", spark, sf_dir)
+    auth = {r.node: r.score for r in rows if r.side == "authority"}
+    hub = {r.node: r.score for r in rows if r.side == "hub"}
+    assert auth and hub
+    assert all(v > 0 for v in auth.values())
+    assert all(v > 0 for v in hub.values())
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = {
+        (r.o_custkey, r.l_partkey)
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .distinct()
+        .collect()
+    }
+    assert set(auth) == {p for _, p in edges}
+    assert set(hub) == {c for c, _ in edges}
+    parts_of: dict = {}
+    for c, p in edges:
+        parts_of.setdefault(c, []).append(p)
+    for c, h in hub.items():
+        assert h == sum(auth[p] for p in parts_of[c])

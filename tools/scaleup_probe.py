@@ -126,6 +126,10 @@ PROBES = [
     "ppr_parts_3iter",
     "ppr_multiseed",
     "embedding_pca_top2",
+    # integer HITS: four half-rounds of edge-join + hash aggregate over
+    # the bipartite purchase graph -- should ride the data like the
+    # other message-passing entries
+    "hits_bipartite_2iter",
 ]
 
 REPLICAS = 10
