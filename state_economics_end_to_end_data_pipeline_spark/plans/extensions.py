@@ -5531,3 +5531,81 @@ def embedding_anisotropy_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cos_nano_abtt"),
     )
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle=_minhash_sig_cte()
+    + """
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND (
+           (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR
+           (a.mh2 = b.mh2 AND a.mh3 = b.mh3) OR
+           (a.mh4 = b.mh4 AND a.mh5 = b.mh5) OR
+           (a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(COUNT(CASE WHEN md5(da.text) = md5(db.text) THEN 1 END)
+                AS BIGINT) AS n_exact_dup_pairs
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE CONTAMINATION MATRIX -- the corpus-curation question
+    the pairwise dedup entries don't answer directly: WHICH pairs of
+    sources duplicate each other, and how much of the overlap is
+    verbatim.  For every MinHash-LSH candidate pair (the exact same
+    4-band x 2-hash generator as ``minhash_lsh_pairs`` -- bucket
+    equi-join, shuffle O(docs x bands), never O(docs^2)) the pair is
+    attributed to its unordered (source, source) cell, with a verbatim
+    tier (md5-equal texts) counted alongside.  In an LLM pipeline this
+    is the artifact that decides which feeds to drop or de-prioritize:
+    the diagonal is within-source redundancy, off-diagonal cells are
+    cross-feed syndication.
+
+    Scale shape: candidate generation is the proven banded join; the
+    source attribution is two joins against the documents projection
+    (doc_id, source, md5(text) -- never full bodies twice), and the
+    output is an O(sources^2) matrix.  The md5 verbatim tier rides the
+    same join (128-bit hashes shuffle, not texts).
+
+    Reference parity: no dedup operators in the reference (DAG1:1-322);
+    SURVEY.md section 2's LLM-pipeline extension familes cover why the
+    engine carries this.
+    """
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_n=3)
+    cand = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    meta = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    a = meta.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src_a"),
+        F.col("h").alias("h_a"),
+    )
+    b = meta.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src_b"),
+        F.col("h").alias("h_b"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_pairs"),
+            F.count(F.when(F.col("h_a") == F.col("h_b"), 1)).alias(
+                "n_exact_dup_pairs"
+            ),
+        )
+    )

@@ -1674,3 +1674,41 @@ def test_hits_scores_are_path_counts(spark, sf_dir):
         parts_of.setdefault(c, []).append(p)
     for c, h in hub.items():
         assert h == sum(auth[p] for p in parts_of[c])
+
+
+def test_cross_source_matrix_partitions_lsh_candidates(spark, sf_dir):
+    """The contamination matrix must be a PARTITION of the LSH candidate
+    set (same generator as minhash_lsh_pairs): cell counts sum to the
+    pair count, the verbatim tier never exceeds its cell, and cells are
+    unordered (source_a <= source_b)."""
+    qs = load_all()
+    cells = _rows(qs, "cross_source_dup_matrix", spark, sf_dir)
+    assert cells
+    n_pairs = len(_rows(qs, "minhash_lsh_pairs", spark, sf_dir))
+    assert sum(r.n_candidate_pairs for r in cells) == n_pairs
+    for r in cells:
+        assert r.source_a <= r.source_b
+        assert 0 <= r.n_exact_dup_pairs <= r.n_candidate_pairs
+
+
+def test_degree_assortativity_is_a_correlation(spark, sf_dir):
+    """The published sums must equal a driver recomputation from the raw
+    edge list (exact integers), and the snapped coefficient must be a
+    correlation: |r| <= 1."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _copurchase_edges,
+    )
+
+    qs = load_all()
+    [r] = _rows(qs, "degree_assortativity", spark, sf_dir)
+    deg: dict = {}
+    pairs = [(e.src, e.dst) for e in _copurchase_edges(spark, sf_dir, threshold=2).collect()]
+    for u, _ in pairs:
+        deg[u] = deg.get(u, 0) + 1
+    m = len(pairs)
+    sx = sum(deg[u] for u, _ in pairs)
+    sxy = sum(deg[u] * deg[v] for u, v in pairs)
+    sx2 = sum(deg[u] * deg[u] for u, _ in pairs)
+    assert (r.m_edges, r.sum_deg, r.sum_xy, r.sum_deg_sq) == (m, sx, sxy, sx2)
+    if r.assort_nano is not None:
+        assert -1_000_000_000 <= r.assort_nano <= 1_000_000_000

@@ -130,6 +130,10 @@ PROBES = [
     # the bipartite purchase graph -- should ride the data like the
     # other message-passing entries
     "hits_bipartite_2iter",
+    # contamination matrix rides the banded LSH join; assortativity is
+    # two degree joins + one global aggregate (should be nearly flat)
+    "cross_source_dup_matrix",
+    "degree_assortativity",
 ]
 
 REPLICAS = 10
