@@ -1481,3 +1481,112 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("assort_nano"),
     )
+
+
+_LPA_ROUNDS = 3
+_LPA_PACK = 4294967296  # 2^32: packs (count, label) into one BIGINT
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One unrolled synchronous label-propagation round, fully
+    deterministic: new_label(v) = the most frequent label among v's
+    neighbors, ties broken by MIN label.  The argmax is computed as
+    MAX(cnt * 2^32 + (2^32-1 - label)) over the per-(node, label)
+    histogram -- a single packed-BIGINT hash aggregate both engines run
+    bit-identically (no window, no sort, no engine-specific arg_max
+    semantics).  AS MATERIALIZED per the house CTE-chain rule (see
+    _hix_round_sql)."""
+    return f"""
+    {out} AS MATERIALIZED (
+      SELECT node,
+             {_LPA_PACK - 1} - (MAX(cnt * {_LPA_PACK}
+               + ({_LPA_PACK - 1} - label)) % {_LPA_PACK}) AS label
+      FROM (
+        SELECT e.src AS node, p.label AS label, COUNT(*) AS cnt
+        FROM edges e JOIN {prev} p ON p.node = e.dst
+        GROUP BY 1, 2
+      ) GROUP BY node
+    )
+    """
+
+
+@register(
+    "lpa_communities_3iter",
+    oracle=(
+        "WITH "
+        + _pair_edges_sql(threshold=2)
+        + """,
+    l0 AS (SELECT node, CAST(node AS BIGINT) AS label FROM nodes)"""
+        + "".join(
+            ",\n" + _lpa_round_sql(f"l{i}", f"l{i + 1}")
+            for i in range(_LPA_ROUNDS)
+        )
+        + f"""
+    SELECT CAST(node AS BIGINT) AS part_key,
+           CAST(label AS BIGINT) AS community
+    FROM l{_LPA_ROUNDS}"""
+    ),
+)
+def lpa_communities_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LABEL PROPAGATION communities (Raghavan et al. 2007)
+    on the co-purchase graph, 3 unrolled rounds -- the linear-time
+    community detector that complements ``graph_modularity_brands``
+    (which SCORES a given partition) and connected components (which
+    finds the degenerate all-connected partition): labels start at node
+    ids and each round every node adopts its neighbors' most frequent
+    label.  Classic LPA breaks ties randomly; this entry makes every
+    round a pure function of the edge multiset by breaking ties toward
+    the MIN label, so the 3-round trajectory is deterministic and
+    cross-engine bit-exact.
+
+    SKEW-SAFE by the same design as the r11 ``coreness_hindex`` round:
+    the per-(node, label) histogram is a distributed hash aggregate
+    (map-side combine absorbs hub fan-in), and the per-node argmax is
+    ANOTHER hash aggregate over a packed BIGINT (count * 2^32 +
+    (2^32-1 - label), exact while count < 2^31 and label < 2^32 --
+    ANSI overflow is loud past that, and a deployment with >4e9
+    distinct part keys would widen the pack) -- no per-node window, no
+    single-task hub sort anywhere.  Fixed rounds make the output
+    well-defined independent of convergence (sync LPA can 2-cycle on
+    bipartite cores; a fixed unroll publishes the same relation both
+    engines compute, the pagerank/PCA contract).
+
+    Per round: one edge join + two hash aggregates, O(edges) work,
+    lazy-safe linear lineage with per-round localCheckpoint.
+
+    Reference parity: no graph operators in the reference (DAG1:1-322);
+    module docstring covers the family.
+    """
+    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").cast("bigint").alias("label"))
+        .localCheckpoint()
+    )
+    pack = F.lit(_LPA_PACK)
+    packmax = F.lit(_LPA_PACK - 1)
+    for _ in range(_LPA_ROUNDS):
+        hist = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("n"), "label")
+            .groupBy("n", "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        labels = (
+            hist.groupBy(F.col("n").alias("node"))
+            .agg(
+                (
+                    packmax
+                    - F.max(
+                        F.col("cnt") * pack + (packmax - F.col("label"))
+                    )
+                    % pack
+                ).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("node").cast("bigint").alias("part_key"),
+        F.col("label").cast("bigint").alias("community"),
+    )

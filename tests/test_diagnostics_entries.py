@@ -1712,3 +1712,30 @@ def test_degree_assortativity_is_a_correlation(spark, sf_dir):
     assert (r.m_edges, r.sum_deg, r.sum_xy, r.sum_deg_sq) == (m, sx, sxy, sx2)
     if r.assort_nano is not None:
         assert -1_000_000_000 <= r.assort_nano <= 1_000_000_000
+
+
+def test_lpa_labels_match_driver_replay(spark, sf_dir):
+    """Deterministic sync-LPA contract: replaying the exact 3 rounds
+    (most-frequent neighbor label, ties to MIN) in plain Python from
+    the raw edge list reproduces every published community label."""
+    from collections import Counter
+
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _LPA_ROUNDS,
+        _copurchase_edges,
+    )
+
+    qs = load_all()
+    pub = {r.part_key: r.community for r in _rows(qs, "lpa_communities_3iter", spark, sf_dir)}
+    assert pub
+    nbrs: dict = {}
+    for e in _copurchase_edges(spark, sf_dir, threshold=2).collect():
+        nbrs.setdefault(e.src, []).append(e.dst)
+    labels = {v: v for v in nbrs}
+    for _ in range(_LPA_ROUNDS):
+        labels = {
+            v: max(Counter(labels[u] for u in ns).items(),
+                   key=lambda kv: (kv[1], -kv[0]))[0]
+            for v, ns in nbrs.items()
+        }
+    assert pub == labels

@@ -134,6 +134,9 @@ PROBES = [
     # two degree joins + one global aggregate (should be nearly flat)
     "cross_source_dup_matrix",
     "degree_assortativity",
+    # sync LPA: per round one edge join + two hash aggregates (packed
+    # argmax) -- same skew-safe shape as the r11 h-index round
+    "lpa_communities_3iter",
 ]
 
 REPLICAS = 10
