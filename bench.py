@@ -185,10 +185,15 @@ def _persist_full_bench(payload: dict) -> None:
                 # load stamps); only the merged timings and total update
                 stamped = {**stamped, **old}
                 # ... except last_rounds: the CURRENT run's iteration
-                # counts are the regression signal being recorded, so the
-                # fresh values always win over a stale stamp
+                # counts are the regression signal being recorded, so
+                # fresh values win per key -- but an entry that FAILED
+                # this run (absent from the new map) keeps its old count
+                # rather than vanishing, mirroring the timing min-merge
                 if payload.get("last_rounds"):
-                    stamped["last_rounds"] = payload["last_rounds"]
+                    stamped["last_rounds"] = {
+                        **old.get("last_rounds", {}),
+                        **payload["last_rounds"],
+                    }
                 if failed_now:
                     stamped["failed_now"] = failed_now
                     print(

@@ -929,7 +929,9 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surviving.unionByName(susp_surv).unionByName(done)
 
 
-_HIX_ORACLE_ROUNDS = 14  # > measured changing-rounds at sf0.01 (9) and sf0.1 (4)
+_HIX_ORACLE_ROUNDS = 24  # > measured changing-rounds at sf0.001 (20),
+# sf0.01 (9), sf0.1 (4) -- the sf0.001 co-purchase graph is the sparsest
+# and chainiest, so value deltas travel the furthest there
 _HIX_CAP = 100
 
 
@@ -1049,7 +1051,9 @@ def coreness_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix_count)) is a pure function of the neighbor-estimate multiset
     -- no tie order exists to diverge across engines.
 
-    The oracle unrolls 14 rounds (> both measured fixpoints) of the
+    The oracle unrolls 24 rounds (> the measured fixpoint at EVERY
+    shipped fixture -- 20 changing rounds at sf0.001, 9 at sf0.01, 4 at
+    sf0.1; the sparsest graph is the chainiest) of the
     identical operator as chained CTEs -- past the fixpoint the operator
     is the identity, and a regenerated fixture needing more rounds
     would diverge LOUDLY rather than silently agree.
@@ -1512,6 +1516,7 @@ def _lpa_round_sql(prev: str, out: str) -> str:
 
 @register(
     "lpa_communities_3iter",
+    eager_build=True,
     oracle=(
         "WITH "
         + _pair_edges_sql(threshold=2)

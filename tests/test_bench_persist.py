@@ -32,7 +32,8 @@ def test_persist_min_merges_existing_record(tmp_path):
         "note": "quiet min-of-3",
         "merged_runs": 2,
         "load_avg_1m": 1.5,
-        "last_rounds": {"graph_connected_components": 3, "kcore_parts": 9},
+        "last_rounds": {"graph_connected_components": 3, "kcore_parts": 9,
+                        "coreness_hindex": 7},
     }
     rec = tmp_path / "docs" / "BENCH_LOCAL_r02.json"
     rec.write_text(json.dumps(old))
@@ -46,6 +47,8 @@ def test_persist_min_merges_existing_record(tmp_path):
             # a: faster (wins), b: slower (old wins), c: -1 failure (old
             # wins), d: new query (taken), failed_before: first valid time
             "queries": {"a": 1.5, "b": 9.0, "c": -1.0, "d": 4.0, "failed_before": 2.5},
+            # kcore updates; coreness_hindex FAILED this run (absent
+            # from the new map) and must keep its old count
             "last_rounds": {"graph_connected_components": 3, "kcore_parts": 4},
         }
     )
@@ -65,6 +68,7 @@ def test_persist_min_merges_existing_record(tmp_path):
     assert merged["last_rounds"] == {
         "graph_connected_components": 3,
         "kcore_parts": 4,
+        "coreness_hindex": 7,
     }
 
 

@@ -401,7 +401,7 @@ def _ppr_frontier_edges(spark, sf_dir: str, n_seeds: int) -> int:
     seeds = (
         deg.orderBy(F.col("outdeg").desc(), F.col("src").asc())
         .limit(n_seeds)
-        .select(F.col("src").alias("s"), F.lit(0).alias("hop"))
+        .select(F.col("src").alias("s"))
     )
     ball = seeds.select(F.col("s").alias("sid"), F.col("s").alias("node"))
     for _ in range(2):
@@ -570,7 +570,19 @@ def main() -> int:
         "C(d,2) blowup into a hard ceiling. embedding_ivfpq_topk's flat",
         "line is the point: its entry caps the corpus by parameters, so",
         "only the parquet scan grows and filter pushdown prunes 99% of",
-        "it.",
+        "it. The round-11 rows measure each entry's scale INVARIANT:",
+        "embedding_pca_power's candidate column is its Spark JOB count",
+        "(equal at 1x and 100x -- the fixed-scan-count claim, measured;",
+        "wall 2.0x on 100x data), abtt's pair block stays exactly 1,225",
+        "(vec_id<50 pushdown), ppr_parts_3iter's last-round frontier is",
+        "EXACTLY flat (20 -> 20 edges: the seed's neighborhood, not the",
+        "graph). ppr_multiseed's 41 -> 60 is a replica artifact worth",
+        "reading precisely: at 100x the top-3-degree tie-break selects",
+        "three CLONES of the 1x argmax seed (one per replica), so the",
+        "frontier is exactly 3 x the single-seed 20 -- per-seed work is",
+        "flat; its 100x wall rides the EDGE relation (one shared join",
+        "pass per round serves every seed -- that amortization IS the",
+        "entry's point, vs K separate edge scans for serial PPR).",
     ]
 
     out_path = REPO / "docs" / "SCALEUP.md"

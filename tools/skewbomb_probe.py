@@ -97,14 +97,17 @@ def histogram_round(spark, edges, h):
 
 
 def iterate_to_fixpoint(spark, edges, h, round_fn, cap: int = 50):
+    """Counts CHANGING rounds only (the LAST_ROUNDS convention: the
+    confirming no-change round is not counted), so the probe's rounds
+    column is directly comparable to bench-record last_rounds."""
     rounds = 0
     pot = h.agg({"h": "sum"}).collect()[0][0]
     for _ in range(cap):
         h = round_fn(spark, edges, h).localCheckpoint()
         new_pot = h.agg({"h": "sum"}).collect()[0][0]
-        rounds += 1
         if new_pot == pot:
             break
+        rounds += 1
         pot = new_pot
     return h, rounds
 
