@@ -5576,7 +5576,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     same join (128-bit hashes shuffle, not texts).
 
     Reference parity: no dedup operators in the reference (DAG1:1-322);
-    SURVEY.md section 2's LLM-pipeline extension familes cover why the
+    SURVEY.md section 2's LLM-pipeline extension families cover why the
     engine carries this.
     """
     from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
