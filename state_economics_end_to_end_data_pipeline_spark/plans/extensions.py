@@ -5609,3 +5609,67 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "source_mixture_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    q AS (
+      SELECT source, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS sqn
+      FROM s
+    ),
+    tt AS (SELECT CAST(SUM(sqn) AS BIGINT) AS tot FROM q)
+    SELECT source, n AS n_docs, sqn AS sqrt_nano,
+           CAST(sqn AS DOUBLE) / CAST(tot AS DOUBLE) AS weight
+    FROM q CROSS JOIN tt
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SAMPLING mixture weights per source, alpha = 0.5 --
+    the multilingual/multi-source pretraining staple (mT5/XLM-R style:
+    sample source s with probability n_s^alpha / sum n_i^alpha, alpha <
+    1 upweights low-resource slices).  alpha = 0.5 is chosen
+    DELIBERATELY for the determinism contract: sqrt is correctly
+    rounded by IEEE spec on both engines (DETERMINISM rule 19), whereas
+    a general pow(x, 0.7) = exp(0.7 ln x) carries two
+    non-correctly-rounded libm calls.
+
+    Exactness: per-source counts are exact ints; each sqrt is one
+    correctly-rounded op whose result is nano-snapped to an integer
+    (rule 7); the normalizer is an exact INTEGER sum of those (no
+    float accumulation order anywhere); the published weight is one
+    int->double cast per operand (exact below 2^53 -- a 1e15-doc corpus
+    keeps sqrt_nano ~ 3e16, still inside) + one correctly-rounded
+    division.  The exact integers publish alongside the double.
+
+    Scale shape: one map-side-combined groupBy over the corpus, then
+    O(sources) arithmetic against a broadcast 1-row total.
+
+    Reference parity: no sampling operators in the reference
+    (DAG1:1-322); see the module docstring.
+    """
+    s = t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    q = s.select(
+        "source",
+        "n",
+        F.floor(F.sqrt(F.col("n").cast("double")) * F.lit(1e9) + F.lit(0.5))
+        .cast("bigint")
+        .alias("sqn"),
+    )
+    tot = q.agg(F.sum("sqn").cast("bigint").alias("tot"))
+    return q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("sqn").alias("sqrt_nano"),
+        (F.col("sqn").cast("double") / F.col("tot").cast("double")).alias(
+            "weight"
+        ),
+    )

@@ -1739,3 +1739,61 @@ def test_lpa_labels_match_driver_replay(spark, sf_dir):
             for v, ns in nbrs.items()
         }
     assert pub == labels
+
+
+def test_edge_support_counts_triangles_per_edge(spark, sf_dir):
+    """Every published pair must be an actual edge, and each support
+    must equal the common-neighbor count recomputed in the driver (the
+    via-degree cap is inert at test scale, max degree << 64).  Global
+    cross-check: the sum of supports over all edges equals 3x the
+    number of triangles (each triangle supports exactly 3 edges)."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _copurchase_edges,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "edge_triangle_support", spark, sf_dir)
+    assert rows
+    nbrs: dict = {}
+    for e in _copurchase_edges(spark, sf_dir, threshold=2).collect():
+        nbrs.setdefault(e.src, set()).add(e.dst)
+    tri3 = 0
+    for r in rows:
+        assert r.node_a < r.node_b
+        assert r.node_b in nbrs[r.node_a]
+        cn = len(nbrs[r.node_a] & nbrs[r.node_b])
+        assert r.support == cn, (r.node_a, r.node_b, r.support, cn)
+        tri3 += r.support
+    n_tri = sum(
+        1
+        for u, ns in nbrs.items()
+        for v in ns
+        if u < v
+        for w in (nbrs[u] & nbrs[v])
+        if v < w
+    )
+    assert tri3 == 3 * n_tri
+
+
+def test_mixture_weights_are_a_temperature_half_distribution(spark, sf_dir):
+    """alpha=0.5 sampling weights: exact snapped-sqrt integers match a
+    Python recompute, weights form a distribution, and the low-resource
+    upweighting property holds (weight share > count share for the
+    smallest source, < for the largest, when counts differ)."""
+    import math
+
+    qs = load_all()
+    rows = _rows(qs, "source_mixture_weights", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r.sqrt_nano == math.floor(math.sqrt(r.n_docs) * 1e9 + 0.5)
+    tot = sum(r.sqrt_nano for r in rows)
+    for r in rows:
+        assert abs(r.weight - r.sqrt_nano / tot) < 1e-15
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-9
+    n_total = sum(r.n_docs for r in rows)
+    lo = min(rows, key=lambda r: r.n_docs)
+    hi = max(rows, key=lambda r: r.n_docs)
+    if lo.n_docs < hi.n_docs:
+        assert lo.weight > lo.n_docs / n_total
+        assert hi.weight < hi.n_docs / n_total

@@ -209,10 +209,16 @@ def main() -> int:
         "(r9 measured rounds = depth 1:1, 63 on the depth-63 path).",
         "Real corpora peel out in 3-5 rakes and never pay contraction.",
         "coreness_hindex is the general-k complement (value iteration,",
-        "rounds bounded by h-value deltas, one edge join + one window",
-        "per round); deep chains remain kcore_parts' case -- h-values",
-        "propagate one hop per round on a chain, which no value",
-        "iteration can beat without doubling.",
+        "rounds bounded by h-value deltas; since r11 each round is one",
+        "edge join + two degeneracy-bounded hash aggregates, no per-node",
+        "window).  Its 0 changing rounds on the clique chain is the r11",
+        "capped start WORKING: on a near-regular graph min(degree, H0)",
+        "IS the coreness pointwise (every clique node has degree 199 =",
+        "coreness, H0 = 199), so the iteration starts AT the fixpoint",
+        "and pays one confirming pass -- vs starting at raw degrees and",
+        "burning rounds shaving them down.  Deep chains remain",
+        "kcore_parts' case -- h-values propagate one hop per round on a",
+        "chain, which no value iteration can beat without doubling.",
     ]
 
     out_path = REPO / "docs" / "SCALEUP.md"

@@ -137,6 +137,10 @@ PROBES = [
     # sync LPA: per round one edge join + two hash aggregates (packed
     # argmax) -- same skew-safe shape as the r11 h-index round
     "lpa_communities_3iter",
+    # k-truss support (capped wedge join + edge semi-join) and the
+    # one-aggregate mixture weights (should be flat)
+    "edge_triangle_support",
+    "source_mixture_weights",
 ]
 
 REPLICAS = 10
