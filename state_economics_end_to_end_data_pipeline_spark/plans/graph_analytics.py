@@ -1664,3 +1664,153 @@ def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support",
         )
     )
+
+
+_TRUSS_ORACLE_ROUNDS = 4  # > measured peel rounds at every fixture (1 at
+# sf0.001/sf0.01/sf0.1 -- probed in DuckDB before pinning, the r11 rule)
+_TRUSS_CAP = 30
+
+
+def _truss_round_sql(prev: str, r: int) -> str:
+    """One unrolled 3-truss peel round: count triangles on the current
+    half-edge set, attribute each to its 3 edges, keep supported edges.
+    AS MATERIALIZED per the house CTE-chain rule (_hix_round_sql)."""
+    return f"""
+    t{r} AS MATERIALIZED (
+      SELECT ab.a AS x, ab.b AS y, bc.b AS z
+      FROM {prev} ab
+      JOIN {prev} bc ON bc.a = ab.b
+      JOIN {prev} ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT a, b, COUNT(*) AS support FROM (
+        SELECT x AS a, y AS b FROM t{r}
+        UNION ALL SELECT y AS a, z AS b FROM t{r}
+        UNION ALL SELECT x AS a, z AS b FROM t{r}
+      ) GROUP BY a, b
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT p.a, p.b FROM {prev} p JOIN s{r} s ON s.a = p.a AND s.b = p.b
+    )
+    """
+
+
+@register(
+    "truss_edges_k3",
+    eager_build=True,
+    oracle=(
+        "WITH "
+        + _pair_edges_sql(threshold=2)
+        + ",\n    e0 AS (SELECT src AS a, dst AS b FROM pairs)"
+        + "".join(
+            ",\n" + _truss_round_sql(f"e{i}", i + 1)
+            for i in range(_TRUSS_ORACLE_ROUNDS)
+        )
+        + f"""
+    SELECT CAST(a AS BIGINT) AS node_a, CAST(b AS BIGINT) AS node_b,
+           CAST(support AS BIGINT) AS support
+    FROM s{_TRUSS_ORACLE_ROUNDS}"""
+    ),
+)
+def truss_edges_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-TRUSS of the co-purchase graph (Cohen 2008): the maximal
+    edge set in which EVERY edge participates in >= 1 triangle -- the
+    standard community-core refinement one level above the raw support
+    pass (``edge_triangle_support`` is one round of this peel; the k=3
+    truss iterates it to a fixpoint, since removing an unsupported edge
+    can orphan its neighbors' triangles).  k = 3 is the fixture-honest
+    choice: the 4-truss is EMPTY at sf0.01/sf0.1 (probed in DuckDB
+    before pinning -- the r9 graph_neighbor_jaccard lesson).
+
+    ITERATIVE EDGE-SET REFINEMENT -- a loop shape the catalog's other
+    iterative entries don't cover (CC/coreness/LPA refine NODE values;
+    this refines the EDGE relation itself).  Per round: triangles are
+    enumerated DEGREE-ORIENTED exactly like ``copurchase_triangles``
+    (each edge points lower-(degree, id)-rank to higher, so wedge
+    fan-out per key is O(sqrt(edges)) regardless of hub degree --
+    the truss needs exact support, so a via-degree CAP would be
+    wrong; orientation is the exactness-preserving skew control),
+    each triangle is attributed to its 3 edges (explode + hash
+    aggregate), and edges with zero support drop out by semi-join.
+    The edge count is the strictly-decreasing potential; the loop
+    stops at fixpoint (measured: 1 changing round at every shipped
+    fixture; rounds land in ``LAST_ROUNDS``), and publishes the
+    support relation COMPUTED ON the fixpoint edge set.  The oracle
+    unrolls {_TRUSS_ORACLE_ROUNDS} rounds past the measured fixpoint
+    as AS MATERIALIZED CTEs -- past the fixpoint the operator is the
+    identity, a deeper-peeling regenerated fixture diverges loudly.
+
+    Exactness: pure integer counts end to end.
+
+    Reference parity: no graph operators in the reference (DAG1:1-322);
+    module docstring covers the family.
+    """
+    e = (
+        _copurchase_edges(spark, sf_dir, threshold=2)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    support = None
+    for rnd in range(_TRUSS_CAP):
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("p"))
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        ranked = e.join(
+            deg.select(F.col("p").alias("a"), F.col("deg").alias("deg_a")), "a"
+        ).join(deg.select(F.col("p").alias("b"), F.col("deg").alias("deg_b")), "b")
+        rank_a = F.struct(F.col("deg_a").alias("deg"), F.col("a").alias("id"))
+        rank_b = F.struct(F.col("deg_b").alias("deg"), F.col("b").alias("id"))
+        a_first = rank_a < rank_b
+        directed = ranked.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, rank_b).otherwise(rank_a).alias("rank_v"),
+        )
+        lo = directed.select("u", F.col("v").alias("w1"), F.col("rank_v").alias("rk1"))
+        hi = directed.select("u", F.col("v").alias("w2"), F.col("rank_v").alias("rk2"))
+        closing = directed.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+        tri = (
+            lo.join(hi, "u")
+            .filter(F.col("rk1") < F.col("rk2"))
+            .join(closing, ["w1", "w2"])
+            .select(F.array_sort(F.array("u", "w1", "w2")).alias("t"))
+            .select(
+                F.element_at("t", 1).alias("x"),
+                F.element_at("t", 2).alias("y"),
+                F.element_at("t", 3).alias("z"),
+            )
+        )
+        edge_refs = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                    F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+                    F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b")
+        support = (
+            edge_refs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+            .localCheckpoint()
+        )
+        e_next = e.join(support, ["a", "b"], "leftsemi").localCheckpoint()
+        n_next = e_next.count()
+        if n_next == n_edges:
+            LAST_ROUNDS["truss_edges_k3"] = rnd
+            break
+        e, n_edges = e_next, n_next
+    else:
+        raise RuntimeError(
+            f"truss_edges_k3: edge peel still shrinking after {_TRUSS_CAP} "
+            "rounds -- raise _TRUSS_CAP rather than publish a partial truss"
+        )
+    return support.select(
+        F.col("a").cast("bigint").alias("node_a"),
+        F.col("b").cast("bigint").alias("node_b"),
+        "support",
+    )

@@ -1797,3 +1797,40 @@ def test_mixture_weights_are_a_temperature_half_distribution(spark, sf_dir):
     if lo.n_docs < hi.n_docs:
         assert lo.weight > lo.n_docs / n_total
         assert hi.weight < hi.n_docs / n_total
+
+
+def test_truss_k3_matches_driver_peel_replay(spark, sf_dir):
+    """3-truss contract: replaying the peel in plain Python (drop edges
+    in zero triangles until fixpoint) reproduces the published edge set
+    EXACTLY, and every published support is the triangle count of that
+    edge within the final truss."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _copurchase_edges,
+    )
+
+    qs = load_all()
+    pub = {
+        (r.node_a, r.node_b): r.support
+        for r in _rows(qs, "truss_edges_k3", spark, sf_dir)
+    }
+    assert pub
+    E = {
+        (e.src, e.dst)
+        for e in _copurchase_edges(spark, sf_dir, threshold=2).collect()
+        if e.src < e.dst
+    }
+    nbrs: dict = {}
+    for a, b in E:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    while True:
+        drop = [(a, b) for (a, b) in E if not (nbrs[a] & nbrs[b])]
+        if not drop:
+            break
+        for a, b in drop:
+            E.discard((a, b))
+            nbrs[a].discard(b)
+            nbrs[b].discard(a)
+    assert set(pub) == E
+    for (a, b), sup in pub.items():
+        assert sup == len(nbrs[a] & nbrs[b]), (a, b)

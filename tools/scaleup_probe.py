@@ -141,6 +141,8 @@ PROBES = [
     # one-aggregate mixture weights (should be flat)
     "edge_triangle_support",
     "source_mixture_weights",
+    # iterative 3-truss peel (degree-oriented triangle rounds)
+    "truss_edges_k3",
 ]
 
 REPLICAS = 10
