@@ -1814,3 +1814,95 @@ def truss_edges_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").cast("bigint").alias("node_b"),
         "support",
     )
+
+
+_HC_HOPS = 4
+_HC_SEEDS = 3
+
+
+@register(
+    "harmonic_centrality_sample",
+    eager_build=True,
+    oracle=f"""
+    WITH RECURSIVE {_pair_edges_sql(threshold=2)},
+    seeds AS (
+      SELECT src AS seed FROM deg ORDER BY outdeg DESC, src LIMIT {_HC_SEEDS}
+    ),
+    r(seed, node, hop) AS (
+      SELECT seed, seed, 0 FROM seeds
+      UNION
+      SELECT r.seed, e.dst, r.hop + 1
+      FROM r JOIN edges e ON e.src = r.node
+      WHERE r.hop < {_HC_HOPS}
+    ),
+    dist AS (SELECT seed, node, MIN(hop) AS hop FROM r GROUP BY 1, 2)
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS n_seeds_reached,
+           round(CAST(SUM(CAST(1.0 / hop AS DECIMAL(38,18))) AS DOUBLE), 6)
+             AS harmonic
+    FROM dist WHERE hop > 0
+    GROUP BY node
+    """,
+)
+def harmonic_centrality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality (Boldi & Vigna 2014's robust
+    replacement for closeness -- sums 1/d so disconnection contributes 0
+    instead of poisoning the mean) on the co-purchase graph: a
+    MULTI-SOURCE hop-limited BFS from the K=3 highest-degree seeds, then
+    per node harmonic(v) = sum over reached seeds of 1/d(seed, v). The
+    standard centrality estimator at graph scale: exact all-pairs is
+    O(V*E), a K-seed sample is K BFS sweeps that here share EVERY
+    per-round join by carrying seed through the frontier relation
+    (frontier keyed (seed, node)), exactly the amortization
+    ``ppr_multiseed`` proves for PPR -- one edges-join per ROUND, not per
+    seed-round.
+
+    The per-round anti-join against the visited set keeps each seed's
+    work proportional to its NEW frontier, so the batch costs the same
+    shuffles as ONE BFS on the union frontier. Seeds chosen in-plan
+    (top-K degree, min-id tie-break; deterministic). Per-round
+    ``localCheckpoint`` is the measured necessity documented on
+    ``graph_bfs_hops`` (lazy unrolls duplicate anti-join subtrees
+    exponentially). The 1/hop sum is decimal-routed so up-to-K-term
+    float addition is order-insensitive and engine-exact.
+
+    Reference parity: no reference counterpart (no graph analytics at
+    all; SURVEY.md section 2) -- centrality sampling is 100 TB
+    graph-curation machinery (influencer/hub scoring for sampling
+    weights).
+    """
+    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    seeds = (
+        deg.orderBy(F.col("outdeg").desc(), F.col("src").asc())
+        .limit(_HC_SEEDS)
+        .select(F.col("src").alias("seed"))
+    )
+    visited = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).alias("hop")
+    ).localCheckpoint()
+    frontier = visited.select("seed", "node")
+    for h in range(1, _HC_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(h).alias("hop"))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("seed", "node")
+    return (
+        visited.filter(F.col("hop") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seeds_reached"),
+            F.round(
+                F.sum((F.lit(1.0) / F.col("hop")).cast("decimal(38,18)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("harmonic"),
+        )
+    )

@@ -846,6 +846,21 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     assert sum(r.n_rows for r in zrows) == sum(r.n_rows for r in lrows)
 
 
+def test_harmonic_centrality_sample_bounds(spark, sf_dir):
+    """Harmonic sample invariants: each of the K=3 seeds contributes at
+    most 1 (distance >= 1) and at least 1/4 (hop cap 4), so per node
+    n_seeds/4 <= harmonic <= n_seeds; seed count within [1, 3]; and the
+    highest-degree seed itself is reached by some other seed (the
+    co-purchase hub neighborhood is connected at sf0.001)."""
+    qs = load_all()
+    rows = _rows(qs, "harmonic_centrality_sample", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_seeds_reached <= 3
+        assert r.n_seeds_reached / 4 - 1e-9 <= r.harmonic <= r.n_seeds_reached + 1e-9
+    assert any(r.n_seeds_reached >= 2 for r in rows)
+
+
 def test_hilbert_buckets_tighter_than_zorder_on_unaligned_cuts(spark, sf_dir):
     """The Hilbert layout claim: under equal-data-weight file cuts
     (256 buckets along each curve), Hilbert's worst bucket bounding box
