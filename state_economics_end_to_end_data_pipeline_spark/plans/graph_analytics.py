@@ -1906,3 +1906,127 @@ def harmonic_centrality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("harmonic"),
         )
     )
+
+
+_SCC_PROB = 0.2
+_SCC_CAP = 8  # closure doubling rounds; reaches paths of length 2^8
+
+
+@register(
+    "scc_event_types",
+    eager_build=True,
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+      FROM events
+    ), pairs AS (
+      SELECT a, b, COUNT(*) AS n_ab FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+    ), totals AS (
+      SELECT a, SUM(n_ab) AS n_a FROM pairs GROUP BY 1
+    ), edges AS (
+      SELECT p.a AS src, p.b AS dst FROM pairs p JOIN totals t USING (a)
+      WHERE CAST(p.n_ab AS DOUBLE) / t.n_a >= {_SCC_PROB!r}
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    r(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+    ),
+    mutual AS (
+      SELECT a.src AS node, a.dst AS other
+      FROM r a JOIN r b ON a.src = b.dst AND a.dst = b.src
+    ),
+    labels AS (
+      SELECT n.node, LEAST(n.node, COALESCE(MIN(m.other), n.node)) AS scc
+      FROM nodes n LEFT JOIN mutual m ON m.node = n.node GROUP BY n.node
+    )
+    SELECT node, scc,
+           CAST(COUNT(*) OVER (PARTITION BY scc) AS BIGINT) AS scc_size
+    FROM labels
+    """,
+)
+def scc_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the user-journey DIGRAPH: nodes
+    are event types, directed edges are the Markov transitions
+    (`markov_event_transitions`) with P(b|a) >= 0.2 -- the recurrence
+    structure of the behavior model (which states form a recurrent
+    class vs. transient/absorbing states; the precondition for the
+    stationary-distribution reading of PageRank-style scores).
+
+    Direction matters here, so the undirected min-label trick
+    (``graph_connected_components``) does not apply; SCC needs mutual
+    reachability. The shape: (1) the data-sized work is ONE user_id
+    window shuffle + the O(types^2) transition aggregate -- the node
+    domain is the event taxonomy, bounded by construction regardless of
+    input rows; (2) reachability closure on that dimension-sized digraph
+    via pointer-doubled pair doubling (r := r UNION r JOIN r, log2(path
+    length) rounds, fixpoint detected by pair-count potential -- the
+    bounded-scalar collect contract of the CC/k-core family); (3) scc
+    label = min mutually-reachable node (self included). At 100 TB the
+    closure never touches raw rows -- same post-aggregation design as
+    ``hilbert_layout_spans``. For SCC on a data-sized node domain
+    (user-user graphs) the published approach is iterative
+    forward-backward coloring (Fleischer et al. 2000); this entry is
+    deliberately the taxonomy-graph case the reference's analytics
+    actually need.
+
+    Oracle: recursive-CTE transitive closure, identical edge rule.
+    """
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"), F.lead("event_type").over(w).alias("b")
+    ).filter(F.col("b").isNotNull())
+    pairs = seq.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    totals = pairs.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    edges = (
+        pairs.join(F.broadcast(totals), "a")
+        .filter(F.col("n_ab").cast("double") / F.col("n_a") >= _SCC_PROB)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    r = edges
+    n_pairs = r.count()
+    for rnd in range(1, _SCC_CAP + 1):
+        r2 = r.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
+        grown = (
+            r.join(r2, r.dst == r2.mid)
+            .select("src", F.col("dst2").alias("dst"))
+            .unionByName(r)
+            .distinct()
+            .localCheckpoint()
+        )
+        n_next = grown.count()
+        if n_next == n_pairs:
+            LAST_ROUNDS["scc_event_types"] = rnd
+            break
+        r, n_pairs = grown, n_next
+    else:
+        raise RuntimeError(
+            f"scc_event_types: closure still growing after {_SCC_CAP} doubling "
+            "rounds -- raise _SCC_CAP rather than publish a partial closure"
+        )
+    back = r.select(F.col("src").alias("b_src"), F.col("dst").alias("b_dst"))
+    mutual = r.join(
+        back, (r.src == back.b_dst) & (r.dst == back.b_src)
+    ).select(F.col("src").alias("node"), F.col("dst").alias("other"))
+    labels = (
+        nodes.join(mutual, "node", "left_outer")
+        .groupBy("node")
+        .agg(
+            F.least(
+                F.col("node"), F.coalesce(F.min("other"), F.col("node"))
+            ).alias("scc")
+        )
+    )
+    sizes = labels.groupBy("scc").agg(F.count(F.lit(1)).cast("bigint").alias("scc_size"))
+    return labels.join(F.broadcast(sizes), "scc").select("node", "scc", "scc_size")

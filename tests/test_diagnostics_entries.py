@@ -846,6 +846,28 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     assert sum(r.n_rows for r in zrows) == sum(r.n_rows for r in lrows)
 
 
+def test_scc_event_types_partition_laws(spark, sf_dir):
+    """SCC output is a partition of the node set: every node appears
+    once, each component's size matches its member count, the label is
+    a member of its own component (canonical min), and at sf0.001 the
+    journey digraph has a recurrent class of >= 2 types plus at least
+    one transient singleton (the structure that makes the entry
+    non-degenerate)."""
+    qs = load_all()
+    rows = _rows(qs, "scc_event_types", spark, sf_dir)
+    assert rows
+    nodes = [r.node for r in rows]
+    assert len(nodes) == len(set(nodes))
+    by_scc: dict[str, list] = {}
+    for r in rows:
+        by_scc.setdefault(r.scc, []).append(r)
+    for scc, members in by_scc.items():
+        assert all(m.scc_size == len(members) for m in members)
+        assert scc == min(m.node for m in members)
+    assert max(len(m) for m in by_scc.values()) >= 2
+    assert min(len(m) for m in by_scc.values()) == 1
+
+
 def test_harmonic_centrality_sample_bounds(spark, sf_dir):
     """Harmonic sample invariants: each of the K=3 seeds contributes at
     most 1 (distance >= 1) and at least 1/4 (hop cap 4), so per node
