@@ -5673,3 +5673,85 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight"
         ),
     )
+
+
+@register(
+    "token_kl_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS}) AS token FROM documents
+    ), st AS (
+      SELECT source, token, COUNT(*) AS n_st FROM tok GROUP BY 1, 2
+    ), s_tot AS (
+      SELECT source, SUM(n_st) AS n_s, COUNT(*) AS n_types FROM st GROUP BY 1
+    ), ct AS (
+      SELECT token, SUM(n_st) AS n_ct FROM st GROUP BY 1
+    ), n AS (
+      SELECT SUM(n_ct) AS n_tot FROM ct
+    )
+    SELECT st.source,
+           CAST(s.n_s AS BIGINT) AS n_tokens,
+           CAST(s.n_types AS BIGINT) AS n_types,
+           round(CAST(SUM(CAST(
+             (CAST(st.n_st AS DOUBLE) / s.n_s)
+             * ln((CAST(st.n_st AS DOUBLE) * n.n_tot)
+                  / (CAST(s.n_s AS DOUBLE) * ct.n_ct))
+           AS DECIMAL(38,18))) AS DOUBLE), 6) AS kl_nats
+    FROM st
+    JOIN s_tot s USING (source)
+    JOIN ct USING (token)
+    CROSS JOIN n
+    GROUP BY 1, 2, 3
+    """,
+)
+def token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the token distribution against the
+    corpus: KL(P_source || P_corpus) in nats -- THE data-mixture
+    diagnostic (how far each source's unigram language drifts from the
+    blend; complements `source_mixture_weights`, which decides how much
+    of each source to take, with a measure of how *different* what you
+    take is, and `psi_drift_event_values`, which is the binned numeric
+    sibling). Sources are subsets of the corpus, so every source token
+    exists in the corpus and KL is finite; KL >= 0 with equality iff
+    the source matches the blend (Gibbs), pinned by the invariant test.
+
+    Scale shape: one (source, token) partial-aggregated shuffle, one
+    token-keyed rollup REUSED from that aggregate for corpus counts
+    (never a second raw-token pass), a dimension-sized source rollup,
+    and a 1-row grand total broadcast. All counts are exact integers;
+    each KL term does ONE double division pair feeding ONE ln per
+    (source, token) -- products stay < 2^53 at fixture scale so both
+    engines see bit-identical ln arguments (at 1e13+ tokens the ratio
+    should be computed as a difference of two exact divisions' logs;
+    noted, not needed here); the per-source sum is decimal-routed and
+    rounded to 6 (token_entropy's libm discipline).
+    """
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    tok = d.select(
+        "source", F.explode_outer(tokens("text")).alias("token")
+    ).filter(F.col("token").isNotNull())
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_st"))
+    s_tot = st.groupBy("source").agg(
+        F.sum("n_st").alias("n_s"), F.count(F.lit(1)).alias("n_types")
+    )
+    ct = st.groupBy("token").agg(F.sum("n_st").alias("n_ct"))
+    n = ct.agg(F.sum("n_ct").alias("n_tot"))
+    term = (F.col("n_st").cast("double") / F.col("n_s")) * F.log(
+        (F.col("n_st").cast("double") * F.col("n_tot"))
+        / (F.col("n_s").cast("double") * F.col("n_ct"))
+    )
+    return (
+        st.join(F.broadcast(s_tot), "source")
+        .join(ct, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+        )
+        .agg(
+            F.round(
+                F.sum(term.cast("decimal(38,18)")).cast("double"), 6
+            ).alias("kl_nats")
+        )
+    )

@@ -846,6 +846,36 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     assert sum(r.n_rows for r in zrows) == sum(r.n_rows for r in lrows)
 
 
+def test_token_kl_by_source_gibbs_bound(spark, sf_dir):
+    """KL(P_source || P_corpus) >= 0 for every source (Gibbs; up to the
+    1e-6 publication rounding), one row per source, and token mass
+    conservation: per-source token counts sum to the corpus total."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.operators.text import (
+        token_count,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "token_kl_by_source", spark, sf_dir)
+    n_sources = (
+        read_parquet_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r.kl_nats >= -1e-6, (r.source, r.kl_nats)
+        assert 0 < r.n_types <= r.n_tokens
+    corpus_tokens = (
+        read_parquet_table(spark, sf_dir, "documents")
+        .select(token_count("text").alias("n"))
+        .groupBy()
+        .sum("n")
+        .collect()[0][0]
+    )
+    assert sum(r.n_tokens for r in rows) == corpus_tokens
+
+
 def test_scc_event_types_partition_laws(spark, sf_dir):
     """SCC output is a partition of the node set: every node appears
     once, each component's size matches its member count, the label is
