@@ -5755,3 +5755,96 @@ def token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kl_nats")
         )
     )
+
+
+def _gt_top1_sql() -> str:
+    """Exact brute-force top-1 CTE (the MRR ground truth; same scoring
+    shape as ``_brute_topk_sql`` but keeping only rank 1)."""
+    return f"""
+    gt_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS gt_neighbor,
+             {_cos_sql('q.embedding', 'c.embedding')} AS gcs
+      FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+      WHERE c.vec_id <> q.vec_id
+    ), gt AS (
+      SELECT query_id, gt_neighbor FROM (
+        SELECT query_id, gt_neighbor,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY gcs DESC, gt_neighbor) AS rk
+        FROM gt_scored
+      ) WHERE rk = 1
+    )
+    """
+
+
+@register(
+    "mrr_ivf_vs_brute",
+    eager_build=True,
+    oracle=_ivf_oracle().rstrip()
+    .replace("WITH cents AS (", "WITH " + _gt_top1_sql().strip().rstrip() + ", cents AS (", 1)
+    .replace(
+        """SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM cand
+    ) WHERE rank <= 5""",
+        """SELECT g.query_id, g.gt_neighbor,
+           CAST(COALESCE(i.rank, 0) AS BIGINT) AS rank_in_ivf,
+           CASE WHEN i.rank IS NULL THEN 0.0
+                ELSE CAST(1.0 AS DOUBLE) / i.rank END AS rr
+    FROM gt g
+    LEFT JOIN (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM cand
+    ) i ON i.query_id = g.query_id AND i.neighbor_id = g.gt_neighbor
+       AND i.rank <= 5""",
+        1,
+    ),
+)
+def mrr_ivf_vs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the TRUE nearest neighbor inside the IVF
+    result, per query -- the ranking-quality complement of
+    ``ivf_recall_at_5`` (recall asks "how many of the top-5 did the
+    index keep"; RR asks "where did it PLACE the single right answer").
+    rr = 1/rank of the brute-force top-1 in the IVF top-5, 0 when the
+    index missed it entirely (probed cells excluded the true
+    neighbor's cell). Chosen over nDCG deliberately: reciprocal ranks
+    are exact rationals (one int division), so the quality metric
+    itself stays engine-exact with NO libm surface -- the mean over
+    queries (MRR) is a trivial downstream average left to the reader so
+    every per-query row stays hash-checkable.
+
+    Scale shape: ground truth is the brute-force broadcast-scored top-1
+    (query batch bounded at 10); the IVF side is the same cell-join
+    plan as ``embedding_ivf_topk``; the final comparison joins two
+    query-batch-sized relations. At corpus scale the brute side is the
+    one full scan you pay to MEASURE the index (that is what a quality
+    eval is); the measured artifact itself stays O(queries).
+    """
+    from ..operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    gt = cosine_topk(emb, queries, k=1).select(
+        "query_id", F.col("neighbor_id").alias("gt_neighbor")
+    )
+    ivf = ivf_topk(
+        corpus=emb, queries=queries,
+        centroids=emb.filter(F.col("vec_id") < 8), k=5, n_probe=2,
+    ).select(F.col("query_id").alias("iq"), "neighbor_id", "rank")
+    res = gt.join(
+        ivf,
+        (gt.query_id == ivf.iq) & (gt.gt_neighbor == ivf.neighbor_id),
+        "left",
+    )
+    return res.select(
+        "query_id",
+        "gt_neighbor",
+        F.coalesce(F.col("rank"), F.lit(0)).cast("bigint").alias("rank_in_ivf"),
+        F.when(F.col("rank").isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0) / F.col("rank"))
+        .alias("rr"),
+    )

@@ -846,6 +846,26 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     assert sum(r.n_rows for r in zrows) == sum(r.n_rows for r in lrows)
 
 
+def test_mrr_ivf_vs_brute_laws(spark, sf_dir):
+    """RR laws: one row per query (10), rank_in_ivf in [0, 5],
+    rr = 1/rank exactly when hit and 0 when missed, and consistency
+    with ivf_recall_at_5 -- a query with rank_in_ivf > 0 must count the
+    gt neighbor among its recall hits (n_hits >= 1)."""
+    qs = load_all()
+    rows = _rows(qs, "mrr_ivf_vs_brute", spark, sf_dir)
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.rank_in_ivf <= 5
+        if r.rank_in_ivf == 0:
+            assert r.rr == 0.0
+        else:
+            assert r.rr == 1.0 / r.rank_in_ivf
+    recall = {r.query_id: r.n_hits for r in _rows(qs, "ivf_recall_at_5", spark, sf_dir)}
+    for r in rows:
+        if r.rank_in_ivf > 0:
+            assert recall[r.query_id] >= 1
+
+
 def test_token_kl_by_source_gibbs_bound(spark, sf_dir):
     """KL(P_source || P_corpus) >= 0 for every source (Gibbs; up to the
     1e-6 publication rounding), one row per source, and token mass
