@@ -5848,3 +5848,101 @@ def mrr_ivf_vs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1.0) / F.col("rank"))
         .alias("rr"),
     )
+
+
+_LM_MU = 2000.0  # Dirichlet prior mass (Zhai & Lafferty's default range)
+
+
+def _lm_dirichlet_oracle() -> str:
+    """DuckDB query-likelihood scoring with the SAME parenthesization as
+    the Spark plan (the _bm25_oracle discipline: ln() 1-ulp differences
+    absorbed by round(.,6), every other double op folds identically)."""
+    per_term = " + ".join(
+        f"""ln((CAST(tf_{i} AS DOUBLE)
+           + {_LM_MU!r} * (CAST(ctf_{i} AS DOUBLE) / CAST(c_total AS DOUBLE)))
+           / (CAST(dl AS DOUBLE) + {_LM_MU!r}))"""
+        for i in range(len(_BM25_TERMS))
+    )
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, tok -> tok = '{w}')) AS tf_{i}"
+        for i, w in enumerate(_BM25_TERMS)
+    )
+    ctf_cols = ",\n             ".join(
+        f"CAST(SUM(CAST(tf_{i} AS BIGINT)) AS BIGINT) AS ctf_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), feat AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM tk
+    ), stats AS (
+      SELECT CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS c_total,
+             {ctf_cols}
+      FROM feat
+    ), scored AS (
+      SELECT doc_id, round({per_term}, 6) AS ql_logprob
+      FROM feat, stats
+    )
+    SELECT doc_id, ql_logprob FROM (
+      SELECT doc_id, ql_logprob,
+             ROW_NUMBER() OVER (ORDER BY ql_logprob DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """
+
+
+@register("lm_dirichlet_search", oracle=_lm_dirichlet_oracle())
+def lm_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001, mu=2000): score(q,d) = sum over query terms of
+    ln((tf + mu*P_c(t)) / (dl + mu)) -- the language-modeling family's
+    answer to BM25 (same fixed 3-term query, so the two entries rank the
+    same corpus and their disagreements are exactly the k1/b-vs-mu
+    modeling difference). Smoothing makes zero-tf docs scorable, so
+    every document gets a finite log-probability.
+
+    Scale shape: identical to ``bm25_keyword_search`` -- per-doc tf/dl
+    are narrow in-row filters; collection stats (total tokens,
+    per-term collection frequency) are ONE scalar aggregate broadcast
+    back as a 1-row cross join; top-10 is a partial top-k
+    (TakeOrderedAndProject). Two corpus scans, no shuffle wider than
+    one row, at any corpus size.
+    """
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+
+    def eq_term(w: str):
+        return lambda tok: tok == F.lit(w)
+
+    feat = d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("dl"),
+        *[
+            F.size(F.filter(tokens("text"), eq_term(w))).alias(f"tf_{i}")
+            for i, w in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = feat.agg(
+        F.sum(F.col("dl").cast("bigint")).cast("bigint").alias("c_total"),
+        *[
+            F.sum(F.col(f"tf_{i}").cast("bigint")).cast("bigint").alias(f"ctf_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        term = F.log(
+            (
+                F.col(f"tf_{i}").cast("double")
+                + _LM_MU
+                * (F.col(f"ctf_{i}").cast("double") / F.col("c_total").cast("double"))
+            )
+            / (F.col("dl").cast("double") + _LM_MU)
+        )
+        score = term if score is None else score + term
+    scored = feat.crossJoin(F.broadcast(stats)).select(
+        "doc_id", F.round(score, 6).alias("ql_logprob")
+    )
+    return scored.orderBy(F.col("ql_logprob").desc(), "doc_id").limit(10)

@@ -846,6 +846,19 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     assert sum(r.n_rows for r in zrows) == sum(r.n_rows for r in lrows)
 
 
+def test_lm_dirichlet_scores_are_proper_logprobs(spark, sf_dir):
+    """Each query term contributes ln((tf + mu*p)/(dl + mu)) with
+    tf <= dl and p < 1, so every term is < 0 and the 3-term score is a
+    strictly negative log-probability; exactly 10 rows (top-10) with
+    distinct doc_ids."""
+    qs = load_all()
+    rows = _rows(qs, "lm_dirichlet_search", spark, sf_dir)
+    assert len(rows) == 10
+    assert len({r.doc_id for r in rows}) == 10
+    for r in rows:
+        assert r.ql_logprob < 0.0
+
+
 def test_mrr_ivf_vs_brute_laws(spark, sf_dir):
     """RR laws: one row per query (10), rank_in_ivf in [0, 5],
     rr = 1/rank exactly when hit and 0 when missed, and consistency

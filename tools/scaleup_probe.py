@@ -143,6 +143,18 @@ PROBES = [
     "source_mixture_weights",
     # iterative 3-truss peel (degree-oriented triangle rounds)
     "truss_edges_k3",
+    # round-11 continuation: Hilbert layout (post-aggregation curve math
+    # on the 64Ki-cell grain -- should be nearly flat), K-seed harmonic
+    # centrality (per-round shared edge join; rides the data like BFS),
+    # SCC of the taxonomy digraph (one window shuffle + dimension-sized
+    # closure -- rides the window), the per-source unigram KL (two
+    # token-keyed partial aggregates), and the IVF reciprocal-rank eval
+    # (brute side scans the corpus, batch bounded at 10 queries)
+    "hilbert_layout_spans",
+    "harmonic_centrality_sample",
+    "scc_event_types",
+    "token_kl_by_source",
+    "mrr_ivf_vs_brute",
 ]
 
 REPLICAS = 10
