@@ -846,6 +846,54 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     assert sum(r.n_rows for r in zrows) == sum(r.n_rows for r in lrows)
 
 
+def test_densest_subgraph_entry_invariants(spark, sf_dir):
+    """The published set is internally consistent: one row per member,
+    n_nodes == member count, density == n_edges/n_nodes exactly, and
+    the set is at least as dense as the full co-purchase graph (best
+    over rounds includes round 0)."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _copurchase_edges,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "densest_subgraph_peel", spark, sf_dir)
+    assert rows
+    assert len(rows) == rows[0].n_nodes
+    assert len({r.part_key for r in rows}) == len(rows)
+    r0 = rows[0]
+    assert all((r.n_nodes, r.n_edges, r.density) == (r0.n_nodes, r0.n_edges, r0.density) for r in rows)
+    assert r0.density == r0.n_edges / r0.n_nodes
+    edges = _copurchase_edges(spark, sf_dir, threshold=2)
+    whole_dd = edges.count()
+    whole_n = edges.select("src").distinct().count()
+    assert r0.density >= whole_dd / (2 * whole_n) - 1e-12
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    """Planted-community behavior: a 12-clique plus a long sparse path
+    periphery. The peel must strip the path (degree <= 2 < 1.5 * avg)
+    and return a set whose density is the clique's (11/2), far above
+    the whole graph's -- i.e. the argmax moves off round 0."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        greedy_densest_subgraph,
+    )
+
+    k = 12
+    clique = [(i, j) for i in range(k) for j in range(k) if i != j]
+    # path periphery: 100..160 in a chain, attached to clique node 0
+    chain = list(range(100, 161))
+    path = []
+    for a, b in zip([0] + chain, chain):
+        path += [(a, b), (b, a)]
+    edges = spark.createDataFrame(clique + path, ["src", "dst"])
+    rows = greedy_densest_subgraph(edges).collect()
+    got = {r.part_key for r in rows}
+    assert got == set(range(k)), got
+    assert rows[0].density == (k - 1) / 2
+    whole_density = (len(clique) + len(path)) / (2 * (k + len(chain)))
+    assert rows[0].density > 2 * whole_density
+
+
 def test_lm_dirichlet_scores_are_proper_logprobs(spark, sf_dir):
     """Each query term contributes ln((tf + mu*p)/(dl + mu)) with
     tf <= dl and p < 1, so every term is < 0 and the 3-term score is a

@@ -74,6 +74,10 @@ HEAVY = [
     "embedding_anisotropy_abtt",
     "ppr_parts_3iter",
     "ppr_multiseed",
+    # round-11 continuation: K-seed BFS centrality -- total frontier-join
+    # volume must ride the seed neighborhoods, not the graph (disjoint
+    # replicas keep it flat at 100x edges, same contract as PPR)
+    "harmonic_centrality_sample",
 ]
 
 SECTION_HEADER = "## 100x probe: heavy-family candidate growth"
@@ -430,6 +434,46 @@ def _cand_ppr_multi(spark, sf_dir: str) -> int:
     return _ppr_frontier_edges(spark, sf_dir, _PPR_SEEDS)
 
 
+def _cand_harmonic_frontier(spark, sf_dir: str) -> int:
+    """Total BFS traversal work: sum over rounds of the frontier-to-edges
+    join volume, exactly as harmonic_centrality_sample expands (K=3
+    seeds, hop cap 4, anti-join against visited). On 100 disjoint graph
+    replicas the top-degree seeds stay inside one copy, so this count
+    stays flat while edges grow 100x -- the multi-source-BFS sibling of
+    the PPR frontier contract."""
+    from pyspark.sql import functions as F
+
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _HC_HOPS,
+        _HC_SEEDS,
+        _copurchase_edges,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir, threshold=2).cache()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    seeds = (
+        deg.orderBy(F.col("outdeg").desc(), F.col("src").asc())
+        .limit(_HC_SEEDS)
+        .select(F.col("src").alias("seed"))
+    )
+    visited = seeds.select("seed", F.col("seed").alias("node")).localCheckpoint()
+    frontier = visited
+    total = 0
+    for _ in range(_HC_HOPS):
+        joined = frontier.join(edges, frontier.node == edges.src)
+        total += joined.count()
+        nxt = (
+            joined.select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["seed", "node"], "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    edges.unpersist()
+    return total
+
+
 CAND_FNS = {
     "ngram_jaccard_pairs": _cand_ngram_jaccard,
     "simhash_banded_pairs": _cand_simhash_banded,
@@ -441,6 +485,7 @@ CAND_FNS = {
     "embedding_anisotropy_abtt": _cand_abtt_pairs,
     "ppr_parts_3iter": _cand_ppr_single,
     "ppr_multiseed": _cand_ppr_multi,
+    "harmonic_centrality_sample": _cand_harmonic_frontier,
 }
 
 NOTES = {
@@ -465,6 +510,9 @@ NOTES = {
     "ppr_multiseed": "same frontier volume summed over K=3 seeds -- the "
     "batch shares the per-round shuffle, so candidates stay ~3x the "
     "single-seed row while edges grow 100x",
+    "harmonic_centrality_sample": "total frontier-join volume across the "
+    "4 BFS rounds (K=3 seeds, anti-joined frontiers) -- rides the seed "
+    "neighborhoods; disjoint replicas keep it flat at 100x edges",
 }
 
 

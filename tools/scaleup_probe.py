@@ -155,6 +155,9 @@ PROBES = [
     "scc_event_types",
     "token_kl_by_source",
     "mrr_ivf_vs_brute",
+    # query-likelihood retrieval: same two-scan shape as bm25 -- rides
+    # the corpus scan, no shuffle wider than one row
+    "lm_dirichlet_search",
 ]
 
 REPLICAS = 10
