@@ -2170,3 +2170,126 @@ def greedy_densest_subgraph(
         F.lit(ddb // 2).cast("bigint").alias("n_edges"),
         F.lit(dens).cast("double").alias("density"),
     )
+
+
+_MIS_ROUNDS = 24  # comfortably above the O(log n) expected round count
+
+
+def _mis_round_sql(r: int) -> str:
+    """One unrolled Luby round: select every active node whose priority
+    beats all ACTIVE neighbors' (strict <; NULL min = isolated node,
+    always selected), then deactivate winners and their neighborhoods.
+    AS MATERIALIZED per the _hix_round_sql lesson."""
+    return f"""
+    eact{r} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM edges e
+      JOIN act{r} a ON a.node = e.src
+      JOIN act{r} b ON b.node = e.dst
+    ),
+    cand{r} AS MATERIALIZED (
+      SELECT a.node FROM act{r} a
+      JOIN pri p ON p.node = a.node
+      LEFT JOIN (
+        SELECT e.src AS node, MIN(p2.pri) AS minp
+        FROM eact{r} e JOIN pri p2 ON p2.node = e.dst
+        GROUP BY e.src
+      ) nb ON nb.node = a.node
+      WHERE nb.minp IS NULL OR p.pri < nb.minp
+    ),
+    act{r + 1} AS MATERIALIZED (
+      SELECT a.node FROM act{r} a
+      WHERE a.node NOT IN (SELECT node FROM cand{r})
+        AND a.node NOT IN (
+          SELECT e.dst FROM eact{r} e JOIN cand{r} c ON c.node = e.src
+        )
+    )
+    """
+
+
+_MIS_ORACLE = (
+    "WITH "
+    + _pair_edges_sql(threshold=2)
+    + """,
+    pri AS (SELECT node, md5(CAST(node AS VARCHAR)) AS pri FROM nodes),
+    act0 AS (SELECT node FROM nodes)"""
+    + "".join("," + _mis_round_sql(r) for r in range(_MIS_ROUNDS))
+    + f"""
+    SELECT CAST(node AS BIGINT) AS part_key, CAST(r AS BIGINT) AS mis_round
+    FROM ({" UNION ALL ".join(f"SELECT node, {r} AS r FROM cand{r}" for r in range(_MIS_ROUNDS))})
+    """
+)
+
+
+@register("mis_parts_luby", eager_build=True, oracle=_MIS_ORACLE)
+def mis_parts_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set of the co-purchase graph by Luby-style
+    parallel rounds (Luby 1986, the deterministic-priority variant):
+    every round, each ACTIVE node whose priority beats all its active
+    neighbors' joins the MIS, and winners' closed neighborhoods
+    deactivate -- the canonical symmetry-breaking primitive behind
+    distributed coloring, scheduling, and correlation-clustering
+    pivots; as a data-curation tool it picks a maximal NON-ADJACENT
+    representative set (every excluded node is adjacent to a kept one:
+    a diversity cover of the co-purchase space).
+
+    Priorities are md5(node) -- deterministic, engine-identical strings,
+    so both engines break every tie identically (a collision would
+    merely drop both contenders that round on BOTH engines; selection
+    stays consistent because the comparison is strict). Random-priority
+    Luby halves the expected active edge count per round, so rounds are
+    O(log E) w.h.p. -- measured via LAST_ROUNDS like the CC family.
+
+    Scale shape per round: one active-induced edge semi-join pair, one
+    neighbor-min aggregate (map-side combine; a hub is one aggregate
+    cell), one anti-join pair for deactivation -- all keyed shuffles, no
+    windows, no per-node sorts. Per-round localCheckpoint per the
+    graph_bfs_hops measurement; loud RuntimeError if the active set
+    survives the cap (never publish a partial MIS).
+    """
+    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    pri = nodes.select(
+        "node", F.md5(F.col("node").cast("string")).alias("pri")
+    ).localCheckpoint()
+    act = pri
+    mis_parts = []
+    for rnd in range(_MIS_ROUNDS):
+        if act.isEmpty():
+            LAST_ROUNDS["mis_parts_luby"] = rnd
+            break
+        eact = (
+            edges.join(act.select(F.col("node").alias("src")), "src", "leftsemi")
+            .join(act.select(F.col("node").alias("dst")), "dst", "leftsemi")
+        )
+        nbmin = (
+            eact.join(pri.select(F.col("node").alias("dst"), F.col("pri").alias("npri")), "dst")
+            .groupBy("src")
+            .agg(F.min("npri").alias("minp"))
+            .withColumnRenamed("src", "node")
+        )
+        cand = (
+            act.join(nbmin, "node", "left_outer")
+            .filter(F.col("minp").isNull() | (F.col("pri") < F.col("minp")))
+            .select("node")
+            .localCheckpoint()
+        )
+        mis_parts.append(cand.select("node", F.lit(rnd).alias("r")))
+        killed = cand.unionByName(
+            eact.join(cand.select(F.col("node").alias("src")), "src", "leftsemi")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        act = act.join(killed, "node", "left_anti").localCheckpoint()
+    else:
+        raise RuntimeError(
+            f"mis_parts_luby: active set non-empty after {_MIS_ROUNDS} rounds "
+            "-- raise _MIS_ROUNDS (and the oracle unroll) rather than publish "
+            "a partial MIS"
+        )
+    out = mis_parts[0]
+    for p in mis_parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("node").cast("bigint").alias("part_key"),
+        F.col("r").cast("bigint").alias("mis_round"),
+    )

@@ -846,6 +846,34 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     assert sum(r.n_rows for r in zrows) == sum(r.n_rows for r in lrows)
 
 
+def test_mis_parts_luby_independent_and_maximal(spark, sf_dir):
+    """The MIS laws, checked against the actual edge set: (1)
+    independence -- no edge joins two MIS members; (2) maximality --
+    every non-member node has at least one MIS neighbor; (3) members
+    are unique and round tags are within the cap."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _MIS_ROUNDS,
+        _copurchase_edges,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "mis_parts_luby", spark, sf_dir)
+    assert rows
+    mis = {r.part_key for r in rows}
+    assert len(mis) == len(rows)
+    assert all(0 <= r.mis_round < _MIS_ROUNDS for r in rows)
+    edges = [
+        (r.src, r.dst)
+        for r in _copurchase_edges(spark, sf_dir, threshold=2).collect()
+    ]
+    nodes = {s for s, _ in edges}
+    for s, d in edges:
+        assert not (s in mis and d in mis), (s, d)
+    neighbors_in_mis = {s for s, d in edges if d in mis}
+    for v in nodes - mis:
+        assert v in neighbors_in_mis, v
+
+
 def test_densest_subgraph_entry_invariants(spark, sf_dir):
     """The published set is internally consistent: one row per member,
     n_nodes == member count, density == n_edges/n_nodes exactly, and
