@@ -158,6 +158,12 @@ PROBES = [
     # query-likelihood retrieval: same two-scan shape as bm25 -- rides
     # the corpus scan, no shuffle wider than one row
     "lm_dirichlet_search",
+    # Bahmani peel and Luby MIS: per-round keyed joins/aggregates over
+    # the shrinking active graph; both ride the ~335x edge artifact on
+    # shared-key replicas, with round counts bounded by log(V)/log(E)
+    # independent of density
+    "densest_subgraph_peel",
+    "mis_parts_luby",
 ]
 
 REPLICAS = 10
