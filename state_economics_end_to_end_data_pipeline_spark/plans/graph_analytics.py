@@ -2293,3 +2293,109 @@ def mis_parts_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("part_key"),
         F.col("r").cast("bigint").alias("mis_round"),
     )
+
+
+_WALK_STEPS = 3
+
+
+def _walk_hash_sql(start_expr: str, step: int) -> str:
+    """Portable int(md5(start || ':step')[0:6], 16) -- the walk's
+    deterministic 'coin' (extensions._hex_to_int_sql idiom)."""
+    h = f"md5(CAST({start_expr} AS VARCHAR) || ':{step}')"
+    parts = [
+        f"(strpos('0123456789abcdef', substr({h}, {1 + i}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+_WALK_ORACLE = (
+    "WITH "
+    + _pair_edges_sql(threshold=2)
+    + """,
+    nb AS (SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rk
+           FROM edges),
+    w0 AS (SELECT node AS start, node AS cur FROM nodes)"""
+    + "".join(
+        f""",
+    w{s} AS (
+      SELECT w.start, n.dst AS cur
+      FROM w{s - 1} w
+      JOIN deg d ON d.src = w.cur
+      JOIN nb n ON n.src = w.cur
+       AND n.rk = 1 + {_walk_hash_sql('w.start', s)} % d.outdeg
+    )"""
+        for s in range(1, _WALK_STEPS + 1)
+    )
+    + f"""
+    SELECT CAST(start AS BIGINT) AS start_key, CAST(step AS BIGINT) AS step,
+           CAST(cur AS BIGINT) AS node
+    FROM ({" UNION ALL ".join(f"SELECT start, {s} AS step, cur FROM w{s}" for s in range(_WALK_STEPS + 1))})
+    """
+)
+
+
+@register("random_walks_hash3", oracle=_WALK_ORACLE)
+def random_walks_hash3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus (Perozzi et al. 2014): one 3-step
+    walk from EVERY node of the co-purchase graph, each step choosing
+    the k-th neighbor (neighbors ranked by id) with
+    k = md5(start, step) mod degree -- the derandomized coin that makes
+    the walk corpus REPRODUCIBLE and oracle-checkable, exactly the
+    property production embedding pipelines need for regression
+    testing (a true RNG corpus can't be diffed across runs). Output:
+    (start_key, step, node) rows, 4 per start -- the sentences a
+    skipgram embedding trains on (`skipgram_cooccurrence` is the
+    consumer shape).
+
+    Scale shape: each step is ONE equi-join of the walk frontier
+    against the ranked adjacency (walks never fan out -- exactly one row
+    per (start, step)), so a T-step corpus costs T keyed shuffles over
+    |V| rows regardless of walk count per node; the adjacency ranking
+    is a per-node window whose partition is a node's degree (for
+    hub-heavy graphs, rank arithmetically from a degree-capped
+    neighbor sample -- the graph_neighbor_jaccard hub discipline; the
+    co-purchase degrees here are threshold-bounded). The md5 coin is
+    engine-identical by construction (`_hex_to_int_sql` nibble idiom).
+    """
+    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    from pyspark.sql import Window
+
+    nb = edges.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+    )
+    walks = [nodes.select(F.col("node").alias("start"), F.col("node").alias("cur"))]
+    for s in range(1, _WALK_STEPS + 1):
+        coin = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("start").cast("string"), F.lit(f":{s}"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("outdeg")
+            + 1
+        )
+        prev = walks[-1]
+        stepped = (
+            prev.join(deg, prev.cur == deg.src)
+            .withColumn("k", coin)
+            .join(nb, (F.col("cur") == nb.src) & (F.col("k") == nb.rk))
+            .select("start", F.col("dst").alias("cur"))
+        )
+        walks.append(stepped)
+    out = None
+    for s, w in enumerate(walks):
+        tagged = w.select("start", F.lit(s).alias("step"), F.col("cur"))
+        out = tagged if out is None else out.unionByName(tagged)
+    return out.select(
+        F.col("start").cast("bigint").alias("start_key"),
+        F.col("step").cast("bigint").alias("step"),
+        F.col("cur").cast("bigint").alias("node"),
+    )

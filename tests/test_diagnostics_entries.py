@@ -846,6 +846,33 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     assert sum(r.n_rows for r in zrows) == sum(r.n_rows for r in lrows)
 
 
+def test_random_walks_follow_real_edges(spark, sf_dir):
+    """Walk-corpus laws: exactly one row per (start, step) with steps
+    0..3, step 0 is the start itself, and every consecutive (step,
+    step+1) pair traverses a real co-purchase edge."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        _WALK_STEPS,
+        _copurchase_edges,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "random_walks_hash3", spark, sf_dir)
+    assert rows
+    by_walk: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_walk.setdefault(r.start_key, {})[r.step] = r.node
+    edge_set = {
+        (r.src, r.dst)
+        for r in _copurchase_edges(spark, sf_dir, threshold=2).collect()
+    }
+    for start, steps in by_walk.items():
+        assert sorted(steps) == list(range(_WALK_STEPS + 1)), (start, steps)
+        assert steps[0] == start
+        for s in range(_WALK_STEPS):
+            assert (steps[s], steps[s + 1]) in edge_set, (start, s, steps)
+    assert len(rows) == len(by_walk) * (_WALK_STEPS + 1)
+
+
 def test_mis_parts_luby_independent_and_maximal(spark, sf_dir):
     """The MIS laws, checked against the actual edge set: (1)
     independence -- no edge joins two MIS members; (2) maximality --
