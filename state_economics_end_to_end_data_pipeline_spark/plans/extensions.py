@@ -5730,7 +5730,15 @@ def token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "source", F.explode_outer(tokens("text")).alias("token")
     ).filter(F.col("token").isNotNull())
-    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_st"))
+    # cache the (source, token) aggregate: three downstream consumers
+    # (s_tot, ct, the KL join) must read ONE computation of it -- AQE's
+    # ReusedExchange is best-effort, the cache makes the single raw-token
+    # pass a guarantee (lazy: building the plan stays side-effect-free)
+    st = (
+        tok.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+        .cache()
+    )
     s_tot = st.groupBy("source").agg(
         F.sum("n_st").alias("n_s"), F.count(F.lit(1)).alias("n_types")
     )

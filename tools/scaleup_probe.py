@@ -164,6 +164,9 @@ PROBES = [
     # independent of density
     "densest_subgraph_peel",
     "mis_parts_luby",
+    # walk corpus: T keyed joins over |V| rows, no fan-out; rides node
+    # count, not edges
+    "random_walks_hash3",
 ]
 
 REPLICAS = 10
