@@ -1732,3 +1732,79 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         # singleton convention in target_encode_loo (oracle: HAVING)
         .filter(F.col("total_gap_sec") > 0)
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS) OVER w AS lt_ts,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER w AS lt_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), credited AS (
+      SELECT CASE WHEN lt_ts IS NULL THEN 'direct'
+                  WHEN lt_ts < ts - INTERVAL 7 DAY THEN 'direct'
+                  ELSE lt_type END AS touch
+      FROM seq WHERE event_type = 'purchase'
+    ), agg AS (
+      SELECT touch, COUNT(*) AS n_purchases FROM credited GROUP BY touch
+    ), tot AS (SELECT SUM(n_purchases) AS n_tot FROM agg)
+    SELECT touch, CAST(n_purchases AS BIGINT) AS n_purchases,
+           CAST(n_purchases AS DOUBLE) / n_tot AS credit_share
+    FROM agg CROSS JOIN tot
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase is credited to
+    the user's most recent NON-purchase event within a 7-day lookback
+    ('direct' when there is none) -- the baseline attribution model of
+    marketing analytics, and the credit table downstream budget
+    allocation reads. The two IGNORE-NULLS last_value calls (touch
+    timestamp and touch type) share ONE frame over ONE user-ordered
+    window, so they always describe the same touching row; recency is
+    enforced with exact timestamp-interval arithmetic (no epoch-seconds
+    truncation, which rounds differently across engines).
+
+    Scale shape: one user_id window shuffle (the sessionize exchange),
+    then an O(event-types) aggregate and a 1-row total broadcast --
+    at 100 TB the window partitions by user (millions of small
+    partitions, no global sort) and the credit relation is
+    taxonomy-sized. Sibling of `markov_event_transitions` (which models
+    ALL transitions; this entry scores only the converting ones).
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    non_purchase_ty = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.last(non_purchase_ts, ignorenulls=True).over(w).alias("lt_ts"),
+        F.last(non_purchase_ty, ignorenulls=True).over(w).alias("lt_type"),
+    ).filter(F.col("event_type") == "purchase")
+    credited = seq.select(
+        F.when(F.col("lt_ts").isNull(), F.lit("direct"))
+        .when(F.col("lt_ts") < F.col("ts") - F.expr("INTERVAL 7 DAY"), F.lit("direct"))
+        .otherwise(F.col("lt_type"))
+        .alias("touch")
+    )
+    agg = credited.groupBy("touch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases")
+    )
+    tot = agg.agg(F.sum("n_purchases").alias("n_tot"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "touch",
+        "n_purchases",
+        (F.col("n_purchases").cast("double") / F.col("n_tot")).alias("credit_share"),
+    )

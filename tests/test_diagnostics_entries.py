@@ -846,6 +846,29 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     assert sum(r.n_rows for r in zrows) == sum(r.n_rows for r in lrows)
 
 
+def test_attribution_last_touch_conserves_credit(spark, sf_dir):
+    """Attribution laws: credit shares sum to 1 (within one cell's ulp),
+    counts sum to the purchase total, touch labels are non-purchase
+    types or 'direct', and every share is n/total exactly."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "attribution_last_touch", spark, sf_dir)
+    assert rows
+    n_purchases = (
+        read_parquet_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert sum(r.n_purchases for r in rows) == n_purchases
+    assert abs(sum(r.credit_share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r.touch == "direct" or r.touch != "purchase"
+        assert r.credit_share == r.n_purchases / n_purchases
+
+
 def test_random_walks_follow_real_edges(spark, sf_dir):
     """Walk-corpus laws: exactly one row per (start, step) with steps
     0..3, step 0 is the start itself, and every consecutive (step,
