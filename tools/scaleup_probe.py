@@ -167,6 +167,9 @@ PROBES = [
     # walk corpus: T keyed joins over |V| rows, no fan-out; rides node
     # count, not edges
     "random_walks_hash3",
+    # last-touch attribution: one user-window shuffle + taxonomy-sized
+    # aggregate -- should ride the window like the sessionize family
+    "attribution_last_touch",
 ]
 
 REPLICAS = 10
