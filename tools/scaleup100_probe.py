@@ -78,6 +78,16 @@ HEAVY = [
     # volume must ride the seed neighborhoods, not the graph (disjoint
     # replicas keep it flat at 100x edges, same contract as PPR)
     "harmonic_centrality_sample",
+    # round-11 continuation, part 2: ROUND-COUNT invariants for the two
+    # new iterative entries (peel rounds grow by ~log(scale), never by
+    # scale; Luby rounds stay O(log E)), the 64Ki-cell bound behind the
+    # Hilbert layout's flat wall, and the vocab-bounded KL group count
+    # (honest ~100x growth on the token-salted corpus: each replica
+    # brings a disjoint vocabulary)
+    "densest_subgraph_peel",
+    "mis_parts_luby",
+    "hilbert_layout_spans",
+    "token_kl_by_source",
 ]
 
 SECTION_HEADER = "## 100x probe: heavy-family candidate growth"
@@ -474,6 +484,81 @@ def _cand_harmonic_frontier(spark, sf_dir: str) -> int:
     return total
 
 
+def _cand_dsg_rounds(spark, sf_dir: str) -> int:
+    """Peel rounds to empty -- the densest-subgraph scale contract is
+    rounds <= log_1.5(V): on 100 disjoint replicas V grows 100x but
+    rounds grow by only ~log_1.5(100) ~ 11, never by the scale."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        LAST_ROUNDS,
+        _copurchase_edges,
+        greedy_densest_subgraph,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    greedy_densest_subgraph(edges, rounds_key="__probe_dsg").collect()
+    return LAST_ROUNDS["__probe_dsg"]
+
+
+def _cand_mis_rounds(spark, sf_dir: str) -> int:
+    """Luby rounds to drain the active set -- O(log E) w.h.p., so 100x
+    edges should add at most a few rounds."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.graph_analytics import (
+        LAST_ROUNDS,
+        mis_parts_luby,
+    )
+
+    mis_parts_luby(spark, sf_dir).collect()
+    return LAST_ROUNDS["mis_parts_luby"]
+
+
+def _cand_hilbert_cells(spark, sf_dir: str) -> int:
+    """Distinct quantized (px, py) cells -- the relation every Hilbert
+    transform step and both rollups run on; bounded at 256x256 = 65,536
+    by construction at ANY scale."""
+    from pyspark.sql import functions as F
+
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    bounds = li.agg(
+        F.min("l_partkey").alias("minp"), F.max("l_partkey").alias("maxp"),
+        F.min("l_suppkey").alias("mins"), F.max("l_suppkey").alias("maxs"),
+    )
+    q = li.crossJoin(F.broadcast(bounds)).select(
+        F.floor((F.col("l_partkey") - F.col("minp")) * 256.0
+                / (F.col("maxp") - F.col("minp") + 1)).alias("px"),
+        F.floor((F.col("l_suppkey") - F.col("mins")) * 256.0
+                / (F.col("maxs") - F.col("mins") + 1)).alias("py"),
+    )
+    return q.distinct().count()
+
+
+def _cand_kl_groups(spark, sf_dir: str) -> int:
+    """Distinct (source, token) groups -- the KL entry's aggregate
+    relation. On the token-salted 100x corpus each replica brings a
+    disjoint vocabulary, so ~100x growth here is the HONEST shape (the
+    aggregate is vocab-bounded per replica, and the shuffle carries
+    combined partials, never raw tokens)."""
+    from pyspark.sql import functions as F
+
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.operators.text import (
+        tokens,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode_outer(tokens("text")).alias("token")
+    ).filter(F.col("token").isNotNull())
+    return tok.select("source", "token").distinct().count()
+
+
 CAND_FNS = {
     "ngram_jaccard_pairs": _cand_ngram_jaccard,
     "simhash_banded_pairs": _cand_simhash_banded,
@@ -486,6 +571,10 @@ CAND_FNS = {
     "ppr_parts_3iter": _cand_ppr_single,
     "ppr_multiseed": _cand_ppr_multi,
     "harmonic_centrality_sample": _cand_harmonic_frontier,
+    "densest_subgraph_peel": _cand_dsg_rounds,
+    "mis_parts_luby": _cand_mis_rounds,
+    "hilbert_layout_spans": _cand_hilbert_cells,
+    "token_kl_by_source": _cand_kl_groups,
 }
 
 NOTES = {
@@ -513,6 +602,15 @@ NOTES = {
     "harmonic_centrality_sample": "total frontier-join volume across the "
     "4 BFS rounds (K=3 seeds, anti-joined frontiers) -- rides the seed "
     "neighborhoods; disjoint replicas keep it flat at 100x edges",
+    "densest_subgraph_peel": "peel ROUNDS to empty -- bounded by "
+    "log_1.5(V), so 100x nodes may add ~11 rounds, never 100x",
+    "mis_parts_luby": "Luby ROUNDS to drain the active set -- O(log E) "
+    "w.h.p., so 100x edges should add at most a few rounds",
+    "hilbert_layout_spans": "distinct quantized (px,py) cells feeding the "
+    "curve transform -- hard-bounded at 65,536 at any scale",
+    "token_kl_by_source": "distinct (source, token) aggregate groups -- "
+    "~100x growth is the honest shape on the disjoint-vocab corpus; the "
+    "shuffle carries combined partials, never raw tokens",
 }
 
 
