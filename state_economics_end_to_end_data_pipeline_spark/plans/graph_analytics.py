@@ -2336,7 +2336,7 @@ _WALK_ORACLE = (
 )
 
 
-@register("random_walks_hash3", oracle=_WALK_ORACLE)
+@register("random_walks_hash3", eager_build=True, oracle=_WALK_ORACLE)
 def random_walks_hash3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk-style walk corpus (Perozzi et al. 2014): one 3-step
     walk from EVERY node of the co-purchase graph, each step choosing
