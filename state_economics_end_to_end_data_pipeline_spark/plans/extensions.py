@@ -5954,3 +5954,203 @@ def lm_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(score, 6).alias("ql_logprob")
     )
     return scored.orderBy(F.col("ql_logprob").desc(), "doc_id").limit(10)
+
+
+_LOGREG_LR = 2.0
+_LOGREG_ITERS = 3
+_LOGREG_PLANT = 0.06  # planted boundary on the raw stopword ratio
+_STOPWORDS_LIST = list(STOPWORDS)
+
+
+def _logreg_iter_sql(i: int) -> str:
+    """One unrolled batch-GD iteration: rational-sigmoid scores, three
+    decimal-exact gradient sums quantized to 9 frac digits before the
+    double cast (a full 38,18 decimal needs > 53 mantissa bits, so
+    DuckDB's int128-scaled cast and Python's float() can land 1 ulp
+    apart -- measured 8.7e-19 on w1; at 9 digits the scaled integer is
+    < 2^53 for |g| < 9e6 and both conversions are the SAME single
+    correctly-rounded operation), a scalar weight update, and the
+    post-update training accuracy. Parenthesization mirrors the Spark
+    plan token-for-token (DETERMINISM.md discipline)."""
+    z = "w.w0 + w.w1 * x1 + w.w2 * x2"
+    return f"""
+    sc{i} AS (
+      SELECT y, x1, x2,
+             0.5 + z / (2.0 * (1.0 + abs(z))) AS s
+      FROM (SELECT y, x1, x2, {z} AS z FROM feat CROSS JOIN w{i - 1} w)
+    ),
+    g{i} AS (
+      SELECT SUM(CAST((y - s) AS DECIMAL(38,18))) AS g0,
+             SUM(CAST((y - s) * x1 AS DECIMAL(38,18))) AS g1,
+             SUM(CAST((y - s) * x2 AS DECIMAL(38,18))) AS g2
+      FROM sc{i}
+    ),
+    w{i} AS (
+      SELECT w.w0 + {_LOGREG_LR!r} * (CAST(ROUND(g.g0, 9) AS DOUBLE) / nn.n) AS w0,
+             w.w1 + {_LOGREG_LR!r} * (CAST(ROUND(g.g1, 9) AS DOUBLE) / nn.n) AS w1,
+             w.w2 + {_LOGREG_LR!r} * (CAST(ROUND(g.g2, 9) AS DOUBLE) / nn.n) AS w2
+      FROM w{i - 1} w CROSS JOIN g{i} g CROSS JOIN nn
+    ),
+    acc{i} AS (
+      SELECT COUNT(*) FILTER (WHERE (z > 0) = (y = 1.0)) AS n_correct
+      FROM (SELECT y, {z} AS z FROM feat CROSS JOIN w{i} w)
+    )
+    """
+
+
+_LOGREG_ORACLE = (
+    f"""
+    WITH tk AS (SELECT {_TOKS} AS toks FROM documents),
+    rawfeat AS (
+      SELECT CAST(len(list_filter(toks, tok -> list_contains({_STOPLIST}, tok)))
+                  AS DOUBLE) / len(toks) AS r1,
+             CAST(list_reduce(list_transform(toks, tok -> len(tok)),
+                              (a, b) -> a + b) AS DOUBLE) / len(toks) AS r2
+      FROM tk WHERE len(toks) > 0
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(r1 AS DECIMAL(38,18))) AS s1,
+             SUM(CAST(r1 * r1 AS DECIMAL(38,18))) AS q1,
+             SUM(CAST(r2 AS DECIMAL(38,18))) AS s2,
+             SUM(CAST(r2 * r2 AS DECIMAL(38,18))) AS q2
+      FROM rawfeat
+    ),
+    mom AS (
+      SELECT n,
+             CAST(ROUND(s1, 9) AS DOUBLE) / n AS m1,
+             CAST(ROUND(q1, 9) AS DOUBLE) / n AS e1,
+             CAST(ROUND(s2, 9) AS DOUBLE) / n AS m2,
+             CAST(ROUND(q2, 9) AS DOUBLE) / n AS e2
+      FROM stats
+    ),
+    norm AS (
+      SELECT n, m1, sqrt(e1 - m1 * m1) AS sd1, m2, sqrt(e2 - m2 * m2) AS sd2
+      FROM mom
+    ),
+    nn AS (SELECT n FROM norm),
+    feat AS (
+      SELECT CASE WHEN r1 > {_LOGREG_PLANT!r} THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS y,
+             (r1 - m1) / sd1 AS x1,
+             (r2 - m2) / sd2 AS x2
+      FROM rawfeat CROSS JOIN norm
+    ),
+    w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+                  CAST(0.0 AS DOUBLE) AS w2)"""
+    + "".join("," + _logreg_iter_sql(i) for i in range(1, _LOGREG_ITERS + 1))
+    + f"""
+    SELECT CAST(iter AS BIGINT) AS iter, w0, w1, w2,
+           CAST(n_correct AS BIGINT) AS n_correct
+    FROM ({" UNION ALL ".join(
+        f"SELECT {i} AS iter, w.w0, w.w1, w.w2, a.n_correct FROM w{i} w CROSS JOIN acc{i} a"
+        for i in range(1, _LOGREG_ITERS + 1)
+    )})
+    """
+)
+
+
+@register("quality_logreg_3iter", eager_build=True, oracle=_LOGREG_ORACLE)
+def quality_logreg_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TRAINED document classifier, CCNet-style (Wenzek et al. 2020
+    train a fastText classifier to filter CommonCrawl; this is the
+    distributed-training primitive behind that stage): standardize two
+    text features (stopword ratio, mean token length) with one
+    exact-sum stats pass, then batch gradient descent (lr=2, 3
+    full-batch iterations) on a PLANTED boundary -- y = 1 iff the raw
+    stopword ratio exceeds 0.06 -- published as the weight trajectory
+    plus post-iteration training accuracy. The planted target is the
+    point (like the densest-subgraph planted-clique test): the fixture
+    text carries no real language signal (measured: converged logistic
+    regression on lang = majority-class accuracy), so the verifiable
+    claim is that the TRAINER recovers a known boundary -- accuracy
+    rises from the ~52-56% majority baseline to ~92% in 3 iterations,
+    pinned by the invariant test.
+
+    The scale shape is the gradient-aggregate loop that trains any
+    linear model at 100 TB: per epoch ONE map-side-combinable aggregate
+    (three decimal-exact gradient sums, shuffle O(1)) + a 3-scalar
+    driver update -- the missing sibling of the engine's power
+    iteration (PCA), value iteration (coreness), and label propagation.
+    Standardization is one more scalar-stats pass (classic GD
+    preconditioning; unscaled, the intercept dominates and 3 steps
+    stay at majority -- measured).
+
+    NO transcendental libm anywhere: the link is the rational sigmoid
+    s(z) = 0.5 + z/(2*(1+|z|)) (same monotone S-shape, exact double
+    arithmetic), sqrt is IEEE-correctly-rounded, and every
+    decimal->double conversion is quantized to 9 frac digits first
+    (see _logreg_iter_sql), so weights and accuracies are
+    BIT-IDENTICAL across engines with no rounding step. Accuracy uses
+    pred = (z > 0), the exact decision boundary. eager_build: one
+    stats collect + three bounded 1-row gradient collects + three
+    accuracy counts (the CC-family scalar-potential contract).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+    from math import sqrt
+
+    grid = Decimal("1e-9")
+
+    def to_f(dec) -> float:
+        return float(dec.quantize(grid, rounding=ROUND_HALF_UP))
+
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    staged = d.withColumn("__toks", tokens("text"))
+    toks = F.col("__toks")
+    n_tok = F.size(toks)
+    raw = (
+        staged.filter(n_tok > 0)
+        .select(
+            (
+                F.size(F.filter(toks, lambda tk: tk.isin(*_STOPWORDS_LIST))).cast(
+                    "double"
+                )
+                / n_tok
+            ).alias("r1"),
+            (
+                F.aggregate(
+                    F.transform(toks, lambda tk: F.length(tk)),
+                    F.lit(0),
+                    lambda a, b: a + b,
+                ).cast("double")
+                / n_tok
+            ).alias("r2"),
+        )
+        .localCheckpoint()
+    )
+    st = raw.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r1").cast("decimal(38,18)")).alias("s1"),
+        F.sum((F.col("r1") * F.col("r1")).cast("decimal(38,18)")).alias("q1"),
+        F.sum(F.col("r2").cast("decimal(38,18)")).alias("s2"),
+        F.sum((F.col("r2") * F.col("r2")).cast("decimal(38,18)")).alias("q2"),
+    ).first()
+    n = st["n"]
+    m1, e1 = to_f(st["s1"]) / n, to_f(st["q1"]) / n
+    m2, e2 = to_f(st["s2"]) / n, to_f(st["q2"]) / n
+    sd1, sd2 = sqrt(e1 - m1 * m1), sqrt(e2 - m2 * m2)
+    feat = raw.select(
+        F.when(F.col("r1") > _LOGREG_PLANT, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        ((F.col("r1") - F.lit(m1)) / F.lit(sd1)).alias("x1"),
+        ((F.col("r2") - F.lit(m2)) / F.lit(sd2)).alias("x2"),
+    ).localCheckpoint()
+    w = (0.0, 0.0, 0.0)
+    rows = []
+    for i in range(1, _LOGREG_ITERS + 1):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        s = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+        resid = F.col("y") - s
+        g = feat.agg(
+            F.sum(resid.cast("decimal(38,18)")).alias("g0"),
+            F.sum((resid * F.col("x1")).cast("decimal(38,18)")).alias("g1"),
+            F.sum((resid * F.col("x2")).cast("decimal(38,18)")).alias("g2"),
+        ).first()
+        w = tuple(w[k] + _LOGREG_LR * (to_f(g[k]) / n) for k in range(3))
+        z_new = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        n_correct = feat.filter((z_new > 0) == (F.col("y") == 1.0)).count()
+        rows.append((i, w[0], w[1], w[2], n_correct))
+    return spark.createDataFrame(
+        rows, "iter bigint, w0 double, w1 double, w2 double, n_correct bigint"
+    )
