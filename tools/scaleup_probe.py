@@ -170,6 +170,9 @@ PROBES = [
     # last-touch attribution: one user-window shuffle + taxonomy-sized
     # aggregate -- should ride the window like the sessionize family
     "attribution_last_touch",
+    # batch-GD training: one stats pass + 3 gradient-aggregate epochs,
+    # each a single O(1)-shuffle scalar aggregate -- should ride the scan
+    "quality_logreg_3iter",
 ]
 
 REPLICAS = 10
