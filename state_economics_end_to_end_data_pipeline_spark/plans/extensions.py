@@ -6154,3 +6154,141 @@ def quality_logreg_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "iter bigint, w0 double, w1 double, w2 double, n_correct bigint"
     )
+
+
+_KM_K = 4  # init centroids = embeddings with vec_id < _KM_K
+_KM_ROUNDS = 2
+
+
+def _km_round_sql(r: int, last: bool) -> str:
+    """One unrolled Lloyd round, fully relational: per-(vector, cell)
+    squared L2 via a dim-join with a decimal-routed sum quantized to
+    the 1e-9 grid (single-rounding decimal->double, logreg discipline),
+    argmin assignment with (d2, cell) tie-break, and -- in non-final
+    rounds -- per-(cell, dim) decimal-exact centroid means."""
+    out = f"""
+    dist{r} AS (
+      SELECT x.vec_id, c.cell,
+             CAST(ROUND(SUM(CAST((x.val - c.m) * (x.val - c.m)
+                                 AS DECIMAL(38,18))), 9) AS DOUBLE) AS d2
+      FROM dims x JOIN c{r - 1} c ON c.dim = x.dim
+      GROUP BY x.vec_id, c.cell
+    ),
+    asg{r} AS (
+      SELECT vec_id, cell, d2 FROM (
+        SELECT vec_id, cell, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM dist{r}
+      ) WHERE rn = 1
+    )"""
+    if not last:
+        out += f""",
+    c{r} AS (
+      SELECT a.cell, x.dim,
+             CAST(ROUND(SUM(CAST(x.val AS DECIMAL(38,18))), 9) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM asg{r} a JOIN dims x ON x.vec_id = a.vec_id
+      GROUP BY a.cell, x.dim
+    )"""
+    return out
+
+
+_KM_ORACLE = (
+    f"""
+    WITH dims AS (
+      SELECT vec_id, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+    ),
+    c0 AS (SELECT vec_id AS cell, dim, val AS m FROM dims WHERE vec_id < {_KM_K})"""
+    + "".join(
+        "," + _km_round_sql(r, last=(r == _KM_ROUNDS))
+        for r in range(1, _KM_ROUNDS + 1)
+    )
+    + f"""
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(CAST(SUM(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE), 6) AS inertia
+    FROM asg{_KM_ROUNDS}
+    GROUP BY cell
+    """
+)
+
+
+@register("kmeans_lloyd_exact2", oracle=_KM_ORACLE)
+def kmeans_lloyd_exact2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's KMeans as PURE deterministic dataflow -- the
+    oracle-paired exact twin of `embedding_ivf_kmeans_recall` (whose
+    Spark-ML training is float-nondeterministic ACROSS engines, forcing
+    a bounds-only oracle): k=4 centroids seeded from a fixed vector
+    subset, two full Lloyd rounds, published as per-cluster membership
+    counts and inertia. Everything stays relational -- distances are a
+    dim-join + decimal-routed sum on the 1e-9 grid, assignments a
+    per-vector argmin with an id tie-break, centroid updates
+    decimal-exact per-(cell, dim) means -- so centroids never leave the
+    cluster (NO driver collect at all; compare kmeans_centroids'
+    bounded k-row collect) and every number value-hashes across
+    engines. Empty clusters drop out of the centroid relation naturally.
+
+    Scale shape: per round one k-way dim-join (n*k*d rows, the honest
+    cost of Lloyd) feeding a map-side-combinable aggregate, then a
+    (k*d)-group mean -- shuffles O(n*k) and O(k*d), no windows wider
+    than k rows per vector. The decimal quantization envelope holds to
+    ~3e6 vectors per cluster (scaled mantissas < 2^53); production
+    KMeans at larger n uses the vectorized array-fold ML path
+    (`embedding_ivf_kmeans_recall`) and THIS entry is its regression
+    oracle on sampled data -- the exact/coded twin pattern of the
+    _approx families.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("val")
+    ).cache()
+    c = dims.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cell"), "dim", F.col("val").alias("m")
+    )
+    from pyspark.sql import Window
+
+    asg = None
+    for r in range(1, _KM_ROUNDS + 1):
+        dist = (
+            dims.join(c, "dim")
+            .groupBy("vec_id", "cell")
+            .agg(
+                F.round(
+                    F.sum(
+                        ((F.col("val") - F.col("m")) * (F.col("val") - F.col("m"))).cast(
+                            "decimal(38,18)"
+                        )
+                    ),
+                    9,
+                )
+                .cast("double")
+                .alias("d2")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+        asg = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", "d2")
+        )
+        if r < _KM_ROUNDS:
+            c = (
+                asg.join(dims, "vec_id")
+                .groupBy("cell", "dim")
+                .agg(
+                    (
+                        F.round(F.sum(F.col("val").cast("decimal(38,18)")), 9)
+                        .cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("m")
+                )
+            )
+    return asg.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(F.sum(F.col("d2").cast("decimal(38,18)")).cast("double"), 6).alias(
+            "inertia"
+        ),
+    )

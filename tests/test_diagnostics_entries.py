@@ -846,6 +846,26 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     assert sum(r.n_rows for r in zrows) == sum(r.n_rows for r in lrows)
 
 
+def test_kmeans_lloyd_partitions_all_vectors(spark, sf_dir):
+    """Lloyd laws: cluster ids come from the k=4 seed set, every vector
+    is assigned exactly once (member counts sum to the corpus), each
+    cluster is non-empty at the fixtures, and inertia is non-negative
+    and finite."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "kmeans_lloyd_exact2", spark, sf_dir)
+    assert rows
+    n_vec = read_parquet_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vec
+    assert {r.cell for r in rows} <= {0, 1, 2, 3}
+    for r in rows:
+        assert r.n_members > 0
+        assert 0.0 <= r.inertia < 1e12
+
+
 def test_quality_logreg_recovers_planted_boundary(spark, sf_dir):
     """Trainer laws: 3 iteration rows; weights finite and moving every
     iteration; the recovered boundary weight w1 (standardized stopword
