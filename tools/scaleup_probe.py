@@ -173,6 +173,9 @@ PROBES = [
     # batch-GD training: one stats pass + 3 gradient-aggregate epochs,
     # each a single O(1)-shuffle scalar aggregate -- should ride the scan
     "quality_logreg_3iter",
+    # relational Lloyd: n*k*d dim-join rows per round feeding
+    # map-side-combined aggregates -- should ride the data
+    "kmeans_lloyd_exact2",
 ]
 
 REPLICAS = 10
