@@ -40,6 +40,13 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
+        # Bound cached-partition accumulation across the 275-entry suite
+        # (r11 advice #3): a few lazily-returned plans cache intermediates
+        # they cannot unpersist themselves.  Cleared BETWEEN entries only
+        # -- never between an entry's two timed passes -- so min-of-2
+        # warmth is unaffected and every entry starts from the same cold
+        # cache state.
+        spark.catalog.clearCache()
         best = None
         try:
             for _ in range(2):  # min-of-2: JIT/GC noise dominates at this scale

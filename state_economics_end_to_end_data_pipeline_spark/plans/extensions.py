@@ -5785,12 +5785,28 @@ def _gt_top1_sql() -> str:
     """
 
 
+def _replace_once(text: str, needle: str, repl: str) -> str:
+    """str.replace that FAILS FAST when the needle is absent: the
+    mrr_ivf_vs_brute oracle is derived from _ivf_oracle()'s text, and a
+    silent no-op replace after a rewording of the base oracle would
+    produce a wrong-schema oracle that only surfaces as a confusing
+    run-time sweep mismatch (r11 advice #2)."""
+    assert needle in text, (
+        "oracle-derivation needle missing -- _ivf_oracle() text drifted; "
+        f"update the needle: {needle[:80]!r}"
+    )
+    return text.replace(needle, repl, 1)
+
+
 @register(
     "mrr_ivf_vs_brute",
     eager_build=True,
-    oracle=_ivf_oracle().rstrip()
-    .replace("WITH cents AS (", "WITH " + _gt_top1_sql().strip().rstrip() + ", cents AS (", 1)
-    .replace(
+    oracle=_replace_once(
+        _replace_once(
+            _ivf_oracle().rstrip(),
+            "WITH cents AS (",
+            "WITH " + _gt_top1_sql().strip().rstrip() + ", cents AS (",
+        ),
         """SELECT * FROM (
       SELECT query_id, neighbor_id, cos_sim,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -5809,7 +5825,6 @@ def _gt_top1_sql() -> str:
       FROM cand
     ) i ON i.query_id = g.query_id AND i.neighbor_id = g.gt_neighbor
        AND i.rank <= 5""",
-        1,
     ),
 )
 def mrr_ivf_vs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2035,6 +2035,24 @@ def scc_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSG_ORACLE_ROUNDS = 24  # >= log_1.5(nodes) for every oracle-checked SF
 _DSG_CAP = 48  # Spark-side guard only; peel provably empties in log rounds
 
+# The two caps differ INTENTIONALLY: the oracle's unrolled CTE depth costs
+# planner time, so it carries only as many rounds as any oracle-checked
+# fixture can need, while the Spark loop keeps a loud-failure margin.  The
+# peel removes >= 1/3 of nodes per round, so 24 oracle rounds WORST-CASE
+# cover any graph up to 1.5^24 ~ 16.8k nodes; the oracle-checked fixtures
+# (sf<=0.1 co-purchase at threshold 2, <= ~3k nodes) sit well inside that
+# and MEASURE <= 6 rounds (`last_rounds` stamped per bench run).  If a
+# fixture ever grew past this bound, Spark (cap 48) would still succeed
+# while the oracle computed best over a truncated trajectory and could
+# silently disagree (r11 advice #4) -- this assert pins the documented
+# bound at import time, and the per-bench `last_rounds` stamp catches a
+# fixture whose MEASURED peel depth creeps toward either cap.
+_DSG_ORACLE_MAX_NODES = 16_000  # worst-case-guaranteed oracle coverage
+assert 1.5**_DSG_ORACLE_ROUNDS > _DSG_ORACLE_MAX_NODES, (
+    "_DSG_ORACLE_ROUNDS no longer covers the documented max oracle-checked "
+    "node count; raise the oracle round count alongside the fixture"
+)
+
 
 def _dsg_round_sql(r: int) -> str:
     """One unrolled greedy-peel round: induced edges, exact-integer
@@ -2163,6 +2181,12 @@ def greedy_densest_subgraph(
             "the 1/3-per-round removal guarantee was violated; investigate "
             "rather than publish a partial peel"
         )
+    if best is None:
+        # n == 0 at round 0: no nodes at all (empty edge DataFrame).
+        # Density is undefined on the empty graph; fail loudly instead of
+        # unpacking None (r11 advice #1) -- the function is exported for
+        # tests on synthetic graphs, so an empty input is reachable.
+        raise ValueError("greedy_densest_subgraph: empty edge set (no nodes)")
     dens, sbest, nb, ddb = best
     return sbest.select(
         F.col("node").cast("bigint").alias("part_key"),
