@@ -5141,24 +5141,51 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped memo for the power-iteration results (r11 verdict ask
+# #3): THREE entries consume the identical component-1 iteration ladder
+# (embedding_pca_power publishes it, embedding_pca_top2 deflates against
+# it, embedding_anisotropy_abtt projects it out), so without sharing the
+# suite runs the same 3 corpus scans three times over.  The key is
+# (applicationId, realpath(sf_dir)): the embeddings parquet is immutable
+# driver testdata, the values are O(dim) Python floats (same bounded
+# driver-state contract as the kmeans centroids), and a new SparkSession
+# or a different SF recomputes from scratch.  Correctness is unaffected
+# -- the memoized vector is bit-identical to a fresh run (deterministic
+# exact-integer matvec, proven by the unchanged DuckDB oracles) -- and
+# the scan/job-count pin lives in tests/test_plans.py.
+_PCA_MEMO: dict[tuple[str, str], dict] = {}
+
+
+def _pca_memo_slot(spark: SparkSession, sf_dir: str) -> dict:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    return _PCA_MEMO.setdefault(key, {})
+
+
 def _pca_power_vector(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[float], list[int], int]:
     """The driver computation behind ``embedding_pca_power`` (and reused
-    by ``embedding_anisotropy_abtt``): returns (v, m_ints, n) -- the
-    unit top-direction after _PCA_ROUNDS power rounds, the exact
-    micro-snapped per-dim column sums, and the row count."""
-    # cache across the _PCA_ROUNDS actions (iterative-loop discipline:
-    # each round's collect would otherwise rescan the parquet)
-    emb = t(spark, sf_dir, "embeddings").select("embedding").cache()
-    state: dict = {}
-    try:
-        v = _pca_power_rounds(emb, state)
-    finally:
-        # a failed mid-round action must not leave cached blocks pinned
-        # for the rest of a long bench/sweep session
-        emb.unpersist()
-    return v, state["m"], state["n"]
+    by ``embedding_pca_top2`` / ``embedding_anisotropy_abtt``): returns
+    (v, m_ints, n) -- the unit top-direction after _PCA_ROUNDS power
+    rounds, the exact micro-snapped per-dim column sums, and the row
+    count.  Memoized per (session, sf_dir); see ``_PCA_MEMO``."""
+    slot = _pca_memo_slot(spark, sf_dir)
+    if "v1" not in slot:
+        # cache across the _PCA_ROUNDS actions (iterative-loop
+        # discipline: each round's collect would otherwise rescan the
+        # parquet)
+        emb = t(spark, sf_dir, "embeddings").select("embedding").cache()
+        state: dict = {}
+        try:
+            v = _pca_power_rounds(emb, state)
+        finally:
+            # a failed mid-round action must not leave cached blocks
+            # pinned for the rest of a long bench/sweep session
+            emb.unpersist()
+        slot.update(v1=v, m=state["m"], n=state["n"])
+    return slot["v1"], slot["m"], slot["n"]
 
 
 def _pca_power_rounds(
@@ -5356,14 +5383,27 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     to float precision -- not a data-dependent spectral claim).
 
     Reference parity: no linear-algebra operators in the reference
-    (DAG1:1-322); see the module docstring."""
-    emb = t(spark, sf_dir, "embeddings").select("embedding").cache()
-    state: dict = {}
-    try:
-        v1 = _pca_power_rounds(emb, state)
-        v2 = _pca_power_rounds(emb, state, deflate=v1)
-    finally:
-        emb.unpersist()
+    (DAG1:1-322); see the module docstring.
+
+    Component 1 comes from the session memo shared with
+    ``embedding_pca_power`` / ``embedding_anisotropy_abtt`` (r11 verdict
+    ask #3: the suite used to re-run the identical component-1 ladder
+    three times -- 12 corpus scans across the three entries; now 6 on a
+    fresh session).  Component 2's deflated rounds prefill the carried
+    (n, m_d) state from the memo, so their per-round aggregates are the
+    same expressions as before -- the published vectors are bit-identical
+    to the unshared computation (oracle unchanged, still bit-exact)."""
+    v1, m_ints, n = _pca_power_vector(spark, sf_dir)
+    slot = _pca_memo_slot(spark, sf_dir)
+    if "v2" not in slot:
+        emb = t(spark, sf_dir, "embeddings").select("embedding").cache()
+        try:
+            slot["v2"] = _pca_power_rounds(
+                emb, {"n": n, "m": m_ints}, deflate=v1
+            )
+        finally:
+            emb.unpersist()
+    v2 = slot["v2"]
     rows = [(1, d, v1[d]) for d in range(_PCA_DIM)] + [
         (2, d, v2[d]) for d in range(_PCA_DIM)
     ]

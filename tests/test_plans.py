@@ -335,3 +335,52 @@ def test_weighted_sample_selects_via_take_ordered(spark, sf_dir):
     plan = plan_of(q(spark, sf_dir, "weighted_sample_ares"))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_pca_power_memo_shares_component1_across_entries(spark, sf_dir):
+    """Scan/job-count pin for the r11 ask-#3 sharing: the component-1
+    power ladder runs its _PCA_ROUNDS jobs ONCE per (session, sf_dir) --
+    a second consumer (embedding_pca_power after embedding_pca_top2, or
+    the abtt projection) must launch ZERO jobs for it, and top2's
+    component 2 must add only its own _PCA_ROUNDS deflated rounds."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.extensions import (
+        _PCA_MEMO,
+        _PCA_ROUNDS,
+        _pca_power_vector,
+    )
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_in(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            out = fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return out, len(tracker.getJobIdsForGroup(group))
+
+    _PCA_MEMO.clear()
+    (v1a, _, _), n_first = jobs_in(
+        "pca-pin-cold", lambda: _pca_power_vector(spark, sf_dir)
+    )
+    # the cold ladder runs at least one aggregate-collect job per round
+    # (AQE/file-listing may add bookkeeping jobs; the memo pins below are
+    # the exact contract)
+    assert n_first >= _PCA_ROUNDS, n_first
+    (v1b, _, _), n_memo = jobs_in(
+        "pca-pin-warm", lambda: _pca_power_vector(spark, sf_dir)
+    )
+    assert n_memo == 0, n_memo
+    assert v1b is v1a  # the memoized object itself, not a recompute
+    # top2 on a warm memo: only component 2's deflated rounds run --
+    # never more work than the cold component-1 ladder itself
+    _, n_top2 = jobs_in(
+        "pca-pin-top2", lambda: q(spark, sf_dir, "embedding_pca_top2")
+    )
+    assert _PCA_ROUNDS <= n_top2 <= n_first, (n_top2, n_first)
+    # a second top2 build is fully memoized (both components)
+    _, n_top2_warm = jobs_in(
+        "pca-pin-top2-warm", lambda: q(spark, sf_dir, "embedding_pca_top2")
+    )
+    assert n_top2_warm == 0, n_top2_warm
