@@ -478,3 +478,88 @@ def random_project(
         for row in mat
     ]
     return df.select(F.col(id_col), F.array(*dims).alias("proj"))
+
+
+def kmeans_lloyd_vectorized(
+    df: DataFrame,
+    k: int = 4,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's KMeans with ARRAY-FOLD distances -- the production-shaped
+    twin of ``plans.extensions.kmeans_lloyd_exact2`` under the IDENTICAL
+    spec (init centroids = vectors with id < k, squared-L2 assignment
+    with (d2, cell) tie-break, per-dim mean updates, ``rounds`` full
+    Lloyd rounds).  Returns the final assignment frame (id, cell, d2).
+
+    Where the exact twin pays the n*k*d dim-join so every number routes
+    through decimal and value-hashes against a SQL oracle, this path
+    keeps vectors WHOLE: per row, k zip_with/aggregate squared-L2 folds
+    against centroid literals and an array_min struct argmin -- one
+    narrow whole-stage-codegen pass over the corpus per round, zero
+    shuffle of the data.  Centroid updates are one k-group aggregate of
+    d per-dim means (map-side combined, k*d cells total) collected to
+    the driver -- the same bounded k-row collect contract as
+    ``assign_cells``/``kmeans_centroids``.  At 100 TB the per-round cost
+    is a corpus scan, not an n*k*d shuffle: this is the path production
+    runs, and the exact twin is its regression oracle on sampled data
+    (bridged by tests/test_diagnostics_entries.py::
+    test_kmeans_twins_membership_bridge and the oracle-paired
+    ``kmeans_lloyd_vectorized_counts`` entry).
+
+    Determinism: per-row folds are sequential IEEE left-folds (fixed
+    order); cross-row centroid means use Spark's float avg, whose low
+    bits may differ from the twin's decimal-routed means -- assignments
+    only flip if two cells tie within that noise (~1e-12 relative),
+    which the membership-count oracle pins has never observed on the
+    fixture corpora."""
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["vec"]])
+        for r in df.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("vec"))
+        .collect()
+    ]
+    dim = len(cents[0][1])
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    def d2_to(c_vec: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("vec"),
+                F.lit(c_vec),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+
+    asg = None
+    for rnd in range(1, rounds + 1):
+        scored = F.array(
+            *[
+                F.struct(
+                    d2_to(c_vec).alias("d2"),
+                    F.lit(cell).cast("bigint").alias("cell"),
+                )
+                for cell, c_vec in cents
+            ]
+        )
+        amin = F.array_min(scored)
+        asg = v.select(
+            "id", "vec", amin["cell"].alias("cell"), amin["d2"].alias("d2")
+        )
+        if rnd < rounds:
+            means = asg.groupBy("cell").agg(
+                *[
+                    F.avg(F.element_at("vec", d + 1).cast("double")).alias(
+                        f"m{d}"
+                    )
+                    for d in range(dim)
+                ]
+            )
+            cents = [
+                (int(r["cell"]), [float(r[f"m{d}"]) for d in range(dim)])
+                for r in means.collect()
+            ]
+    return asg.select("id", "cell", "d2")

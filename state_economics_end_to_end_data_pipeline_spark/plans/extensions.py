@@ -6248,21 +6248,36 @@ def _km_round_sql(r: int, last: bool) -> str:
     return out
 
 
-_KM_ORACLE = (
-    f"""
+_KM_ORACLE_BODY = f"""
     WITH dims AS (
       SELECT vec_id, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS val
       FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
     ),
-    c0 AS (SELECT vec_id AS cell, dim, val AS m FROM dims WHERE vec_id < {_KM_K})"""
-    + "".join(
-        "," + _km_round_sql(r, last=(r == _KM_ROUNDS))
-        for r in range(1, _KM_ROUNDS + 1)
-    )
+    c0 AS (SELECT vec_id AS cell, dim, val AS m FROM dims WHERE vec_id < {_KM_K})""" + "".join(
+    "," + _km_round_sql(r, last=(r == _KM_ROUNDS))
+    for r in range(1, _KM_ROUNDS + 1)
+)
+
+_KM_ORACLE = (
+    _KM_ORACLE_BODY
     + f"""
     SELECT CAST(cell AS BIGINT) AS cell,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            round(CAST(SUM(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE), 6) AS inertia
+    FROM asg{_KM_ROUNDS}
+    GROUP BY cell
+    """
+)
+
+# Counts-only final for the vectorized production path: memberships are
+# engine-exact (the argmin flips only on a ~1e-12 d2 tie, never observed
+# on the fixtures), but its double-fold inertia is NOT grid-quantized, so
+# the value-hashed surface is the membership census.
+_KM_VEC_ORACLE = (
+    _KM_ORACLE_BODY
+    + f"""
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members
     FROM asg{_KM_ROUNDS}
     GROUP BY cell
     """
@@ -6289,10 +6304,13 @@ def kmeans_lloyd_exact2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k*d)-group mean -- shuffles O(n*k) and O(k*d), no windows wider
     than k rows per vector. The decimal quantization envelope holds to
     ~3e6 vectors per cluster (scaled mantissas < 2^53); production
-    KMeans at larger n uses the vectorized array-fold ML path
-    (`embedding_ivf_kmeans_recall`) and THIS entry is its regression
+    KMeans at larger n uses the vectorized array-fold path
+    (`operators.similarity.kmeans_lloyd_vectorized`, published as
+    `kmeans_lloyd_vectorized_counts`; Spark-ML training in
+    `embedding_ivf_kmeans_recall`) and THIS entry is its regression
     oracle on sampled data -- the exact/coded twin pattern of the
-    _approx families.
+    _approx families, pinned assignment-for-assignment by
+    tests/test_diagnostics_entries.py::test_kmeans_twins_membership_bridge.
     """
     emb = t(spark, sf_dir, "embeddings")
     dims = emb.select(
@@ -6346,4 +6364,41 @@ def kmeans_lloyd_exact2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("d2").cast("decimal(38,18)")).cast("double"), 6).alias(
             "inertia"
         ),
+    )
+
+@register("kmeans_lloyd_vectorized_counts", eager_build=True, oracle=_KM_VEC_ORACLE)
+def kmeans_lloyd_vectorized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION KMeans path, oracle-checked (r11 verdict ask #5):
+    ``operators.similarity.kmeans_lloyd_vectorized`` runs the identical
+    Lloyd spec as ``kmeans_lloyd_exact2`` (init = vectors with id < k,
+    squared-L2 argmin with (d2, cell) tie-break, per-dim mean updates,
+    two rounds) but keeps vectors WHOLE -- per-row array folds against
+    centroid literals, one narrow codegen pass per round, ZERO shuffle
+    of the corpus -- instead of the twin's n*k*d dim-join.  Publishing
+    the per-cell membership census against the twin's own unrolled-CTE
+    oracle proves the two paths compute the SAME clustering: the bench
+    rides the vectorized plan, the dim-join twin is its regression
+    oracle, and this entry is the bridge that pins them together (plus
+    tests/test_diagnostics_entries.py::test_kmeans_twins_membership_bridge
+    for the assignment-level comparison).
+
+    Scale shape: per round one corpus scan (k folds + struct argmin per
+    row) and one k-group, (k*d)-cell mean aggregate collected to the
+    driver -- the assign_cells bounded-collect contract.  At 1e9 rows
+    the dim-join twin shuffles n*k*d = 2.6e11 rows; this path shuffles
+    k*d = 256 cells.
+
+    Oracle surface: memberships only -- they are engine-exact because an
+    assignment flip needs two cells tied within the double-fold noise
+    (~1e-12 relative; the decimal-grid twin rounds d2 to 1e-9 and has
+    never seen a tie on any fixture), while the double-fold inertia is
+    deliberately NOT published (not grid-quantized; the exact twin
+    publishes the value-hashed inertia)."""
+    from ..operators.similarity import kmeans_lloyd_vectorized
+
+    asg = kmeans_lloyd_vectorized(
+        t(spark, sf_dir, "embeddings"), k=_KM_K, rounds=_KM_ROUNDS
+    )
+    return asg.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
     )

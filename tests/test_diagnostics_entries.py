@@ -2147,3 +2147,49 @@ def test_truss_k3_matches_driver_peel_replay(spark, sf_dir):
     assert set(pub) == E
     for (a, b), sup in pub.items():
         assert sup == len(nbrs[a] & nbrs[b]), (a, b)
+
+
+def test_kmeans_twins_membership_bridge(spark):
+    """Bridge the KMeans twins (r11 verdict ask #5): the exact dim-join
+    Lloyd (`kmeans_lloyd_exact2`) and the production array-fold Lloyd
+    (`operators.similarity.kmeans_lloyd_vectorized`) run the SAME spec on
+    the same seeded subset (init = vec_id < k) at sf0.01 and must
+    produce the IDENTICAL per-cell membership census, with inertias
+    agreeing to the decimal-grid quantization (the exact twin rounds
+    per-vector d2 to 1e-9 and the published sum to 1e-6; the vectorized
+    path folds in raw double)."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.operators.similarity import (
+        kmeans_lloyd_vectorized,
+    )
+    from pyspark.sql import functions as F
+
+    sfd = "/root/testdata/sf0.01"
+    qs = load_all()
+    exact = {
+        r.cell: (r.n_members, r.inertia)
+        for r in qs["kmeans_lloyd_exact2"].fn(spark, sfd).collect()
+    }
+    asg = kmeans_lloyd_vectorized(
+        read_parquet_table(spark, sfd, "embeddings"), k=4, rounds=2
+    )
+    vec = {
+        r.cell: (r.nm, r.inertia)
+        for r in asg.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("nm"), F.sum("d2").alias("inertia"))
+        .collect()
+    }
+    assert set(vec) == set(exact)
+    n = read_parquet_table(spark, sfd, "embeddings").count()
+    assert sum(nm for nm, _ in vec.values()) == n
+    for cell, (nm, inertia) in exact.items():
+        assert vec[cell][0] == nm, (cell, vec[cell], nm)
+        # same partition => same sum of squared distances, up to the
+        # exact twin's 1e-9 per-vector grid (n terms) + fold-order noise
+        assert abs(vec[cell][1] - inertia) < 1e-6 * inertia + 1e-5 * nm, (
+            cell,
+            vec[cell][1],
+            inertia,
+        )
