@@ -6402,3 +6402,174 @@ def kmeans_lloyd_vectorized_counts(spark: SparkSession, sf_dir: str) -> DataFram
     return asg.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
+
+_BPE_SEP = "\x1f"  # unit-separator: wraps every symbol, never in [a-z] words
+_BPE_SS = _BPE_SEP * 2
+_BPE_ROUNDS = 3
+_BPE_WORD_MAX = 24  # skew guard: caps the per-row rewrite/fold cost
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled greedy BPE merge round (see bpe_train_merges): pair
+    counts over the symbol sequences, deterministic argmax (count DESC,
+    pair ASC), and the wrapped-string rewrite.  Each symbol is wrapped
+    in its own separators ('<US>a<US><US>b<US>'), so one occurrence of
+    the merge pattern '<US>a<US><US>b<US>' never shares characters with
+    the next and plain left-to-right non-overlapping replace() -- the
+    IDENTICAL builtin on both engines -- implements exactly the greedy
+    leftmost-first BPE merge ('aaa' + (a,a) -> 'aa','a')."""
+    return f"""
+    p{r} AS (
+      SELECT pair, SUM(freq) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, len(l)),
+                 i -> l[i] || '{_BPE_SS}' || l[i + 1])) AS pair, freq
+        FROM (SELECT string_split(trim(seq, '{_BPE_SEP}'), '{_BPE_SS}') AS l,
+                     freq FROM s{r - 1})
+      ) GROUP BY pair
+    ),
+    b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+    s{r} AS (
+      SELECT replace(s.seq, '{_BPE_SEP}' || b.pair || '{_BPE_SEP}',
+                     '{_BPE_SEP}' || replace(b.pair, '{_BPE_SS}', '')
+                     || '{_BPE_SEP}') AS seq, s.freq
+      FROM s{r - 1} s CROSS JOIN b{r} b
+    )"""
+
+
+def _bpe_oracle() -> str:
+    branches = "\n      UNION ALL\n".join(
+        f"""      SELECT CAST({r} AS BIGINT) AS merge_rank,
+             split_part(pair, '{_BPE_SS}', 1) AS left_sym,
+             split_part(pair, '{_BPE_SS}', 2) AS right_sym,
+             replace(pair, '{_BPE_SS}', '') AS merged,
+             CAST(cnt AS BIGINT) AS pair_count FROM b{r}"""
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH wt AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents
+      ) WHERE regexp_matches(word, '^[a-z]+$')
+        AND length(word) BETWEEN 2 AND {_BPE_WORD_MAX}
+      GROUP BY word
+    ),
+    s0 AS (SELECT regexp_replace(word, '(.)', '{_BPE_SEP}\\1{_BPE_SEP}', 'g')
+             AS seq, freq FROM wt)
+    {"".join("," + _bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))}
+    SELECT * FROM (
+{branches}
+    )
+    """
+
+
+@register("bpe_train_merges", eager_build=True, oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BPE TOKENIZER TRAINING, merge-step formulation (r11
+    verdict ask #2): the text family consumes tokenizers everywhere
+    (vocab coverage, token KL, entropy, Gopher gates) but nothing
+    TRAINED one -- this entry runs the classic byte-pair-encoding merge
+    loop (Sennrich et al. 2016) as pure distributed dataflow and
+    publishes the first K=3 learned merge rules (rank, left, right,
+    merged, exact pair count).
+
+    Formulation -- the standard word-type trick plus a wrapped-string
+    rewrite that keeps BOTH engines on the same builtin:
+      1. One corpus pass folds documents to WORD TYPES with frequencies
+         (lowercase, whitespace split, '^[a-z]+$', length 2.._BPE_WORD_MAX) --
+         Heaps' law makes this relation sublinear in the corpus, and it
+         is the ONLY thing the merge loop ever touches again.
+      2. Each word becomes a symbol sequence encoded as a STRING with
+         every symbol wrapped in its own unit separators:
+         'the' -> '<US>t<US><US>h<US><US>e<US>'.  Wrapping means one
+         occurrence of a merge pattern '<US>a<US><US>b<US>' never
+         shares characters with the next, so the plain non-regex
+         replace() builtin -- identical left-to-right non-overlapping
+         semantics on Spark and DuckDB -- implements exactly the greedy
+         leftmost-first BPE merge ('aaa' + (a,a) -> ['aa','a']), with
+         no per-row UDF and no stateful scan.
+      3. Per round: split to symbols, explode adjacent pairs weighted by
+         word frequency, ONE map-side-combined aggregate (shuffle
+         O(live pair vocabulary), never O(corpus)), a deterministic
+         argmax (count DESC, pair ASC -- binary collation on both
+         engines), and a NARROW rewrite of the cached word-type
+         relation via the broadcast-literal winning pair.
+
+    Scale shape: the corpus is scanned ONCE (step 1, shuffle O(word
+    types)); each merge round costs one narrow scan of the word-type
+    relation plus an O(pair-vocab) aggregate, so wall rides the corpus
+    only through step 1 and the pair space stays bounded by the live
+    vocabulary (10x probe row in docs/SCALEUP.md).  The argmax is a
+    1-row TakeOrdered collect per round -- the CC-family bounded
+    fixpoint-state contract; the _BPE_WORD_MAX cap bounds the per-row
+    rewrite cost against pathological unbroken-text rows (skew
+    discipline of the market-basket cap).  At a real 100 TB corpus the
+    word-type relation is ~1e8 rows (GB-scale), so K=50k merge rounds
+    would batch pair maintenance incrementally; the PER-ROUND dataflow
+    -- count, argmax, rewrite -- is exactly this one.
+
+    Cross-engine exactness: pair counts are exact integer sums; the
+    tie-break compares plain strings under binary collation; the
+    rewrite is the same builtin on both sides.  No floats anywhere.
+
+    Reference parity: the reference has no text operators at all
+    (DAG1:1-322); this extends the LLM-pipeline text family the way
+    SURVEY.md section 6 lays out."""
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    )
+    wt = (
+        words.filter(F.col("word").rlike("^[a-z]+$"))
+        .filter(F.length("word").between(2, _BPE_WORD_MAX))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            F.regexp_replace(
+                "word", "(.)", f"{_BPE_SEP}$1{_BPE_SEP}"
+            ).alias("seq"),
+            "freq",
+        )
+        # the merge loop re-scans this relation once per round; pin it
+        # (iterative-loop discipline -- otherwise each round re-reads
+        # and re-aggregates the corpus)
+        .localCheckpoint()
+    )
+    seq = F.col("seq")
+    merges: list[tuple] = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        syms = F.split(F.btrim(seq, F.lit(_BPE_SEP)), _BPE_SS)
+        # sequence(1, 0) DESCENDS in Spark -- guard fully-merged words
+        idx = F.when(
+            F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+        ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        pairs = F.transform(
+            idx,
+            lambda i: F.concat(
+                F.element_at(syms, i),
+                F.lit(_BPE_SS),
+                F.element_at(syms, i + 1),
+            ),
+        )
+        best = (
+            wt.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair"))
+            .limit(1)
+            .collect()[0]
+        )
+        pair, cnt = best["pair"], int(best["cnt"])
+        left, right = pair.split(_BPE_SS)
+        merges.append((rnd, left, right, left + right, cnt))
+        # narrow rewrite: compose onto the cached relation, no new scan
+        seq = F.replace(
+            seq,
+            F.lit(_BPE_SEP + pair + _BPE_SEP),
+            F.lit(_BPE_SEP + left + right + _BPE_SEP),
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )

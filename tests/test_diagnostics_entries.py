@@ -2193,3 +2193,58 @@ def test_kmeans_twins_membership_bridge(spark):
             vec[cell][1],
             inertia,
         )
+
+
+def test_bpe_train_merges_laws(spark, sf_dir):
+    """Trainer laws at sf0.001: exactly 3 merge rows ranked 1..3; every
+    symbol is non-empty lowercase-alphabetic; merged == left || right;
+    counts are positive and NON-INCREASING across rounds (a pair created
+    by merging (a,b) can never outcount the round that chose (a,b), and
+    surviving pairs only lose occurrences)."""
+    qs = load_all()
+    rows = sorted(
+        _rows(qs, "bpe_train_merges", spark, sf_dir), key=lambda r: r.merge_rank
+    )
+    assert [r.merge_rank for r in rows] == [1, 2, 3]
+    import re
+
+    for r in rows:
+        assert re.fullmatch(r"[a-z]+", r.left_sym), r
+        assert re.fullmatch(r"[a-z]+", r.right_sym), r
+        assert r.merged == r.left_sym + r.right_sym
+        assert r.pair_count > 0
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True), counts
+    # the 3 learned rules are distinct merges
+    assert len({(r.left_sym, r.right_sym) for r in rows}) == 3
+
+
+def test_bpe_wrapped_replace_is_greedy_leftmost(spark):
+    """The load-bearing trick: with every symbol wrapped in its own
+    separators, the plain builtin replace() implements exactly greedy
+    leftmost-first non-overlapping BPE ('aaa' + (a,a) -> ['aa','a'],
+    never ['a','aa'] and never a double merge)."""
+    from pyspark.sql import functions as F
+
+    S = "\x1f"
+    wrap = lambda syms: "".join(S + s + S for s in syms)
+    cases = [
+        # (sequence symbols, merge pair, expected symbols after)
+        (["a", "a", "a"], ("a", "a"), ["aa", "a"]),
+        (["a", "a", "a", "a"], ("a", "a"), ["aa", "aa"]),
+        (["a", "b", "a", "b"], ("a", "b"), ["ab", "ab"]),
+        (["x", "a", "b", "y"], ("a", "b"), ["x", "ab", "y"]),
+        (["a", "b", "b"], ("a", "b"), ["ab", "b"]),
+        (["b", "a", "a"], ("a", "a"), ["b", "aa"]),
+    ]
+    df = spark.createDataFrame(
+        [
+            (wrap(seq), S + a + S + S + b + S, S + a + b + S, wrap(exp))
+            for seq, (a, b), exp in cases
+        ],
+        "seq string, pat string, rep string, want string",
+    )
+    bad = df.filter(
+        F.replace(F.col("seq"), F.col("pat"), F.col("rep")) != F.col("want")
+    ).count()
+    assert bad == 0

@@ -176,6 +176,15 @@ PROBES = [
     # relational Lloyd: n*k*d dim-join rows per round feeding
     # map-side-combined aggregates -- should ride the data
     "kmeans_lloyd_exact2",
+    # round 12: BPE merge training -- ONE corpus pass to word types;
+    # the 10x replicas repeat the same texts, so the word-type relation
+    # (and the live pair vocabulary) stays 1x while frequencies scale:
+    # wall must ride the corpus scan, not the pair space
+    "bpe_train_merges",
+    # vectorized Lloyd twin: per round one narrow array-fold pass +
+    # a k-group mean -- should ride the scan, far under the dim-join
+    # twin's n*k*d growth
+    "kmeans_lloyd_vectorized_counts",
 ]
 
 REPLICAS = 10
