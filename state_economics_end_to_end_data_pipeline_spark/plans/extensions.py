@@ -6519,7 +6519,22 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
     )
-    wt = (
+    return spark.createDataFrame(
+        _bpe_fit(spark, sf_dir),
+        "merge_rank bigint, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+
+
+def _bpe_word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word-type/frequency relation with wrapped initial symbol
+    sequences (step 1+2 of ``bpe_train_merges``), localCheckpoint-pinned
+    for the per-round rescans."""
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    )
+    return (
         words.filter(F.col("word").rlike("^[a-z]+$"))
         .filter(F.length("word").between(2, _BPE_WORD_MAX))
         .groupBy("word")
@@ -6535,10 +6550,35 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and re-aggregates the corpus)
         .localCheckpoint()
     )
+
+
+def _bpe_syms(seq: Column) -> Column:
+    """Symbol array from a wrapped sequence string."""
+    return F.split(F.btrim(seq, F.lit(_BPE_SEP)), _BPE_SS)
+
+
+# (appId, realpath(sf_dir)) -> the K learned merge tuples -- the PCA-memo
+# contract: deterministic driver-sized training state shared by the
+# train/apply entries so the suite runs the merge loop once per session.
+_BPE_MEMO: dict[tuple[str, str], list[tuple]] = {}
+
+
+def _bpe_fit(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the _BPE_ROUNDS greedy merge rounds (see ``bpe_train_merges``
+    for the algorithm and scale contract); returns the learned
+    [(rank, left, right, merged, count)] list.  Memoized per
+    (session, sf_dir) like ``_PCA_MEMO``."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    hit = _BPE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    wt = _bpe_word_types(spark, sf_dir)
     seq = F.col("seq")
     merges: list[tuple] = []
     for rnd in range(1, _BPE_ROUNDS + 1):
-        syms = F.split(F.btrim(seq, F.lit(_BPE_SEP)), _BPE_SS)
+        syms = _bpe_syms(seq)
         # sequence(1, 0) DESCENDS in Spark -- guard fully-merged words
         idx = F.when(
             F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
@@ -6568,8 +6608,85 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_BPE_SEP + pair + _BPE_SEP),
             F.lit(_BPE_SEP + left + right + _BPE_SEP),
         )
-    return spark.createDataFrame(
-        merges,
-        "merge_rank bigint, left_sym string, right_sym string, "
-        "merged string, pair_count bigint",
+    _BPE_MEMO[key] = merges
+    return merges
+
+
+def _bpe_curve_oracle() -> str:
+    branches = "\n      UNION ALL\n".join(
+        f"""      SELECT CAST({r} AS BIGINT) AS n_merges,
+             CAST(SUM(len(string_split(trim(seq, '{_BPE_SEP}'), '{_BPE_SS}'))
+                      * freq) AS BIGINT) AS total_tokens FROM s{r}"""
+        for r in range(0, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH wt AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents
+      ) WHERE regexp_matches(word, '^[a-z]+$')
+        AND length(word) BETWEEN 2 AND {_BPE_WORD_MAX}
+      GROUP BY word
+    ),
+    s0 AS (SELECT regexp_replace(word, '(.)', '{_BPE_SEP}\\1{_BPE_SEP}', 'g')
+             AS seq, freq FROM wt)
+    {"".join("," + _bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))}
+    SELECT * FROM (
+{branches}
+    )
+    """
+
+
+@register("bpe_token_curve", eager_build=True, oracle=_bpe_curve_oracle())
+def bpe_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained BPE merges -- the tokenizer-training curve:
+    total corpus token count (sum over word types of symbols-per-word x
+    frequency) after 0, 1, .., K merges.  Strictly decreasing by
+    construction (every merge round collapses pair_count occurrences:
+    total_tokens[r] = total_tokens[r-1] - pair_count[r], an identity the
+    law test pins against ``bpe_train_merges``' published counts) --
+    this is the curve a tokenizer-training pipeline monitors to pick its
+    merge budget, and the ENCODE side of the train/apply pair.
+
+    Distributed shape: the learned merges come from the session-memoized
+    trainer (``_bpe_fit`` -- the _PCA_MEMO contract: the suite runs the
+    merge loop once, train and apply entries share it); applying them is
+    a NARROW chain of K replace() builtins composed onto one scan of the
+    word-type relation, and all K+1 curve points ride that SINGLE pass
+    as one map-side-combined aggregate (no shuffle wider than the
+    word-type groupBy).  At 100 TB: encode cost is one corpus scan
+    regardless of K -- exactly how production tokenizers amortize.
+
+    Cross-engine exactness: token counts are exact integer sums of
+    split-lengths; the rewrite chain is the proven wrapped-replace
+    builtin (greedy leftmost, see ``bpe_train_merges``)."""
+    merges = _bpe_fit(spark, sf_dir)
+    wt = _bpe_word_types(spark, sf_dir)
+    seq = F.col("seq")
+    aggs = [
+        F.sum(F.size(_bpe_syms(seq)).cast("bigint") * F.col("freq"))
+        .cast("bigint")
+        .alias("t0")
+    ]
+    for rnd, left, right, _merged, _cnt in merges:
+        pair = left + _BPE_SS + right
+        seq = F.replace(
+            seq,
+            F.lit(_BPE_SEP + pair + _BPE_SEP),
+            F.lit(_BPE_SEP + left + right + _BPE_SEP),
+        )
+        aggs.append(
+            F.sum(F.size(_bpe_syms(seq)).cast("bigint") * F.col("freq"))
+            .cast("bigint")
+            .alias(f"t{rnd}")
+        )
+    one = wt.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({r} AS BIGINT), t{r}" for r in range(0, _BPE_ROUNDS + 1)
+    )
+    return one.select(
+        F.expr(
+            f"stack({_BPE_ROUNDS + 1}, {stack_args}) "
+            "AS (n_merges, total_tokens)"
+        )
     )

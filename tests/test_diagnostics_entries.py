@@ -2248,3 +2248,25 @@ def test_bpe_wrapped_replace_is_greedy_leftmost(spark):
         F.replace(F.col("seq"), F.col("pat"), F.col("rep")) != F.col("want")
     ).count()
     assert bad == 0
+
+
+def test_bpe_token_curve_identity(spark, sf_dir):
+    """Train/apply consistency: the curve is strictly decreasing and
+    each merge round removes EXACTLY its published pair_count tokens
+    (total_tokens[r] = total_tokens[r-1] - pair_count[r] -- every merged
+    occurrence replaces two symbols with one)."""
+    qs = load_all()
+    curve = {
+        r.n_merges: r.total_tokens
+        for r in _rows(qs, "bpe_token_curve", spark, sf_dir)
+    }
+    merges = sorted(
+        _rows(qs, "bpe_train_merges", spark, sf_dir), key=lambda r: r.merge_rank
+    )
+    assert sorted(curve) == [0, 1, 2, 3]
+    for m in merges:
+        assert curve[m.merge_rank] == curve[m.merge_rank - 1] - m.pair_count, (
+            m.merge_rank,
+            curve,
+            m.pair_count,
+        )

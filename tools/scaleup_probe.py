@@ -181,6 +181,9 @@ PROBES = [
     # (and the live pair vocabulary) stays 1x while frequencies scale:
     # wall must ride the corpus scan, not the pair space
     "bpe_train_merges",
+    # the encode side: K replaces composed onto ONE word-type scan, all
+    # K+1 curve points in a single aggregate (memo-trained merges)
+    "bpe_token_curve",
     # vectorized Lloyd twin: per round one narrow array-fold pass +
     # a k-group mean -- should ride the scan, far under the dim-join
     # twin's n*k*d growth
