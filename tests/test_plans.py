@@ -384,3 +384,32 @@ def test_pca_power_memo_shares_component1_across_entries(spark, sf_dir):
         "pca-pin-top2-warm", lambda: q(spark, sf_dir, "embedding_pca_top2")
     )
     assert n_top2_warm == 0, n_top2_warm
+
+
+def test_bpe_fit_memo_shares_training_across_entries(spark, sf_dir):
+    """The BPE train/apply pair shares one merge loop per session
+    (_BPE_MEMO, the _PCA_MEMO contract): a second fit launches ZERO
+    Spark jobs and returns the memoized object itself."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.extensions import (
+        _BPE_MEMO,
+        _bpe_fit,
+    )
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_in(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            out = fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return out, len(tracker.getJobIdsForGroup(group))
+
+    _BPE_MEMO.clear()
+    m1, n_cold = jobs_in("bpe-pin-cold", lambda: _bpe_fit(spark, sf_dir))
+    assert n_cold >= 3, n_cold  # one argmax collect per merge round
+    m2, n_warm = jobs_in("bpe-pin-warm", lambda: _bpe_fit(spark, sf_dir))
+    assert n_warm == 0, n_warm
+    assert m2 is m1
+    assert len(m1) == 3
