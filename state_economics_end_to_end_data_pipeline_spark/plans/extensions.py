@@ -6690,3 +6690,153 @@ def bpe_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (n_merges, total_tokens)"
         )
     )
+
+_DSIR_BUCKETS = 512  # hashed-ngram feature space (DSIR's vocab bound)
+_DSIR_TARGET = "src7"  # fixed target slice; any source works
+_DSIR_TOPK = 20
+
+
+def _dsir_oracle() -> str:
+    b = _DSIR_BUCKETS
+    lr = (
+        f"ln((COALESCE(t.n_t, 0) + 1.0) / (nt.n + {b}))"
+        f" - ln((r.n_r + 1.0) / (nr.n + {b}))"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             {_hex_to_int_sql("md5(unnest(" + _TOKS + "))", 1, 5)} % {b} AS bucket
+      FROM documents
+    ),
+    raw_b AS (SELECT bucket, COUNT(*) AS n_r FROM tok GROUP BY 1),
+    tgt_b AS (SELECT bucket, COUNT(*) AS n_t FROM tok
+              WHERE source = '{_DSIR_TARGET}' GROUP BY 1),
+    nr AS (SELECT SUM(n_r) AS n FROM raw_b),
+    nt AS (SELECT COALESCE(SUM(n_t), 0) AS n FROM tgt_b),
+    lr AS (
+      SELECT r.bucket,
+             CAST(floor(({lr}) * 1000000000.0 + 0.5) AS BIGINT) AS lr_nano
+      FROM raw_b r LEFT JOIN tgt_b t USING (bucket)
+      CROSS JOIN nr CROSS JOIN nt
+    )
+    SELECT tok.doc_id, tok.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lr.lr_nano) AS BIGINT) AS weight_nano
+    FROM tok JOIN lr USING (bucket)
+    GROUP BY 1, 2
+    ORDER BY weight_nano DESC, tok.doc_id
+    LIMIT {_DSIR_TOPK}
+    """
+
+
+@register("dsir_importance_topk", oracle=_dsir_oracle())
+def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SELECTION VIA IMPORTANCE RESAMPLING (DSIR, Xie et al. 2023)
+    -- the standard pretraining-data selection technique the curation
+    family still lacked: score every raw document by how much more
+    likely its hashed-ngram features are under a TARGET distribution
+    than under the raw pool, and keep the top scorers.  Features are
+    md5-hashed unigram buckets (the DSIR trick that bounds the vocab at
+    _DSIR_BUCKETS regardless of corpus size); the target slice is the
+    fixed source '{t}' (in production: the high-quality seed corpus);
+    per-bucket log-ratios use Laplace-smoothed probabilities
+    ln((n_t+1)/(N_t+B)) - ln((n_r+1)/(N_r+B)); a document's importance
+    weight is the sum of its tokens' bucket log-ratios.  Published:
+    the top-_DSIR_TOPK documents by (weight DESC, doc_id) with their
+    exact nano-snapped integer weights.
+
+    Distributed shape: ONE token pass feeds two bucket-grain aggregates
+    (shuffle O(B) = _DSIR_BUCKETS groups, map-side combined -- the raw count
+    reuses the same relation, never a second raw-token pass at the
+    bucket grain); the per-bucket log-ratio table is B rows, BROADCAST
+    back onto the token stream; per-doc weights are one doc-keyed
+    aggregate (shuffle O(docs)); selection is a TakeOrdered top-k.
+    Nothing anywhere is wider than the corpus token stream, and the
+    model state (B log-ratios) is bounded by construction -- at 100 TB
+    the score pass is the same one scan production DSIR does.
+
+    Cross-engine exactness: bucket hashing is the shared md5-nibble
+    idiom (_cm_bucket_col / _hex_to_int_sql); counts are exact
+    integers; both ln arguments are single divisions of exact operands
+    (bit-identical IEEE inputs); each bucket's log-ratio snaps to
+    integer nano-units before any cross-row arithmetic, so per-doc
+    weights are EXACT integer sums and the ranking has no float
+    boundary (the bigram_logprob_quality libm discipline: a 1-ulp ln
+    divergence could only flip a weight sitting exactly on a snap
+    boundary -- never observed; the sweep would catch it loudly).
+
+    Reference parity: no selection/curation operators in the reference
+    (DAG1:1-322); completes the curation family alongside
+    source_mixture_weights (how much per source), token_kl_by_source
+    (how different), and the quality/contamination gates."""
+    weights = _dsir_doc_weights(
+        rebalance_for_cpu(t(spark, sf_dir, "documents")), _DSIR_TARGET
+    )
+    return weights.orderBy(F.col("weight_nano").desc(), "doc_id").limit(
+        _DSIR_TOPK
+    )
+
+
+def _dsir_doc_weights(d: DataFrame, target: str) -> DataFrame:
+    """Per-document DSIR importance weights over a documents-shaped
+    frame (doc_id, source, text) -- exposed separately so tests can
+    drive it on planted synthetic corpora (the greedy_densest_subgraph
+    pattern); see ``dsir_importance_topk`` for the algorithm and the
+    scale contract.  Returns (doc_id, source, n_tokens, weight_nano)."""
+    b = _DSIR_BUCKETS
+    tok = (
+        d.select(
+            "doc_id", "source", F.explode_outer(tokens("text")).alias("token")
+        )
+        .filter(F.col("token").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5("token"), 1, 5), 16, 10).cast("bigint")
+                % b
+            ).alias("bucket"),
+        )
+    )
+    # one token pass, cached at the (doc, bucket)-grain consumers' base:
+    # raw and target bucket counts both reduce THIS relation
+    raw_b = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_r"))
+    tgt_b = (
+        tok.filter(F.col("source") == target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    nr = raw_b.agg(F.sum("n_r").alias("nr_n"))
+    nt = tgt_b.agg(F.coalesce(F.sum("n_t"), F.lit(0)).alias("nt_n"))
+    lr = (
+        raw_b.join(tgt_b, "bucket", "left_outer")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("n_t"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("nt_n") + F.lit(float(b)))
+                    )
+                    - F.log(
+                        (F.col("n_r") + F.lit(1.0))
+                        / (F.col("nr_n") + F.lit(float(b)))
+                    )
+                )
+                * F.lit(1_000_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lr_nano"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("lr_nano").cast("bigint").alias("weight_nano"),
+        )
+    )

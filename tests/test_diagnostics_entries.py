@@ -2270,3 +2270,52 @@ def test_bpe_token_curve_identity(spark, sf_dir):
             curve,
             m.pair_count,
         )
+
+
+def test_dsir_planted_target_wins(spark):
+    """Planted-selection behavior on a synthetic corpus: target-source
+    docs are pure 'alpha beta' language, the raw pool is pure 'zeta
+    omega' language, and two probe docs mix them.  DSIR weights must
+    rank pure-target > mixed > pure-raw, every pure-target doc must
+    outscore every pure-raw doc, and a longer pure-target doc must
+    outscore a shorter one (weights are per-token sums of a positive
+    log-ratio under this plant)."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.extensions import (
+        _dsir_doc_weights,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "tgt", "alpha beta " * 20))
+    for i in range(10, 40):
+        rows.append((i, "raw", "zeta omega " * 20))
+    rows.append((100, "raw", "alpha beta alpha beta zeta omega"))  # mixed
+    rows.append((101, "raw", "alpha zeta omega zeta omega zeta"))  # raw-ish mix
+    rows.append((102, "tgt", "alpha beta " * 40))  # longer pure target
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    w = {
+        r.doc_id: r.weight_nano
+        for r in _dsir_doc_weights(d, "tgt").collect()
+    }
+    pure_t = [w[i] for i in range(10)]
+    pure_r = [w[i] for i in range(10, 40)]
+    assert min(pure_t) > max(pure_r)
+    assert w[100] > max(pure_r)  # mostly-target mix beats pure raw
+    assert w[100] > w[101]  # more target tokens -> higher weight
+    assert w[102] > max(pure_t)  # longer pure-target doc scores higher
+    assert min(pure_t) > 0 > max(pure_r)  # signs match the plant
+
+
+def test_dsir_entry_laws(spark, sf_dir):
+    """Entry laws at fixture SF: exactly top-k rows, distinct doc_ids,
+    weights non-increasing in published order after re-sorting by the
+    selection key."""
+    qs = load_all()
+    rows = _rows(qs, "dsir_importance_topk", spark, sf_dir)
+    assert len(rows) == 20
+    assert len({r.doc_id for r in rows}) == 20
+    ordered = sorted(rows, key=lambda r: (-r.weight_nano, r.doc_id))
+    ws = [r.weight_nano for r in ordered]
+    assert ws == sorted(ws, reverse=True)
+    for r in rows:
+        assert r.n_tokens > 0

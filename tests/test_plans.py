@@ -413,3 +413,13 @@ def test_bpe_fit_memo_shares_training_across_entries(spark, sf_dir):
     assert n_warm == 0, n_warm
     assert m2 is m1
     assert len(m1) == 3
+
+
+def test_dsir_logratio_table_is_broadcast(spark, sf_dir):
+    """The B-row log-ratio model is broadcast back onto the token
+    stream -- the corpus is never shuffled by bucket for the scoring
+    join (only the O(B) count aggregates shuffle)."""
+    plan = plan_of(q(spark, sf_dir, "dsir_importance_topk"))
+    assert "BroadcastHashJoin" in plan
+    # selection is a TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan

@@ -184,6 +184,10 @@ PROBES = [
     # the encode side: K replaces composed onto ONE word-type scan, all
     # K+1 curve points in a single aggregate (memo-trained merges)
     "bpe_token_curve",
+    # DSIR selection: one token pass -> two O(B) bucket aggregates, a
+    # broadcast B-row model, one doc-keyed aggregate, TakeOrdered top-k
+    # -- should ride the token stream
+    "dsir_importance_topk",
     # vectorized Lloyd twin: per round one narrow array-fold pass +
     # a k-group mean -- should ride the scan, far under the dim-join
     # twin's n*k*d growth
