@@ -10,7 +10,7 @@ right in double on both engines -- bit-identical cosines.
 from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type hints resolve via func globals
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io.readers import read_parquet_table as t
