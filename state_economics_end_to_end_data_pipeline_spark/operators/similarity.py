@@ -510,16 +510,30 @@ def kmeans_lloyd_vectorized(
 
     Determinism: per-row folds are sequential IEEE left-folds (fixed
     order); cross-row centroid means use Spark's float avg, whose low
-    bits may differ from the twin's decimal-routed means -- assignments
-    only flip if two cells tie within that noise (~1e-12 relative),
-    which the membership-count oracle pins has never observed on the
-    fixture corpora."""
+    bits may differ from the twin's decimal-routed means.  The honest
+    divergence window vs the exact twin is the twin's own 1e-9 d2
+    quantization grid (r12 advice #2): the oracle snaps every distance
+    to the grid BEFORE the (d2, cell) argmin and breaks grid ties by
+    cell id, so assignments can differ whenever two cells' true d2 gap
+    is within ~1e-9 (absolute, at the grid) -- not just within the
+    ~1e-12 fold/mean noise of this path.  The membership-count oracle
+    (``kmeans_lloyd_vectorized_counts``) pins that no fixture corpus
+    has two cells that close; a data-dependent flake there would point
+    here first."""
     cents = [
         (int(r["cell"]), [float(x) for x in r["vec"]])
         for r in df.filter(F.col(id_col) < k)
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("vec"))
         .collect()
     ]
+    if len(cents) < k:
+        # same empty/short-input class as the greedy_densest_subgraph
+        # guard (r11 advice #1): id < k must seed exactly k centroids,
+        # or round 1's argmin is over a truncated (or empty) cell set
+        raise ValueError(
+            f"kmeans_lloyd_vectorized: init collect found {len(cents)} "
+            f"rows with {id_col} < {k}; need {k} seed centroids"
+        )
     dim = len(cents[0][1])
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
 

@@ -5156,10 +5156,26 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_MEMO: dict[tuple[str, str], dict] = {}
 
 
-def _pca_memo_slot(spark: SparkSession, sf_dir: str) -> dict:
+def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    return (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+
+
+def _evict_dead_apps(memo: dict, app_id: str) -> None:
+    """Drop memo entries left by previous SparkSessions (r12 advice #5):
+    keys are (applicationId, sf_dir) and a dead application's entry can
+    never hit again, so a long-lived process that cycles sessions
+    (pytest, notebooks) would otherwise grow the memo dicts without
+    bound.  Called on every memo access; O(len(memo)) with at most a
+    handful of live keys."""
+    for k in [k for k in memo if k[0] != app_id]:
+        del memo[k]
+
+
+def _pca_memo_slot(spark: SparkSession, sf_dir: str) -> dict:
+    key = _memo_key(spark, sf_dir)
+    _evict_dead_apps(_PCA_MEMO, key[0])
     return _PCA_MEMO.setdefault(key, {})
 
 
@@ -6388,12 +6404,14 @@ def kmeans_lloyd_vectorized_counts(spark: SparkSession, sf_dir: str) -> DataFram
     the dim-join twin shuffles n*k*d = 2.6e11 rows; this path shuffles
     k*d = 256 cells.
 
-    Oracle surface: memberships only -- they are engine-exact because an
-    assignment flip needs two cells tied within the double-fold noise
-    (~1e-12 relative; the decimal-grid twin rounds d2 to 1e-9 and has
-    never seen a tie on any fixture), while the double-fold inertia is
-    deliberately NOT published (not grid-quantized; the exact twin
-    publishes the value-hashed inertia)."""
+    Oracle surface: memberships only -- an assignment flip vs the twin
+    needs two cells' true d2 gap inside the twin's 1e-9 quantization
+    grid (the honest window, r12 advice #2: the oracle snaps d2 to the
+    grid before its (d2, cell) argmin, so the comparison tolerates far
+    more than this path's ~1e-12 fold noise; no fixture has two cells
+    that close), while the double-fold inertia is deliberately NOT
+    published (not grid-quantized; the exact twin publishes the
+    value-hashed inertia)."""
     from ..operators.similarity import kmeans_lloyd_vectorized
 
     asg = kmeans_lloyd_vectorized(
@@ -6515,10 +6533,6 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference has no text operators at all
     (DAG1:1-322); this extends the LLM-pipeline text family the way
     SURVEY.md section 6 lays out."""
-    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
-    words = d.select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
-    )
     return spark.createDataFrame(
         _bpe_fit(spark, sf_dir),
         "merge_rank bigint, left_sym string, right_sym string, "
@@ -6526,15 +6540,31 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (appId, realpath(sf_dir)) -> the localCheckpoint-pinned word-type
+# DataFrame.  The checkpoint blocks are deliberately NEVER unpersisted
+# while the session lives (train, curve, and raw-doc encode entries all
+# re-scan the relation); memoizing bounds that to ONE pinned copy per
+# (session, sf_dir) -- the relation is Heaps-sublinear in the corpus
+# (~1e8 rows / GBs at 100 TB), driver-testdata-immutable, and dies with
+# the session's block manager.  Dead-app keys are evicted on access.
+_WT_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _bpe_word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The word-type/frequency relation with wrapped initial symbol
     sequences (step 1+2 of ``bpe_train_merges``), localCheckpoint-pinned
-    for the per-round rescans."""
+    for the per-round rescans and memoized per (session, sf_dir) so the
+    train/curve/encode consumers share one pinned copy (see _WT_MEMO)."""
+    key = _memo_key(spark, sf_dir)
+    _evict_dead_apps(_WT_MEMO, key[0])
+    hit = _WT_MEMO.get(key)
+    if hit is not None:
+        return hit
     d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
     words = d.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
     )
-    return (
+    wt = (
         words.filter(F.col("word").rlike("^[a-z]+$"))
         .filter(F.length("word").between(2, _BPE_WORD_MAX))
         .groupBy("word")
@@ -6550,6 +6580,8 @@ def _bpe_word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and re-aggregates the corpus)
         .localCheckpoint()
     )
+    _WT_MEMO[key] = wt
+    return wt
 
 
 def _bpe_syms(seq: Column) -> Column:
@@ -6568,9 +6600,8 @@ def _bpe_fit(spark: SparkSession, sf_dir: str) -> list[tuple]:
     for the algorithm and scale contract); returns the learned
     [(rank, left, right, merged, count)] list.  Memoized per
     (session, sf_dir) like ``_PCA_MEMO``."""
-    import os
-
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    key = _memo_key(spark, sf_dir)
+    _evict_dead_apps(_BPE_MEMO, key[0])
     hit = _BPE_MEMO.get(key)
     if hit is not None:
         return hit
@@ -6642,11 +6673,18 @@ def bpe_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY the trained BPE merges -- the tokenizer-training curve:
     total corpus token count (sum over word types of symbols-per-word x
     frequency) after 0, 1, .., K merges.  Strictly decreasing by
-    construction (every merge round collapses pair_count occurrences:
-    total_tokens[r] = total_tokens[r-1] - pair_count[r], an identity the
-    law test pins against ``bpe_train_merges``' published counts) --
-    this is the curve a tokenizer-training pipeline monitors to pick its
-    merge budget, and the ENCODE side of the train/apply pair.
+    construction, and bounded per round by the published pair count:
+    total_tokens[r] >= total_tokens[r-1] - pair_count[r], with EQUALITY
+    whenever the winning merge has left_sym != right_sym (adjacent
+    occurrences of such a pair cannot overlap).  When left == right,
+    pair counts enumerate OVERLAPPING adjacent occurrences ('aaa'
+    counts (a,a) twice) while greedy leftmost replace() merges
+    non-overlapping ones ('aaa' -> ['aa','a'], one merge), so the round
+    can remove fewer than pair_count tokens -- the law test pins the
+    inequality and the left!=right equality case against
+    ``bpe_train_merges``' published counts (r12 advice #1).  This is
+    the curve a tokenizer-training pipeline monitors to pick its merge
+    budget, and the ENCODE side of the train/apply pair.
 
     Distributed shape: the learned merges come from the session-memoized
     trainer (``_bpe_fit`` -- the _PCA_MEMO contract: the suite runs the
@@ -6738,7 +6776,8 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     than under the raw pool, and keep the top scorers.  Features are
     md5-hashed unigram buckets (the DSIR trick that bounds the vocab at
     _DSIR_BUCKETS regardless of corpus size); the target slice is the
-    fixed source '{t}' (in production: the high-quality seed corpus);
+    fixed source _DSIR_TARGET (in production: the high-quality seed
+    corpus);
     per-bucket log-ratios use Laplace-smoothed probabilities
     ln((n_t+1)/(N_t+B)) - ln((n_r+1)/(N_r+B)); a document's importance
     weight is the sum of its tokens' bucket log-ratios.  Published:

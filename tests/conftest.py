@@ -25,6 +25,20 @@ def sf_dir() -> str:
     return SF_SMOKE
 
 
+# companion medium-SF fixture (r12 advice #4): tests that need the
+# bigger corpus (twin-bridge comparisons) derive it from the same root
+# as the smoke dir, overridable like SF_SMOKE
+SF_MED = os.environ.get(
+    "SPARK_GRAFT_TEST_SF01_DIR",
+    str(Path(SF_SMOKE).resolve().parent / "sf0.01"),
+)
+
+
+@pytest.fixture(scope="session")
+def sf_dir_01() -> str:
+    return SF_MED
+
+
 @pytest.fixture(scope="session")
 def fixture_paths(tmp_path_factory) -> dict[str, str]:
     from .fixtures_gen import generate_all
