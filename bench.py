@@ -39,6 +39,15 @@ def main() -> int:
     spark.range(32).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
+    # Cold-cost ledger (r12 verdict ask #1): session-memoized families
+    # (_PCA_MEMO, _BPE_MEMO, _WT_MEMO) pay their ladder/merge-loop once
+    # per session, so under min-of-2 the recorded min is the CACHED
+    # pass for every consumer after the first.  first_pass records each
+    # entry's FIRST timed pass of this run -- for the first memo
+    # consumer that is the honest cold cost, and round-over-round
+    # comparison of memoized families reads first_pass, not the min
+    # (BASELINE.md documents the protocol).
+    first_pass: dict[str, float] = {}
     for name in sorted(qs):
         # Bound cached-partition accumulation across the 275-entry suite
         # (r11 advice #3): a few lazily-returned plans cache intermediates
@@ -49,11 +58,13 @@ def main() -> int:
         spark.catalog.clearCache()
         best = None
         try:
-            for _ in range(2):  # min-of-2: JIT/GC noise dominates at this scale
+            for i in range(2):  # min-of-2: JIT/GC noise dominates at this scale
                 t0 = time.perf_counter()
                 rows = qs[name].fn(spark, sf_dir).collect()
                 _ = len(rows)
                 dt = time.perf_counter() - t0
+                if i == 0:
+                    first_pass[name] = round(dt, 3)
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
         except Exception as e:  # keep benching; a failed query reports -1
@@ -73,6 +84,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "first_pass": first_pass,
         "sf": sf,
         "last_rounds": {k: int(v) for k, v in sorted(LAST_ROUNDS.items())},
     }
@@ -201,6 +213,23 @@ def _persist_full_bench(payload: dict) -> None:
                         **old.get("last_rounds", {}),
                         **payload["last_rounds"],
                     }
+                # first_pass min-merges like the timings: every bench run
+                # is a fresh session, so each run's first pass is a cold
+                # observation and the min over runs is the best-observed
+                # COLD cost (never contaminated by pass 2's memo warmth)
+                oldf = old.get("first_pass") or {}
+                newf = payload.get("first_pass") or {}
+                mergedf = {}
+                for k in set(oldf) | set(newf):
+                    vals = [
+                        v
+                        for v in (oldf.get(k), newf.get(k))
+                        if isinstance(v, (int, float)) and v >= 0
+                    ]
+                    if vals:
+                        mergedf[k] = round(min(vals), 3)
+                if mergedf:
+                    stamped["first_pass"] = mergedf
                 if failed_now:
                     stamped["failed_now"] = failed_now
                     print(

@@ -6729,6 +6729,133 @@ def bpe_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+_BPE_HELDOUT_MOD = 5  # held-out slice: doc_id % 5 = 0
+
+
+def _bpe_encode_oracle() -> str:
+    sep, ss = _BPE_SEP, _BPE_SS
+    apply_ctes = "".join(
+        f""",
+    h{r} AS (
+      SELECT h.doc_id, h.source, h.nc,
+             replace(h.seq, '{sep}' || b.pair || '{sep}',
+                     '{sep}' || replace(b.pair, '{ss}', '') || '{sep}')
+               AS seq
+      FROM h{r - 1} h CROSS JOIN b{r} b
+    )"""
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH wt AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents
+      ) WHERE regexp_matches(word, '^[a-z]+$')
+        AND length(word) BETWEEN 2 AND {_BPE_WORD_MAX}
+      GROUP BY word
+    ),
+    s0 AS (SELECT regexp_replace(word, '(.)', '{sep}\\1{sep}', 'g')
+             AS seq, freq FROM wt)
+    {"".join("," + _bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))},
+    held AS (
+      SELECT doc_id, source, word FROM (
+        SELECT doc_id, source,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents WHERE doc_id % {_BPE_HELDOUT_MOD} = 0
+      ) WHERE word <> '' AND NOT contains(word, '{sep}')
+    ),
+    h0 AS (
+      SELECT doc_id, source, CAST(length(word) AS BIGINT) AS nc,
+             regexp_replace(word, '(.)', '{sep}\\1{sep}', 'g') AS seq
+      FROM held
+    ){apply_ctes}
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(SUM(len(string_split(trim(seq, '{sep}'), '{ss}')))
+                AS BIGINT) AS n_tokens
+    FROM h{_BPE_ROUNDS}
+    GROUP BY source
+    """
+
+
+@register("bpe_encode_heldout", eager_build=True, oracle=_bpe_encode_oracle())
+def bpe_encode_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION BPE ENCODE over raw documents (r12 verdict ask #3):
+    ``bpe_token_curve`` applies the learned merges back to the TRAINING
+    word-type relation; a production tokenizer encodes unseen text.
+    This entry applies the session-memoized merge rules (``_bpe_fit`` --
+    train/apply share one merge loop per session) to a held-out
+    document slice (doc_id % _BPE_HELDOUT_MOD = 0) -- EVERY whitespace
+    token of those documents, not just the trainer's [a-z]{{2,24}} word
+    types, so merges meet genuinely out-of-distribution symbols
+    (numerals, punctuation-bearing tokens, words longer than the
+    training cap) and simply don't fire where their pair is absent,
+    exactly like a real tokenizer on unseen text.  Published per
+    source: documents, words, characters (= pre-merge symbol count),
+    and post-merge token count.
+
+    Distributed shape: ONE scan of the held-out slice; the wrapped-
+    symbol encode plus all K merge rewrites are a NARROW chain of
+    regexp_replace + replace() builtins (whole-stage codegen, zero
+    Python), and the rollup is one map-side-combined groupBy on source
+    (shuffle O(sources); the distinct-doc count rides the same
+    aggregate).  The merges come from the memo, so the suite pays the
+    training loop once -- encode cost at 100 TB is one corpus scan
+    regardless of K, the same amortization as ``bpe_token_curve``.
+
+    Cross-engine exactness: the rewrite chain is the proven wrapped-
+    replace builtin (greedy leftmost non-overlapping on BOTH engines,
+    see ``bpe_train_merges``); counts are exact integer sums.  Tokens
+    containing the \\x1f separator itself are excluded by an identical
+    guard on both sides (never present in the testdata; the guard makes
+    the wrapping injective by construction).
+
+    Laws (tests/test_diagnostics_entries.py): n_tokens <= n_chars
+    (merges only shrink), n_tokens >= n_words (every word keeps >= 1
+    symbol), and the slice covers exactly the doc_id % 5 = 0 documents.
+
+    Reference parity: no text operators in the reference (DAG1:1-322);
+    completes the tokenizer train/apply pair for the LLM-pipeline text
+    family."""
+    merges = _bpe_fit(spark, sf_dir)
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % _BPE_HELDOUT_MOD == 0
+    )
+    w = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "word"
+        ),
+    ).filter((F.col("word") != "") & (~F.col("word").contains(_BPE_SEP)))
+    seq = F.regexp_replace("word", "(.)", f"{_BPE_SEP}$1{_BPE_SEP}")
+    for _rnd, left, right, _merged, _cnt in merges:
+        pair = left + _BPE_SS + right
+        seq = F.replace(
+            seq,
+            F.lit(_BPE_SEP + pair + _BPE_SEP),
+            F.lit(_BPE_SEP + left + right + _BPE_SEP),
+        )
+    return (
+        w.select(
+            "doc_id",
+            "source",
+            F.length("word").cast("bigint").alias("nc"),
+            F.size(_bpe_syms(seq)).cast("bigint").alias("nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 _DSIR_BUCKETS = 512  # hashed-ngram feature space (DSIR's vocab bound)
 _DSIR_TARGET = "src7"  # fixed target slice; any source works
 _DSIR_TOPK = 20

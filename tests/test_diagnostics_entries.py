@@ -2276,6 +2276,43 @@ def test_bpe_token_curve_identity(spark, sf_dir):
             assert removed == m.pair_count, (m.merge_rank, curve, m.pair_count)
 
 
+def test_bpe_encode_heldout_laws(spark, sf_dir):
+    """Raw-document encode laws: merges only SHRINK (n_tokens <=
+    n_chars), every word keeps at least one symbol (n_tokens >=
+    n_words), the per-source doc census covers exactly the held-out
+    slice's non-blank documents, and the pre-merge symbol count equals
+    the slice's total word characters (encoding with 0 merges is the
+    character relation)."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "bpe_encode_heldout", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert 0 < r.n_docs <= r.n_words
+        assert r.n_words <= r.n_tokens <= r.n_chars, r
+    held = read_parquet_table(spark, sf_dir, "documents").filter(
+        "doc_id % 5 = 0"
+    )
+    assert sum(r.n_docs for r in rows) == held.filter(
+        F.length(F.trim("text")) > 0
+    ).count()
+    exp_chars = (
+        held.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .filter("w <> ''")
+        .agg(F.sum(F.length("w")))
+        .first()[0]
+    )
+    assert sum(r.n_chars for r in rows) == exp_chars
+    # at least one merge actually fired on the held-out slice (the
+    # trainer's top pairs are corpus-frequent, so the 20% slice sees them)
+    assert sum(r.n_tokens for r in rows) < exp_chars
+
+
 def test_dsir_planted_target_wins(spark):
     """Planted-selection behavior on a synthetic corpus: target-source
     docs are pure 'alpha beta' language, the raw pool is pure 'zeta
