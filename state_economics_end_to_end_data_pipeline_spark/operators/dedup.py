@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens, word_ngrams
@@ -557,6 +557,101 @@ def bloom_union(*word_tables: DataFrame) -> DataFrame:
     for w in word_tables[1:]:
         out = out.unionByName(w)
     return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication, suffix-group formulation (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): the maximal DISJOINT regions of each document covered by
+    verbatim >= ``k``-token substrings occurring in >= ``min_df``
+    distinct documents, published as (id, span_start, span_len) in
+    1-based token positions -- exactly the regions the classic dedup
+    pass cuts out of each training document (Lee et al. remove the
+    UNION of all duplicated spans, so the well-defined per-doc output
+    is that union decomposed into maximal contiguous intervals; a
+    single interval's anchors may match different partner documents).
+
+    Formulation -- no suffix array, no driver state: a duplicated span
+    of length L >= k contains exactly L-k+1 cross-document-duplicated
+    k-gram anchors at consecutive start positions, so the covered
+    union is reconstructible from the anchor hit-set alone:
+      1. shingle each doc into k-gram anchors (one explode, O(tokens));
+      2. document frequency per anchor FINGERPRINT -- md5, so the
+         groupBy shuffles fixed 32-hex keys, never k-token text -- and
+         keep anchors in >= min_df DISTINCT docs;
+      3. join hits back to (doc, pos): the sorted (gram-anchor, doc,
+         pos) groups of the suffix-group method;
+      4. per doc, each hit anchor covers [pos, pos+k-1]; merge
+         overlapping-or-adjacent extents with the islands pattern (new
+         island when pos > running-max-pos + k, over a doc-partitioned
+         window) -- the bounded extension step: each further duplicated
+         anchor extends the covered region by at most one token, and
+         an island s..e is exactly the maximal interval [s, e+k-1].
+
+    Scale shape: one explode to O(tokens) anchor rows; one
+    map-side-combined groupBy on the 16-byte fingerprint; the hit join
+    is a KEYED shuffle join, deliberately NOT broadcast -- on a 100 TB
+    corpus the duplicated-anchor set is O(duplicated positions)
+    (1-10%% of tokens per the dedup literature), data-sized, so the
+    plan must survive it (AQE still broadcasts when it happens to be
+    small); the island-merge window is doc-partitioned (bounded by the
+    longest document, the same per-doc discipline as sessionization).
+    Nothing is ever all-pairs and nothing collects.
+    """
+    g = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+        .select(
+            "id", word_ngrams(F.col("__toks"), n=k, distinct=False).alias("__grams")
+        )
+        # posexplode_outer, same rationale as dupspan_coverage below:
+        # a plain Generate infers size(grams) > 0 and pushes the whole
+        # tokenize+shingle expression into the scan stage
+        .select("id", F.posexplode_outer("__grams").alias("pos0", "gram"))
+        .filter(F.col("gram").isNotNull())
+        .select(
+            "id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5("gram").alias("g"),
+        )
+    )
+    dup = (
+        g.groupBy("g")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("g")
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    prev_max = F.max("pos").over(
+        win.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = g.join(dup, "g").select(
+        "id",
+        "pos",
+        # anchor at pos covers [pos, pos+k-1]; a new island starts when
+        # this extent neither overlaps nor touches the running coverage
+        F.when(F.col("pos") > F.coalesce(prev_max, F.lit(-k)) + k, 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    grp = F.sum("new_island").over(
+        win.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.select("id", "pos", grp.alias("grp"))
+        .groupBy("id", "grp")
+        .agg(F.min("pos").alias("s"), F.max("pos").alias("e"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("s").cast("bigint").alias("span_start"),
+            (F.col("e") - F.col("s") + k).cast("bigint").alias("span_len"),
+        )
+    )
 
 
 def dupspan_coverage(

@@ -17,6 +17,7 @@ from ..io.readers import read_parquet_table as t
 from ..operators.dedup import (
     content_hash,
     dupspan_coverage,
+    exact_substring_spans,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -657,6 +658,65 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
         .filter(F.col("containment") >= 0.5)
+    )
+
+
+_ESS_K = 8  # min duplicated-span length in tokens (Lee et al. use 50 BPE
+# tokens at web scale; 8 words is the same discipline at testdata scale)
+
+
+@register(
+    "exact_substring_spans",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), gh AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(toks[pos:pos + {_ESS_K - 1}], ' ')) AS g
+      FROM (SELECT doc_id, unnest(range(1, len(toks) - {_ESS_K} + 2))
+              AS pos, toks FROM tk)
+    ), dup AS (
+      SELECT g FROM gh GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -{_ESS_K}) + {_ESS_K}
+               THEN 1 ELSE 0 END AS new_island
+      FROM gh JOIN dup USING (g)
+    ), grpd AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM flagged
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + {_ESS_K} AS BIGINT) AS span_len
+    FROM grpd GROUP BY doc_id, grp
+    """,
+)
+def exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING DEDUP, suffix-group formulation (r12 verdict ask
+    #2; Lee et al. 2022): the maximal DISJOINT regions of each document
+    covered by verbatim >= _ESS_K-token substrings shared with other
+    documents -- the regions the classic dedup pass removes, which
+    ``dupspan_coverage`` (frequent-5-gram POSITION coverage) summarizes
+    but never reconstructs.  See
+    ``operators.dedup.exact_substring_spans`` for the anchor-island
+    formulation (duplicated k-gram extents merged into maximal
+    contiguous intervals) and the scale contract: O(tokens) shingle
+    explode, df groupBy on 16-byte md5 fingerprints, KEYED
+    (non-broadcast) hit join sized for a data-sized duplicated-anchor
+    set, doc-partitioned island-merge window.  Planted-span fixture
+    test: tests/test_dedup_spans.py."""
+    return exact_substring_spans(
+        rebalance_for_cpu(t(spark, sf_dir, "documents")),
+        text_col="text",
+        id_col="doc_id",
+        k=_ESS_K,
+        min_df=2,
     )
 
 
