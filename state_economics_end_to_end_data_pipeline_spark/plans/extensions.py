@@ -5989,6 +5989,91 @@ def mrr_ivf_vs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_DIM = 16  # retrieval prefix: first quarter of the 64-dim embedding
+_MRL_K = 5
+_MRL_NQ = 10  # query batch (the mrr_ivf_vs_brute bound)
+
+
+def _mrl_oracle() -> str:
+    def arm(vec: str) -> str:
+        return f"""
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_cos_sql(f'q.{vec}', f'c.{vec}')} DESC, c.vec_id) AS rk
+        FROM embeddings c
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id < {_MRL_NQ}) q
+        WHERE c.vec_id <> q.vec_id
+      ) WHERE rk <= {_MRL_K}"""
+
+    return f"""
+    WITH full_k AS ({arm('embedding')}),
+    trunc_k AS ({arm(f'embedding[1:{_MRL_DIM}]')})
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+           COUNT(t.neighbor_id) / {float(_MRL_K)!r} AS recall_at_k
+    FROM full_k f
+    LEFT JOIN trunc_k t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """
+
+
+@register("embedding_matryoshka_recall", oracle=_mrl_oracle())
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA (truncated-dimension) RETRIEVAL RECALL (Kusupati et
+    al. 2022): per query, how many of the exact full-dim cosine top-k
+    neighbors survive when search runs on only the first _MRL_DIM of
+    _PCA_DIM dimensions -- the eval behind the standard MRL serving
+    recipe (search the cheap prefix, optionally rerank the shortlist
+    with full vectors).  Published per query: the overlap count and
+    recall@k = overlap / k, with the deterministic (cos DESC, id)
+    tie-break on both arms.
+
+    Distributed shape: both arms are the ``cosine_topk`` brute
+    baseline -- query batch (bounded at _MRL_NQ) broadcast against one
+    corpus scan, per-row staged squared norms, rank-limited per-query
+    window -- so the truncated arm scans 1/4 of the vector bytes
+    (column-pruned to the slice after the scan; at 100 TB this is the
+    memory-bandwidth saving MRL exists for) and the published artifact
+    is O(queries).  The final overlap join is between two
+    (queries x k)-row relations.
+
+    Cross-engine exactness: cosines are the proven sequential-fold
+    double expression (_cos_sql == the operators.similarity fold,
+    established by embedding_cosine_topk); overlap counts are exact
+    integers and recall is one IEEE division of exact operands.
+
+    Reference parity: no similarity operators in the reference
+    (DAG1:1-322); deepens the ANN family's eval side alongside
+    ivf_recall_at_5 (index loss) and mrr_ivf_vs_brute (rank
+    placement)."""
+    from ..operators.similarity import cosine_topk as _ctopk
+
+    emb = t(spark, sf_dir, "embeddings")
+
+    def arm(df: DataFrame) -> DataFrame:
+        q = df.filter(F.col("vec_id") < _MRL_NQ)
+        return _ctopk(df, q, k=_MRL_K).select("query_id", "neighbor_id")
+
+    full_k = arm(emb)
+    trunc_k = arm(
+        emb.select(
+            "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
+        )
+    ).select(F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn"))
+    hit = full_k.join(
+        trunc_k,
+        (full_k.query_id == trunc_k.tq) & (full_k.neighbor_id == trunc_k.tn),
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.count("tn").cast("bigint").alias("n_overlap"),
+        (F.count("tn") / F.lit(float(_MRL_K))).alias("recall_at_k"),
+    )
+
+
 _LM_MU = 2000.0  # Dirichlet prior mass (Zhai & Lafferty's default range)
 
 

@@ -2313,6 +2313,43 @@ def test_bpe_encode_heldout_laws(spark, sf_dir):
     assert sum(r.n_tokens for r in rows) < exp_chars
 
 
+def test_matryoshka_recall_laws_and_planted_prefix(spark, sf_dir):
+    """Recall laws on the testdata (10 query rows, overlap in 0..k,
+    recall == overlap/k) plus a planted directional check: when ALL the
+    signal lives in the truncation prefix (tail dims zero), prefix
+    search is lossless and per-query overlap is exactly k."""
+    from state_economics_end_to_end_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    qs = load_all()
+    rows = _rows(qs, "embedding_matryoshka_recall", spark, sf_dir)
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_overlap <= 5
+        assert math.isclose(r.recall_at_k, r.n_overlap / 5.0, rel_tol=0)
+    # planted: 40 vectors, dims 1..16 random-ish signal, dims 17..64 zero
+    import random
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)] + [0.0] * 48)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 3)
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(df, q, k=5).collect()
+    }
+    tr = df.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    trunc = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(tr, tr.filter(F.col("vec_id") < 3), k=5).collect()
+    }
+    assert full == trunc
+
+
 def test_dsir_planted_target_wins(spark):
     """Planted-selection behavior on a synthetic corpus: target-source
     docs are pure 'alpha beta' language, the raw pool is pure 'zeta

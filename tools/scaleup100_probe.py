@@ -559,8 +559,44 @@ def _cand_kl_groups(spark, sf_dir: str) -> int:
     return tok.select("source", "token").distinct().count()
 
 
+def _cand_exact_substring_hits(spark, sf_dir: str) -> int:
+    """Duplicated-anchor HIT rows entering the island windows -- the
+    relation exact_substring_spans' hit join materializes (mirrors the
+    entry's generator: k=8 anchors, md5 fingerprints, distinct-doc
+    df >= 2). Token-salted replicas keep every replica's gram space
+    disjoint, so within-replica duplication is constant and hits must
+    grow ~linearly (~100x); super-linear growth would mean
+    cross-replica fingerprint collisions (a hash-space knee)."""
+    from pyspark.sql import functions as F
+
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.operators.text import (
+        tokens,
+        word_ngrams,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    g = (
+        d.select(F.col("doc_id").alias("id"), tokens("text").alias("t"))
+        .select("id", word_ngrams(F.col("t"), n=8, distinct=False).alias("gr"))
+        .select("id", F.explode_outer("gr").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .select("id", F.md5("gram").alias("g"))
+    )
+    dup = (
+        g.groupBy("g")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    return g.join(dup, "g").count()
+
+
 CAND_FNS = {
     "ngram_jaccard_pairs": _cand_ngram_jaccard,
+    "exact_substring_spans": _cand_exact_substring_hits,
     "simhash_banded_pairs": _cand_simhash_banded,
     "jaccard_prefix_filter_pairs": _cand_prefix_filter,
     "graph_bfs_hops": _cand_bfs_edges,
@@ -579,6 +615,9 @@ CAND_FNS = {
 
 NOTES = {
     "ngram_jaccard_pairs": "lang-blocked inverted-index pairs",
+    "exact_substring_spans": "duplicated-anchor hit rows entering the "
+    "island windows -- disjoint gram spaces keep within-replica "
+    "duplication constant, so ~100x is the plan working",
     "simhash_banded_pairs": "band collisions on the r9 4x24-bit layout "
     "(derive_band_bits-sized); r8's fixed 15-bit bands measured 221x here",
     "jaccard_prefix_filter_pairs": "prefix+length-filter survivors",
@@ -677,6 +716,7 @@ def main() -> int:
         "| cand ratio | out rows 1x -> 100x | note |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
+    row_lines: dict[str, str] = {}
     for r in rows:
         cr = f"{r['cand_ratio']}x" if r["cand_ratio"] is not None else "-"
         c1 = f"{r['cand_1x']:,}" if r["cand_1x"] is not None else "-"
@@ -684,11 +724,12 @@ def main() -> int:
         ratio = f"{r['ratio']}x"
         if "EMPTY_RESULT" in r:
             ratio += " EMPTY"
-        md.append(
+        row_lines[r["query"]] = (
             f"| {r['query']} | {r['sec_1x']} | {r['sec_100x']} | {ratio} "
             f"| {c1} | {c2} | {cr} | {r['rows_1x']:,} -> {r['rows_100x']:,} "
             f"| {NOTES.get(r['query'], '')} |"
         )
+        md.append(row_lines[r["query"]])
     md += [
         "",
         "Reading: the gram-equality families (jaccard / prefix-filter /",
@@ -733,8 +774,42 @@ def main() -> int:
 
     out_path = REPO / "docs" / "SCALEUP.md"
     text = out_path.read_text() if out_path.exists() else ""
-    if SECTION_HEADER in text:
-        # replace the existing section (idempotent reruns)
+    if args.names and SECTION_HEADER in text:
+        # Subset run: MERGE rows into the existing section's table
+        # instead of clobbering the full-run record (the same contract
+        # as scaleup_probe.py's main-table merge) -- replace a probed
+        # name's row in place, append new names after the last row,
+        # keep the prose untouched.
+        head, _, rest = text.partition(SECTION_HEADER)
+        nxt = rest.find("\n## ")
+        section, tail = (
+            (rest[: nxt + 1], rest[nxt + 1:]) if nxt != -1 else (rest, "")
+        )
+        lines = section.splitlines()
+        new_rows = dict(row_lines)
+        table_idx = [
+            i
+            for i, l in enumerate(lines)
+            if l.startswith("| ") and not l.startswith("|---")
+            and not l.startswith("| query |")
+        ]
+        if not table_idx:
+            raise SystemExit("100x section has no table to merge into")
+        for i in table_idx:
+            name = lines[i].split("|")[1].strip().strip("`")
+            if name in new_rows:
+                lines[i] = new_rows.pop(name)
+        insert_at = table_idx[-1] + 1
+        for line in new_rows.values():
+            lines.insert(insert_at, line)
+            insert_at += 1
+        text = head + SECTION_HEADER + "\n".join(lines) + "\n" + tail
+        print(
+            f"merged {len(rows)} row(s) into existing 100x section",
+            file=sys.stderr,
+        )
+    elif SECTION_HEADER in text:
+        # full run: replace the existing section (idempotent reruns)
         head, _, rest = text.partition(SECTION_HEADER)
         nxt = rest.find("\n## ")
         tail = rest[nxt + 1:] if nxt != -1 else ""
