@@ -596,13 +596,19 @@ def exact_substring_spans(
 
     Scale shape: one explode to O(tokens) anchor rows; one
     map-side-combined groupBy on the 16-byte fingerprint; the hit join
-    is a KEYED shuffle join, deliberately NOT broadcast -- on a 100 TB
+    is a KEYED shuffle join, with an explicit merge HINT -- on a 100 TB
     corpus the duplicated-anchor set is O(duplicated positions)
-    (1-10%% of tokens per the dedup literature), data-sized, so the
-    plan must survive it (AQE still broadcasts when it happens to be
-    small); the island-merge window is doc-partitioned (bounded by the
-    longest document, the same per-doc discipline as sessionization).
-    Nothing is ever all-pairs and nothing collects.
+    (1-10%% of tokens per the dedup literature), data-sized, and the
+    static planner's post-aggregate size ESTIMATE stays under the
+    broadcast threshold regardless (measured: the un-hinted plan
+    broadcast-OOMs on the 100x probe corpus while estimating small), so
+    the hint is load-bearing: a shuffle join always survives, and AQE
+    converts it back to broadcast AT RUNTIME from true shuffle sizes
+    when the dup set really is small (the direction AQE can fix;
+    a wrong static broadcast it cannot).  The island-merge window is
+    doc-partitioned (bounded by the longest document, the same per-doc
+    discipline as sessionization).  Nothing is ever all-pairs and
+    nothing collects.
     """
     g = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
@@ -630,7 +636,7 @@ def exact_substring_spans(
     prev_max = F.max("pos").over(
         win.rowsBetween(Window.unboundedPreceding, -1)
     )
-    flagged = g.join(dup, "g").select(
+    flagged = g.join(dup.hint("shuffle_hash"), "g").select(
         "id",
         "pos",
         # anchor at pos covers [pos, pos+k-1]; a new island starts when
@@ -674,10 +680,16 @@ def dupspan_coverage(
 
     Scale shape: positions explode to O(tokens) rows once; document
     frequency is one groupBy on the gram hash; the frequent-gram set is
-    df >= min_df heavy hitters -- a small fraction of the gram space by
-    construction -- so the mark-covered step is a broadcast-friendly
-    equi-join, and the final per-doc rollup shuffles only covered
-    positions. No all-pairs anything.
+    df >= min_df heavy hitters -- a small FRACTION, but of a data-sized
+    gram space, so at 100 TB it is itself data-sized and the
+    mark-covered join carries an explicit merge HINT instead of a
+    forced broadcast (the exact_substring_spans finding, r13: the
+    static planner's post-aggregate estimate stays under the broadcast
+    threshold while the true set grows with the corpus, and a wrong
+    static broadcast OOMs where a shuffle join survives; AQE converts
+    back to broadcast at runtime when the set really is small).  The
+    final per-doc rollup shuffles only covered positions. No all-pairs
+    anything.
     """
     base = df.select(
         F.col(id_col).alias("id"),
@@ -706,7 +718,7 @@ def dupspan_coverage(
         .select("gram")
     )
     cov = (
-        g.join(F.broadcast(freq), "gram")
+        g.join(freq.hint("shuffle_hash"), "gram")
         .select(
             "id",
             F.explode(

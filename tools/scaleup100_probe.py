@@ -591,7 +591,9 @@ def _cand_exact_substring_hits(spark, sf_dir: str) -> int:
         .filter(F.col("df") >= 2)
         .select("g")
     )
-    return g.join(dup, "g").count()
+    # merge hint mirrors the entry (the static planner underestimates
+    # the post-aggregate dup set and broadcast-OOMs at 100x without it)
+    return g.join(dup.hint("shuffle_hash"), "g").count()
 
 
 CAND_FNS = {
