@@ -115,7 +115,7 @@ def main() -> int:
     return 0
 
 
-def _persist_full_bench(payload: dict) -> None:
+def _persist_full_bench(payload: dict, repo_root: Path | None = None) -> None:
     """Write the COMPLETE per-query map to docs/BENCH_LOCAL_r{N}.json.
 
     The driver's BENCH_r{N}.json tail truncates at 2000 chars, so
@@ -135,7 +135,9 @@ def _persist_full_bench(payload: dict) -> None:
     run -- like the driver's post-commit single pass on a loaded host --
     can therefore only improve the committed quiet record.
     """
-    repo = Path(__file__).resolve().parent
+    # repo_root is injectable so tests can drive the merge logic against
+    # a temp dir instead of the real docs/ records
+    repo = repo_root or Path(__file__).resolve().parent
     try:
         rounds = [
             int(p.stem.split("_r")[1])

@@ -1,125 +1,85 @@
-"""bench.py persist semantics: a later (possibly noisy) run must MIN-MERGE
-into the round's existing committed record, never clobber it — the r8
-verdict caught the driver's post-commit single run overwriting the quiet
-min-of-N record (note field lost, 172.2s -> 199.5s)."""
+"""Unit tests for bench.py's record persistence: the min-merge contract
+(r8), the sf-mismatch guard (r11), and the first_pass cold-cost ledger
+(r12 verdict ask #1 -- the quiet record must stay an honest cold-cost
+ledger for session-memoized entries, so first_pass min-merges across
+runs exactly like the timings and never takes a failed pass).
+
+No SparkSession: _persist_full_bench is a pure function of the payload
+and the files under the injected repo root.
+"""
 
 from __future__ import annotations
 
-import importlib.util
 import json
+import sys
 from pathlib import Path
 
-REPO = Path(__file__).resolve().parent.parent
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+from bench import _persist_full_bench  # noqa: E402
 
 
-def _load_bench():
-    spec = importlib.util.spec_from_file_location("bench_mod", REPO / "bench.py")
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
-
-
-def test_persist_min_merges_existing_record(tmp_path):
-    b = _load_bench()
+def _setup(tmp_path: Path, rnd: int = 4) -> Path:
     (tmp_path / "docs").mkdir()
-    (tmp_path / "BENCH_r01.json").write_text("{}")  # round infers to 2
-    old = {
+    # round inference: max BENCH_r*.json + 1
+    for r in range(1, rnd):
+        (tmp_path / f"BENCH_r{r:02d}.json").write_text("{}")
+    return tmp_path / "docs" / f"BENCH_LOCAL_r{rnd:02d}.json"
+
+
+def _payload(queries, first_pass, sf=0.1):
+    return {
         "metric": "catalog_suite_wall",
-        "value": 10.0,
+        "value": round(sum(v for v in queries.values() if v >= 0), 3),
         "unit": "sec",
-        "sf": 0.1,
-        "queries": {"a": 2.0, "b": 3.0, "c": 5.0, "failed_before": -1.0},
-        "note": "quiet min-of-3",
-        "merged_runs": 2,
-        "load_avg_1m": 1.5,
-        "last_rounds": {"graph_connected_components": 3, "kcore_parts": 9,
-                        "coreness_hindex": 7},
+        "queries": dict(queries),
+        "first_pass": dict(first_pass),
+        "sf": sf,
     }
-    rec = tmp_path / "docs" / "BENCH_LOCAL_r02.json"
-    rec.write_text(json.dumps(old))
-    b.__dict__["__file__"] = str(tmp_path / "bench.py")
-    b._persist_full_bench(
-        {
-            "metric": "catalog_suite_wall",
-            "value": 99,
-            "unit": "sec",
-            "sf": 0.1,
-            # a: faster (wins), b: slower (old wins), c: -1 failure (old
-            # wins), d: new query (taken), failed_before: first valid time
-            "queries": {"a": 1.5, "b": 9.0, "c": -1.0, "d": 4.0, "failed_before": 2.5},
-            # kcore updates; coreness_hindex FAILED this run (absent
-            # from the new map) and must keep its old count
-            "last_rounds": {"graph_connected_components": 3, "kcore_parts": 4},
-        }
+
+
+def test_first_pass_persists_and_min_merges(tmp_path):
+    out = _setup(tmp_path)
+    _persist_full_bench(
+        _payload({"a": 1.0, "b": 5.0}, {"a": 9.0, "b": 6.0}), tmp_path
     )
-    merged = json.loads(rec.read_text())
-    assert merged["queries"] == {
-        "a": 1.5,
-        "b": 3.0,
-        "c": 5.0,
-        "d": 4.0,
-        "failed_before": 2.5,
-    }
-    assert merged["value"] == 16.0  # recomputed from merged map
-    assert merged["note"] == "quiet min-of-3"  # non-timing fields preserved
-    assert merged["merged_runs"] == 3
-    # iteration counts are a REGRESSION SIGNAL, not a timing: the
-    # current run's values replace the stale stamp (r10 verdict ask #7)
-    assert merged["last_rounds"] == {
-        "graph_connected_components": 3,
-        "kcore_parts": 4,
-        "coreness_hindex": 7,
-    }
+    rec = json.loads(out.read_text())
+    assert rec["first_pass"] == {"a": 9.0, "b": 6.0}
 
-
-def test_persist_fresh_record_written_plain(tmp_path):
-    b = _load_bench()
-    (tmp_path / "docs").mkdir()
-    b.__dict__["__file__"] = str(tmp_path / "bench.py")
-    b._persist_full_bench(
-        {
-            "metric": "catalog_suite_wall",
-            "value": 5.0,
-            "unit": "sec",
-            "sf": 0.1,
-            "queries": {"a": 5.0},
-        }
+    # second run: a's first pass improves (quieter host), b's regresses;
+    # min-merge keeps the best COLD observation per entry
+    _persist_full_bench(
+        _payload({"a": 0.8, "b": 7.0}, {"a": 2.0, "b": 8.0}), tmp_path
     )
-    rec = json.loads((tmp_path / "docs" / "BENCH_LOCAL_r01.json").read_text())
-    assert rec["queries"] == {"a": 5.0}
-    assert rec["value"] == 5.0
-    assert "load_avg_1m" in rec and "cpus" in rec
+    rec = json.loads(out.read_text())
+    assert rec["first_pass"] == {"a": 2.0, "b": 6.0}
+    assert rec["queries"] == {"a": 0.8, "b": 5.0}
+    assert rec["merged_runs"] == 2
+    assert rec["value"] == 5.8
 
 
-def test_persist_sf_mismatch_never_merges_into_record(tmp_path):
-    """A run at a different scale factor must not min-merge into the
-    round record (its times would replace the record's wholesale while
-    the record keeps claiming the old sf) -- it goes to a side file."""
-    b = _load_bench()
-    (tmp_path / "docs").mkdir()
-    rec = tmp_path / "docs" / "BENCH_LOCAL_r01.json"
-    old = {
-        "metric": "catalog_suite_wall",
-        "value": 10.0,
-        "unit": "sec",
-        "sf": 0.1,
-        "queries": {"a": 10.0},
-        "note": "quiet",
-    }
-    rec.write_text(json.dumps(old))
-    b.__dict__["__file__"] = str(tmp_path / "bench.py")
-    b._persist_full_bench(
-        {
-            "metric": "catalog_suite_wall",
-            "value": 0.5,
-            "unit": "sec",
-            "sf": 0.01,
-            "queries": {"a": 0.5},
-        }
+def test_first_pass_new_entry_and_failure_handling(tmp_path):
+    out = _setup(tmp_path)
+    _persist_full_bench(_payload({"a": 1.0}, {"a": 1.2}), tmp_path)
+    # next run adds a new entry and fails 'a' (timing -1, no first_pass)
+    _persist_full_bench(
+        _payload({"a": -1.0, "c": 2.0}, {"c": 2.5}), tmp_path
     )
-    unchanged = json.loads(rec.read_text())
-    assert unchanged["queries"] == {"a": 10.0} and unchanged["sf"] == 0.1
+    rec = json.loads(out.read_text())
+    # failed run never overwrites a passing time; new entry takes its own
+    assert rec["queries"] == {"a": 1.0, "c": 2.0}
+    assert rec["first_pass"] == {"a": 1.2, "c": 2.5}
+    assert rec["failed_now"] == ["a"]
+
+
+def test_sf_mismatch_writes_suffixed_record(tmp_path):
+    out = _setup(tmp_path)
+    _persist_full_bench(_payload({"a": 1.0}, {"a": 1.0}, sf=0.1), tmp_path)
+    _persist_full_bench(_payload({"a": 0.1}, {"a": 0.1}, sf=0.001), tmp_path)
+    rec = json.loads(out.read_text())
+    assert rec["sf"] == 0.1 and rec["queries"] == {"a": 1.0}
     side = json.loads(
-        (tmp_path / "docs" / "BENCH_LOCAL_r01_sf0.01.json").read_text()
+        (out.parent / f"{out.stem}_sf0.001{out.suffix}").read_text()
     )
-    assert side["queries"] == {"a": 0.5} and side["sf"] == 0.01
+    assert side["sf"] == 0.001 and side["queries"] == {"a": 0.1}
