@@ -1061,6 +1061,125 @@ def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZIPF_TOPN = 200  # head of the frequency ranking entering the OLS fit
+_ZIPF_SNAP = 1_000_000.0  # micro-snap for the two ln() surfaces
+
+
+def _zipf_slope_from_counts(freq: DataFrame) -> DataFrame:
+    """OLS slope of ln(freq) on ln(rank) over the top-_ZIPF_TOPN token
+    frequencies -- exposed separately so tests can drive it on planted
+    (token, n_occ) frames with a known power law; see ``zipf_slope_topk``
+    for the algorithm and the scale contract.  Returns one row
+    (n_top, top1_share, zipf_slope)."""
+    total = freq.agg(F.sum("n_occ").alias("tot"))
+    topk = freq.orderBy(F.desc("n_occ"), "token").limit(_ZIPF_TOPN)
+    w = Window.orderBy(F.desc("n_occ"), "token")
+    snapped = topk.select(
+        F.floor(
+            F.log(F.row_number().over(w).cast("double")) * _ZIPF_SNAP + 0.5
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("n_occ").cast("double")) * _ZIPF_SNAP + 0.5)
+        .cast("bigint")
+        .alias("y"),
+        F.col("n_occ"),
+    )
+    dec = "decimal(38,0)"
+    s = snapped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.max("n_occ").cast(dec).alias("f1"),
+    )
+    n = F.col("n").cast(dec)
+    return s.crossJoin(F.broadcast(total)).select(
+        F.col("n").alias("n_top"),
+        (F.col("f1").cast("double") / F.col("tot").cast("double")).alias(
+            "top1_share"
+        ),
+        (
+            (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("zipf_slope"),
+    )
+
+
+@register(
+    "zipf_slope_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ), freq AS (
+      SELECT token, COUNT(*) AS n_occ FROM tok GROUP BY token
+    ), total AS (SELECT SUM(n_occ) AS tot FROM freq),
+    topk AS (
+      SELECT token, n_occ FROM freq ORDER BY n_occ DESC, token
+      LIMIT {_ZIPF_TOPN}
+    ), sn AS (
+      SELECT CAST(floor(ln(CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC,
+                   token) AS DOUBLE)) * {_ZIPF_SNAP!r} + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(n_occ AS DOUBLE)) * {_ZIPF_SNAP!r} + 0.5)
+               AS BIGINT) AS y,
+             n_occ
+      FROM topk
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(MAX(n_occ) AS DECIMAL(38,0)) AS f1
+      FROM sn
+    )
+    SELECT n AS n_top,
+           CAST(f1 AS DOUBLE) / CAST(tot AS DOUBLE) AS top1_share,
+           CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+             AS zipf_slope
+    FROM s, total
+    """,
+)
+def zipf_slope_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW FIT of the corpus frequency head: OLS slope of ln(freq)
+    on ln(rank) over the top-_ZIPF_TOPN tokens, plus the top-1 token's
+    occurrence share -- the standard corpus-health diagnostic (natural
+    text sits near slope -1; templated/synthetic or boilerplate-heavy
+    corpora flatten or steepen it, so a drifting slope flags a
+    contaminated crawl batch before training).  Companion to
+    ``vocab_topk_coverage`` (same head relation; that entry reads the
+    coverage curve, this one compresses the head into the power-law
+    exponent).
+
+    Distributed shape: ONE token pass into the vocab-grain groupBy
+    (shuffle O(vocab), map-side combined); the top-N is a partial sort
+    (TakeOrderedAndProject, each task ships its local top-N); the OLS
+    runs over exactly N rows, so the unpartitioned rank window is
+    bounded at _ZIPF_TOPN rows by construction (the vocab_topk_coverage
+    contract) and the fit itself is one N-row aggregate.
+
+    Cross-engine exactness: ranks and frequencies are exact integers;
+    both ln() surfaces snap to integer micro-units BEFORE any cross-row
+    arithmetic (the dsir_importance_topk libm discipline -- a 1-ulp ln
+    divergence only matters exactly on a snap boundary, never observed,
+    loudly caught by the sweep), so the OLS sums are EXACT integers
+    carried in decimal(38,0) (n*sxy ~ 1.4e19 overflows bigint) and the
+    published slope is one IEEE division of bit-identical doubles.
+
+    Reference parity: no text operators in the reference (DAG1:1-322);
+    extends the text-analysis family's corpus-law side (Heaps novelty =
+    gram_novelty_by_bucket, coverage = vocab_topk_coverage, Zipf =
+    this)."""
+    d = rebalance_for_cpu(t(spark, sf_dir, "documents"))
+    tok = d.select(F.explode_outer(tokens("text")).alias("token")).filter(
+        F.col("token").isNotNull()
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+    return _zipf_slope_from_counts(freq)
+
+
 _PMI_CAP = 64  # max distinct tokens per doc entering pair expansion
 _PMI_MIN_SUPPORT = 5  # min co-occurring docs for a pair to be reported
 

@@ -2313,6 +2313,31 @@ def test_bpe_encode_heldout_laws(spark, sf_dir):
     assert sum(r.n_tokens for r in rows) < exp_chars
 
 
+def test_zipf_slope_planted_power_law(spark, sf_dir):
+    """On a planted exact power law freq_i = round(C / i^s) the OLS fit
+    must recover slope ~ -s (up to the integer rounding of the planted
+    counts and the micro-snap); on the testdata the slope is negative
+    and top1_share is a sane probability."""
+    from state_economics_end_to_end_data_pipeline_spark.plans.extensions import (
+        _zipf_slope_from_counts,
+    )
+
+    qs = load_all()
+    [r] = _rows(qs, "zipf_slope_topk", spark, sf_dir)
+    assert r.n_top > 0
+    assert 0.0 < r.top1_share < 1.0
+    assert r.zipf_slope < 0.0
+    for s_true in (1.0, 0.5):
+        rows = [
+            (f"t{i:04d}", int(round(2**22 / i**s_true)))
+            for i in range(1, 201)
+        ]
+        df = spark.createDataFrame(rows, "token string, n_occ bigint")
+        [p] = _zipf_slope_from_counts(df).collect()
+        assert p.n_top == 200
+        assert abs(p.zipf_slope - (-s_true)) < 0.01, (s_true, p.zipf_slope)
+
+
 def test_matryoshka_recall_laws_and_planted_prefix(spark, sf_dir):
     """Recall laws on the testdata (10 query rows, overlap in 0..k,
     recall == overlap/k) plus a planted directional check: when ALL the
