@@ -123,6 +123,11 @@ HEADLINERS = [
     "degree_assortativity",
     "edge_triangle_support",
     "source_mixture_weights",
+    # round 13 (bpe_encode_heldout excluded: eager-build -- the memoized
+    # merge loop runs at plan-construction time; dsir/kmeans likewise)
+    "exact_substring_spans",
+    "embedding_matryoshka_recall",
+    "zipf_slope_topk",
 ]
 
 
