@@ -39,6 +39,13 @@ def main() -> int:
     spark.range(32).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
+    # Per-entry load-average samples (r13 verdict ask #5): the quiet-run
+    # protocol previously stamped ONE load_avg_1m at persist time, which
+    # cannot show whether load spiked mid-run.  Sampling the 1-minute
+    # load before every entry makes each run's noise floor auditable --
+    # a cross-round ratio is only meaningful between runs whose sample
+    # envelopes overlap (BASELINE.md documents the re-anchor).
+    load_samples: list[float] = []
     # Cold-cost ledger (r12 verdict ask #1): session-memoized families
     # (_PCA_MEMO, _BPE_MEMO, _WT_MEMO) pay their ladder/merge-loop once
     # per session, so under min-of-2 the recorded min is the CACHED
@@ -56,6 +63,7 @@ def main() -> int:
         # warmth is unaffected and every entry starts from the same cold
         # cache state.
         spark.catalog.clearCache()
+        load_samples.append(round(os.getloadavg()[0], 2))
         best = None
         try:
             for i in range(2):  # min-of-2: JIT/GC noise dominates at this scale
@@ -70,6 +78,11 @@ def main() -> int:
         except Exception as e:  # keep benching; a failed query reports -1
             print(f"# bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+            # a failed entry carries NO first_pass (r13 advice #2): pass 1
+            # may have succeeded before pass 2 threw, but the ledger
+            # models first_pass presence as "entry completed this run" --
+            # a cold time for a failed entry would read as a completed one
+            first_pass.pop(name, None)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     # rounds-to-fixpoint of the iterative graph entries, stamped per run
     # (r10 verdict ask #7): catches an iteration-count regression (e.g.
@@ -87,6 +100,19 @@ def main() -> int:
         "first_pass": first_pass,
         "sf": sf,
         "last_rounds": {k: int(v) for k, v in sorted(LAST_ROUNDS.items())},
+        # one summary row per RUN; persist appends it to the record's
+        # load_runs list so min-merged records keep every pass's envelope
+        "load_runs": [
+            {
+                "load_1m_min": min(load_samples) if load_samples else -1.0,
+                "load_1m_mean": round(
+                    sum(load_samples) / len(load_samples), 2
+                )
+                if load_samples
+                else -1.0,
+                "load_1m_max": max(load_samples) if load_samples else -1.0,
+            }
+        ],
     }
     print(json.dumps(payload))
     _persist_full_bench(payload)
@@ -215,6 +241,12 @@ def _persist_full_bench(payload: dict, repo_root: Path | None = None) -> None:
                         **old.get("last_rounds", {}),
                         **payload["last_rounds"],
                     }
+                # load envelopes accumulate: every merged run appends its
+                # summary so the record shows the noise floor of EACH pass
+                if payload.get("load_runs"):
+                    stamped["load_runs"] = list(
+                        old.get("load_runs", [])
+                    ) + list(payload["load_runs"])
                 # first_pass min-merges like the timings: every bench run
                 # is a fresh session, so each run's first pass is a cold
                 # observation and the min over runs is the best-observed

@@ -576,6 +576,11 @@ def exact_substring_spans(
     UNION of all duplicated spans, so the well-defined per-doc output
     is that union decomposed into maximal contiguous intervals; a
     single interval's anchors may match different partner documents).
+    One DELIBERATE deviation from the cited method: the ``min_df``
+    gate counts DISTINCT documents, so a substring repeated only
+    WITHIN one document is not flagged here, whereas Lee et al.'s
+    suffix-array ExactSubstr also removes intra-document repeats --
+    the distinct-doc gate is the tested, cross-document contract.
 
     Formulation -- no suffix array, no driver state: a duplicated span
     of length L >= k contains exactly L-k+1 cross-document-duplicated
@@ -602,10 +607,14 @@ def exact_substring_spans(
     static planner's post-aggregate size ESTIMATE stays under the
     broadcast threshold regardless (measured: the un-hinted plan
     broadcast-OOMs on the 100x probe corpus while estimating small), so
-    the hint is load-bearing: a shuffle join always survives, and AQE
-    converts it back to broadcast AT RUNTIME from true shuffle sizes
-    when the dup set really is small (the direction AQE can fix;
-    a wrong static broadcast it cannot).  The island-merge window is
+    the hint is load-bearing: it PINS a shuffle-hash join at every
+    scale -- Spark honors an explicit SHUFFLE_HASH hint ahead of
+    size-based broadcast selection, including during AQE
+    re-optimization, so the join deliberately forgoes a runtime
+    broadcast even when the dup set is small.  That trade was measured
+    acceptable (the hinted plan is also FASTER at sf0.1), and a shuffle
+    join always survives where a wrong static broadcast OOMs.  The
+    island-merge window is
     doc-partitioned (bounded by the longest document, the same per-doc
     discipline as sessionization).  Nothing is ever all-pairs and
     nothing collects.
@@ -686,8 +695,10 @@ def dupspan_coverage(
     forced broadcast (the exact_substring_spans finding, r13: the
     static planner's post-aggregate estimate stays under the broadcast
     threshold while the true set grows with the corpus, and a wrong
-    static broadcast OOMs where a shuffle join survives; AQE converts
-    back to broadcast at runtime when the set really is small).  The
+    static broadcast OOMs where a shuffle join survives; the explicit
+    hint PINS shuffle-hash at every scale -- Spark honors it ahead of
+    size-based broadcast selection even under AQE re-optimization --
+    a trade measured acceptable at sf0.1).  The
     final per-doc rollup shuffles only covered positions. No all-pairs
     anything.
     """

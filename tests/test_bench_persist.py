@@ -73,6 +73,28 @@ def test_first_pass_new_entry_and_failure_handling(tmp_path):
     assert rec["failed_now"] == ["a"]
 
 
+def test_load_runs_accumulate_across_merges(tmp_path):
+    """r13 verdict ask #5: every merged run appends its load envelope so
+    the record shows the noise floor of EACH contributing pass."""
+    out = _setup(tmp_path)
+    p1 = _payload({"a": 1.0}, {"a": 1.0})
+    p1["load_runs"] = [
+        {"load_1m_min": 0.5, "load_1m_mean": 1.0, "load_1m_max": 2.0}
+    ]
+    _persist_full_bench(p1, tmp_path)
+    rec = json.loads(out.read_text())
+    assert rec["load_runs"] == p1["load_runs"]
+
+    p2 = _payload({"a": 0.9}, {"a": 0.9})
+    p2["load_runs"] = [
+        {"load_1m_min": 3.0, "load_1m_mean": 9.0, "load_1m_max": 25.0}
+    ]
+    _persist_full_bench(p2, tmp_path)
+    rec = json.loads(out.read_text())
+    assert rec["load_runs"] == p1["load_runs"] + p2["load_runs"]
+    assert rec["queries"] == {"a": 0.9}
+
+
 def test_sf_mismatch_writes_suffixed_record(tmp_path):
     out = _setup(tmp_path)
     _persist_full_bench(_payload({"a": 1.0}, {"a": 1.0}, sf=0.1), tmp_path)

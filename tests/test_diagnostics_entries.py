@@ -2421,4 +2421,4 @@ def test_dsir_entry_laws(spark, sf_dir):
     ws = [r.weight_nano for r in ordered]
     assert ws == sorted(ws, reverse=True)
     for r in rows:
-        assert r.n_tokens > 0
+        assert r.n_features > 0
