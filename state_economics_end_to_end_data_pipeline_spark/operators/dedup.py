@@ -669,6 +669,94 @@ def exact_substring_spans(
     )
 
 
+def exact_substring_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The REMOVAL side of exact-substring dedup (r13 verdict ask #2;
+    Lee et al. 2022): ``exact_substring_spans`` reconstructs the
+    duplicated regions; the pipeline's actual artifact is the corpus
+    with those regions CUT OUT.  This operator subtracts the
+    reconstructed islands from each document's token stream and
+    publishes per-document retained-token accounting plus a digest of
+    the cleaned text:
+
+        (id, *keep_cols, n_tokens, n_removed, n_retained, retained_md5)
+
+    one row per input document (documents with no duplicated span keep
+    everything: n_removed = 0, digest of the original token stream).
+    ``retained_md5`` is md5 of the surviving tokens joined by a single
+    space in original order -- the canonical form both engines can
+    reproduce exactly, and enough to verify any downstream consumer
+    rebuilt the same cleaned corpus.  Invariant (tested on the
+    planted-span fixture): n_retained = n_tokens - n_removed, because
+    the islands are maximal DISJOINT in-bounds intervals by
+    construction.  Inherits the spans operator's deliberate deviation:
+    only CROSS-document duplicates (>= ``min_df`` distinct docs) are
+    cut; intra-document repeats survive.
+
+    Scale shape: one spans pass (see ``exact_substring_spans`` -- the
+    expensive, already-contracted part), then the spans collapse to ONE
+    row per affected doc via a doc-keyed collect_list whose size is
+    bounded by n_tokens/k for that document (the same per-doc
+    discipline as the island-merge window -- never corpus-sized); the
+    subtraction itself is a NARROW higher-order filter over each doc's
+    token array (position-indexed lambda probing the per-doc span list,
+    whole-stage codegen, zero Python, zero explode), and the join back
+    to the corpus is keyed on the doc id.  Nothing shuffles wider than
+    O(spans) + one corpus-keyed join; no window over a data-sized
+    unpartitioned relation; nothing collects.
+    """
+    spans = exact_substring_spans(
+        df, text_col=text_col, id_col=id_col, k=k, min_df=min_df
+    )
+    per_doc = spans.groupBy(F.col(id_col).alias("__rid")).agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("__spans"),
+        F.sum("span_len").cast("bigint").alias("__n_removed"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__rid"),
+        *[F.col(c) for c in keep_cols],
+        tokens(text_col).alias("__toks"),
+    )
+    j = base.join(per_doc, "__rid", "left")
+    covered = lambda i: F.exists(  # noqa: E731 -- 1-based token pos i
+        F.coalesce(
+            F.col("__spans"),
+            F.expr(
+                "CAST(array() AS array<struct<span_start:bigint,"
+                "span_len:bigint>>)"
+            ),
+        ),
+        lambda s: (i >= s["span_start"])
+        & (i < s["span_start"] + s["span_len"]),
+    )
+    retained = F.filter("__toks", lambda _t, i0: ~covered(i0 + 1))
+    return (
+        j.select(
+            "__rid",
+            *keep_cols,
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+            F.coalesce("__n_removed", F.lit(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            retained.alias("__ret"),
+        )
+        .select(
+            F.col("__rid").alias(id_col),
+            *keep_cols,
+            "n_tokens",
+            "n_removed",
+            F.size("__ret").cast("bigint").alias("n_retained"),
+            F.md5(F.concat_ws(" ", "__ret")).alias("retained_md5"),
+        )
+    )
+
+
 def dupspan_coverage(
     df: DataFrame,
     text_col: str = "text",

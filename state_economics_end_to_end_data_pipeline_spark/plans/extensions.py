@@ -17,6 +17,7 @@ from ..io.readers import read_parquet_table as t
 from ..operators.dedup import (
     content_hash,
     dupspan_coverage,
+    exact_substring_removal,
     exact_substring_spans,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -717,6 +718,142 @@ def exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         k=_ESS_K,
         min_df=2,
+    )
+
+
+# shared island construction for the removal oracles: identical to the
+# exact_substring_spans oracle up through the spans CTE, then positions
+# are subtracted and the retained token stream is re-serialized
+_ESR_CTE = f"""
+    WITH tk AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ), gh AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(toks[pos:pos + {_ESS_K - 1}], ' ')) AS g
+      FROM (SELECT doc_id, unnest(range(1, len(toks) - {_ESS_K} + 2))
+              AS pos, toks FROM tk)
+    ), dup AS (
+      SELECT g FROM gh GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -{_ESS_K}) + {_ESS_K}
+               THEN 1 ELSE 0 END AS new_island
+      FROM gh JOIN dup USING (g)
+    ), grpd AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS span_start,
+             MAX(pos) - MIN(pos) + {_ESS_K} AS span_len
+      FROM grpd GROUP BY doc_id, grp
+    ), rm AS (
+      SELECT doc_id, SUM(span_len) AS n_removed FROM spans GROUP BY doc_id
+    ), covered AS (
+      SELECT doc_id, unnest(range(span_start, span_start + span_len)) AS p
+      FROM spans
+    ), pos AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p FROM tk
+    ), kept AS (
+      SELECT pos.doc_id, pos.p FROM pos
+      LEFT JOIN covered c ON c.doc_id = pos.doc_id AND c.p = pos.p
+      WHERE c.p IS NULL
+    ), ret AS (
+      SELECT kept.doc_id,
+             COUNT(*) AS n_retained,
+             array_to_string(list(tk.toks[kept.p] ORDER BY kept.p), ' ')
+               AS txt
+      FROM kept JOIN tk USING (doc_id)
+      GROUP BY kept.doc_id
+    ), per_doc AS (
+      SELECT tk.doc_id, tk.source,
+             CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(rm.n_removed, 0) AS BIGINT) AS n_removed,
+             CAST(COALESCE(ret.n_retained, 0) AS BIGINT) AS n_retained,
+             md5(COALESCE(ret.txt, '')) AS retained_md5
+      FROM tk
+      LEFT JOIN rm ON rm.doc_id = tk.doc_id
+      LEFT JOIN ret ON ret.doc_id = tk.doc_id
+    )
+"""
+
+
+@register(
+    "exact_substring_removal",
+    oracle=_ESR_CTE
+    + """
+    SELECT doc_id, source, n_tokens, n_removed, n_retained, retained_md5
+    FROM per_doc
+    """,
+)
+def exact_substring_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING DEDUP, REMOVAL side (r13 verdict ask #2; Lee et
+    al. 2022): cut the reconstructed duplicated islands out of every
+    document and publish per-doc retained-token accounting plus the md5
+    digest of the cleaned token stream -- the train/apply pair for span
+    dedup (``exact_substring_spans`` finds the regions; this entry is
+    the corpus a training run would actually consume).  See
+    ``operators.dedup.exact_substring_removal`` for the subtraction
+    plan (per-doc bounded span list probed by a position-indexed
+    higher-order filter -- whole-stage codegen, zero explode on the
+    subtraction side) and the invariant n_retained = n_tokens -
+    n_removed tested on the planted-span fixture
+    (tests/test_dedup_spans.py)."""
+    return exact_substring_removal(
+        rebalance_for_cpu(t(spark, sf_dir, "documents")),
+        text_col="text",
+        id_col="doc_id",
+        k=_ESS_K,
+        min_df=2,
+        keep_cols=("source",),
+    )
+
+
+@register(
+    "exact_substring_removal_by_source",
+    oracle=_ESR_CTE
+    + """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_cut,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_removed) AS BIGINT) AS n_removed,
+           CAST(SUM(n_retained) AS BIGINT) AS n_retained
+    FROM per_doc GROUP BY source
+    """,
+)
+def exact_substring_removal_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-SOURCE retained-token accounting for exact-substring removal
+    -- the ledger a corpus curator reads after the cut: how many
+    documents each source contributed, how many were touched, and the
+    token counts before/removed/after.  One map-side-combined groupBy
+    on source over the per-doc relation (shuffle O(sources)); all the
+    heavy lifting is the shared spans construction documented at
+    ``operators.dedup.exact_substring_removal``."""
+    per_doc = exact_substring_removal(
+        rebalance_for_cpu(t(spark, sf_dir, "documents")),
+        text_col="text",
+        id_col="doc_id",
+        k=_ESS_K,
+        min_df=2,
+        keep_cols=("source",),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_removed") > 0).cast("int"))
+        .cast("bigint")
+        .alias("n_docs_cut"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_removed").cast("bigint").alias("n_removed"),
+        F.sum("n_retained").cast("bigint").alias("n_retained"),
     )
 
 

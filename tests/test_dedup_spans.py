@@ -12,7 +12,10 @@ disjoint region; regions separated by more than a gap stay separate).
 
 from __future__ import annotations
 
+import hashlib
+
 from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
+    exact_substring_removal,
     exact_substring_spans,
 )
 
@@ -131,3 +134,71 @@ def test_long_shared_span_reconstructed_maximally(spark):
         (2, _doc(long)),
     ]
     assert _spans(spark, rows) == {(1, 8, 20), (2, 1, 20)}
+
+
+def _removal(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = exact_substring_removal(df, text_col="text", id_col="doc_id", k=K)
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_removal_accounting_and_digest(spark):
+    """REMOVAL side (r13 verdict ask #2): the planted 12-token span is
+    cut from both carriers, n_retained = n_tokens - n_removed holds on
+    every row (spans are disjoint in-bounds intervals by construction),
+    the cleaned digest equals md5 of exactly the surviving tokens
+    space-joined in original order, and an untouched doc keeps its full
+    stream with n_removed = 0."""
+    shared = _uniq("s", 12)
+    fa, ga, fb, fc = (
+        _uniq("fa", 10),
+        _uniq("ga", 5),
+        _uniq("fb", 3),
+        _uniq("fc", 30),
+    )
+    rows = [
+        (1, _doc(fa, shared, ga)),
+        (2, _doc(fb, shared)),
+        (3, _doc(fc)),
+    ]
+    out = _removal(spark, rows)
+    assert len(out) == 3  # one row per input doc, touched or not
+    for r in out.values():
+        assert r.n_retained == r.n_tokens - r.n_removed
+    assert (out[1].n_tokens, out[1].n_removed) == (27, 12)
+    assert (out[2].n_tokens, out[2].n_removed) == (15, 12)
+    assert (out[3].n_tokens, out[3].n_removed) == (30, 0)
+
+    def md5_of(toks):
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    assert out[1].retained_md5 == md5_of(fa + ga)
+    assert out[2].retained_md5 == md5_of(fb)
+    assert out[3].retained_md5 == md5_of(fc)
+
+
+def test_removal_fully_duplicated_doc_empties(spark):
+    """A document that is one big shared span retains zero tokens and
+    digests the empty string; multiple disjoint spans each subtract."""
+    p = _uniq("p", 12)
+    q = _uniq("q", 9)
+    mid = _uniq("m", 20)
+    rows = [
+        (1, _doc(p)),  # fully covered by the span shared with doc 2
+        (2, _doc(_uniq("fb", 2), p)),
+        (3, _doc(p, mid, q)),  # two disjoint cuts
+        (4, _doc(q, _uniq("fc", 5))),
+    ]
+    out = _removal(spark, rows)
+    assert (out[1].n_retained, out[1].n_removed) == (0, 12)
+    assert out[1].retained_md5 == hashlib.md5(b"").hexdigest()
+    assert (out[3].n_tokens, out[3].n_removed, out[3].n_retained) == (
+        41,
+        21,
+        20,
+    )
+    assert out[3].retained_md5 == hashlib.md5(
+        " ".join(mid).encode()
+    ).hexdigest()
+    for r in out.values():
+        assert r.n_retained == r.n_tokens - r.n_removed
