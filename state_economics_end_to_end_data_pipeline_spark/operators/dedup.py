@@ -707,9 +707,17 @@ def exact_substring_removal(
     subtraction itself is a NARROW higher-order filter over each doc's
     token array (position-indexed lambda probing the per-doc span list,
     whole-stage codegen, zero Python, zero explode), and the join back
-    to the corpus is keyed on the doc id.  Nothing shuffles wider than
-    O(spans) + one corpus-keyed join; no window over a data-sized
-    unpartitioned relation; nothing collects.
+    to the corpus is KEYED on the doc id with an explicit shuffle_hash
+    HINT: the per-doc span table is O(affected documents) -- at dedup-
+    literature duplication rates a constant FRACTION of the corpus,
+    data-sized -- while the static planner's post-aggregate estimate
+    stays small, exactly the broadcast-OOM trap the r13 100x probe
+    caught on the span hit joins (the hint pins a shuffle-hash join at
+    every scale; the doc-keyed corpus shuffle it costs is the safe
+    price, and bucketing both sides by doc id pre-colocates it away).
+    Nothing shuffles wider than O(spans) + that one corpus-keyed join;
+    no window over a data-sized unpartitioned relation; nothing
+    collects.
     """
     spans = exact_substring_spans(
         df, text_col=text_col, id_col=id_col, k=k, min_df=min_df
@@ -723,7 +731,7 @@ def exact_substring_removal(
         *[F.col(c) for c in keep_cols],
         tokens(text_col).alias("__toks"),
     )
-    j = base.join(per_doc, "__rid", "left")
+    j = base.join(per_doc.hint("shuffle_hash"), "__rid", "left")
     covered = lambda i: F.exists(  # noqa: E731 -- 1-based token pos i
         F.coalesce(
             F.col("__spans"),

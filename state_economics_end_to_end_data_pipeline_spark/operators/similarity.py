@@ -152,6 +152,74 @@ def cosine_topk(
     )
 
 
+def matryoshka_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int,
+    k: int = 5,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka TWO-STAGE serving (Kusupati et al. 2022; r13 verdict
+    ask #3): stage 1 searches the cheap ``prefix_dim``-dim prefix of
+    every vector for a per-query SHORTLIST of m*k candidates; stage 2
+    reranks ONLY the shortlist with exact full-dimension cosine and
+    keeps the top k.  Returns (query_id, neighbor_id, cos_sim, rank)
+    where cos_sim is the FULL-dimension similarity.
+
+    Law (tests/test_diagnostics_entries.py): rerank recall@k vs the
+    exact full-dim top-k is >= prefix-only recall@k -- the shortlist
+    contains the prefix top-k, and within the shortlist every true
+    top-k member outranks every non-member under exact full cosine (the
+    same (cos DESC, id) total order as the baseline), so reranking can
+    only PROMOTE true neighbors, never demote them.
+
+    Scale shape: stage 1 is the ``cosine_topk`` brute plan over the
+    prefix slice -- one corpus scan reading prefix_dim/d of the vector
+    bytes (the memory-bandwidth saving MRL serving exists for; swap an
+    IVF index over the prefix at 100 TB, the shortlist contract is
+    unchanged).  The shortlist is O(queries * m * k) rows -- BOUNDED by
+    the query batch, so it BROADCASTS onto the corpus scan that fetches
+    full candidate vectors (keyed equi-join on the vector id, no
+    shuffle of the corpus); stage 2 scores |queries| * m * k pairs and
+    ranks inside a per-query window over <= m*k rows.  The full-dim
+    fold never touches vectors outside the shortlist."""
+    trunc = F.slice(F.col(vec_col), 1, prefix_dim)
+    shortlist = cosine_topk(
+        corpus.select(F.col(id_col), trunc.alias(vec_col)),
+        queries.select(F.col(id_col), trunc.alias(vec_col)),
+        k=m * k,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm2(F.col(vec_col)).alias("c_n2"),
+    ).join(F.broadcast(shortlist), "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm2(F.col(vec_col)).alias("q_n2"),
+    )
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_prenormed(
+            F.col("q_vec"), F.col("c_vec"), F.col("q_n2"), F.col("c_n2")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def sign_lsh_bucket(vec: Column, bits: int = 4) -> Column:
     """Sign-LSH bucket id from the first ``bits`` dimensions' signs."""
     out = F.lit(0).cast("bigint")

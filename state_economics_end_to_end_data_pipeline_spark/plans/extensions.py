@@ -6330,6 +6330,72 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_M = 4  # shortlist multiplier: stage 1 keeps m*k candidates
+
+
+def _mrl_rerank_oracle() -> str:
+    short = _MRL_M * _MRL_K
+    return f"""
+    WITH sq AS (
+      SELECT vec_id, embedding[1:{_MRL_DIM}] AS v FROM embeddings
+    ), short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_cos_sql('q.v', 'c.v')} DESC, c.vec_id) AS rk
+        FROM sq c
+        CROSS JOIN (SELECT vec_id, v FROM sq
+                    WHERE vec_id < {_MRL_NQ}) q
+        WHERE c.vec_id <> q.vec_id
+      ) WHERE rk <= {short}
+    ), rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_cos_sql('qe.embedding', 'ce.embedding')} AS cos_sim
+      FROM short s
+      JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+      JOIN embeddings qe ON qe.vec_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM rer
+    ) WHERE rank <= {_MRL_K}
+    """
+
+
+@register("matryoshka_rerank_topk", oracle=_mrl_rerank_oracle())
+def matryoshka_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA TWO-STAGE SERVING (r13 verdict ask #3):
+    ``embedding_matryoshka_recall`` MEASURES what the prefix loses;
+    this entry is the PRODUCTION recipe its docstring names -- search
+    the cheap _MRL_DIM-dim prefix for an m*k shortlist, rerank the
+    shortlist (and only the shortlist) with exact full-dimension
+    cosine, publish the reranked top-k per query with full-dim
+    similarities.  See ``operators.similarity.matryoshka_rerank_topk``
+    for the plan (prefix brute arm -> bounded broadcast shortlist ->
+    keyed candidate fetch -> <= m*k-row per-query rerank window) and
+    the proven law rerank-recall >= prefix-recall.
+
+    Cross-engine exactness: both stages' cosines are the established
+    sequential-fold expression (_cos_sql == the similarity fold); the
+    shortlist and rerank tie-breaks are total orders, so the published
+    rows are engine-exact including the raw cos_sim doubles (the
+    embedding_cosine_topk discipline)."""
+    from ..operators.similarity import (
+        matryoshka_rerank_topk as _mrl_rerank,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    return _mrl_rerank(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < _MRL_NQ),
+        prefix_dim=_MRL_DIM,
+        k=_MRL_K,
+        m=_MRL_M,
+    )
+
+
 _LM_MU = 2000.0  # Dirichlet prior mass (Zhai & Lafferty's default range)
 
 

@@ -2375,6 +2375,49 @@ def test_matryoshka_recall_laws_and_planted_prefix(spark, sf_dir):
     assert full == trunc
 
 
+def test_matryoshka_rerank_law_and_exactness(spark, sf_dir):
+    """r13 verdict ask #3 law: two-stage rerank recall@k vs the exact
+    full-dim top-k is >= prefix-only recall@k for EVERY query (the
+    shortlist contains the prefix top-k and exact full-dim scoring can
+    only promote true neighbors), and the reranked rows carry exact
+    full-dim cosines: every published (query, neighbor) pair that IS in
+    the full top-k carries the identical cos_sim the brute baseline
+    computed."""
+    from state_economics_end_to_end_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        matryoshka_rerank_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    full = cosine_topk(emb, q, k=5).collect()
+    full_set = {(r.query_id, r.neighbor_id) for r in full}
+    full_cos = {(r.query_id, r.neighbor_id): r.cos_sim for r in full}
+    tr = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    prefix = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(tr, tr.filter(F.col("vec_id") < 10), k=5).collect()
+    }
+    rer = matryoshka_rerank_topk(emb, q, prefix_dim=16, k=5, m=4).collect()
+    rer_set = {(r.query_id, r.neighbor_id) for r in rer}
+    for qid in range(10):
+        n_rer = sum(1 for p in rer_set & full_set if p[0] == qid)
+        n_pre = sum(1 for p in prefix & full_set if p[0] == qid)
+        assert n_rer >= n_pre, (qid, n_rer, n_pre)
+    # rerank output is exactly k rows per query with ranks 1..k
+    by_q: dict = {}
+    for r in rer:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == set(range(10))
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+    # full-dim cosines: identical doubles wherever both computed the pair
+    for r in rer:
+        key = (r.query_id, r.neighbor_id)
+        if key in full_cos:
+            assert r.cos_sim == full_cos[key], key
+
+
 def test_dsir_planted_target_wins(spark):
     """Planted-selection behavior on a synthetic corpus: target-source
     docs are pure 'alpha beta' language, the raw pool is pure 'zeta

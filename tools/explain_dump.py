@@ -128,6 +128,10 @@ HEADLINERS = [
     "exact_substring_spans",
     "embedding_matryoshka_recall",
     "zipf_slope_topk",
+    # round 14
+    "exact_substring_removal",
+    "exact_substring_removal_by_source",
+    "matryoshka_rerank_topk",
 ]
 
 
@@ -144,7 +148,7 @@ def main() -> int:
     qs = load_all()
     names = args.names or [n for n in HEADLINERS if n in qs]
 
-    out = [
+    header = [
         "# Physical plans — headline queries",
         "",
         f"`explain(\"formatted\")` at `{args.sf_dir}`, generated by",
@@ -154,6 +158,7 @@ def main() -> int:
         "counts matching the per-query docstrings.",
         "",
     ]
+    sections: dict[str, str] = {}
     for name in names:
         if qs[name].eager_build:
             print(f"note: {name} is eager_build — dumping it executes bounded build-time jobs")
@@ -161,11 +166,25 @@ def main() -> int:
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        out += [f"## {name}", "", qs[name].doc.strip(), "", "```", buf.getvalue().rstrip(), "```", ""]
+        sections[name] = "\n".join(
+            [f"## {name}", "", qs[name].doc.strip(), "", "```", buf.getvalue().rstrip(), "```", ""]
+        )
         print(f"dumped {name}")
 
-    (REPO / "docs" / "PLANS.md").write_text("\n".join(out))
-    print(f"wrote docs/PLANS.md ({len(names)} queries)")
+    # MERGE, never clobber (r14): an explicit-names run refreshes only
+    # those sections; every other committed section survives. Section
+    # order is the HEADLINERS order, unknown names appended.
+    target = REPO / "docs" / "PLANS.md"
+    if args.names and target.exists():
+        old = target.read_text()
+        for chunk in old.split("\n## ")[1:]:
+            old_name = chunk.split("\n", 1)[0].strip()
+            if old_name not in sections:
+                sections[old_name] = "## " + chunk.rstrip() + "\n"
+    order = {n: i for i, n in enumerate(HEADLINERS)}
+    ordered = sorted(sections, key=lambda n: (order.get(n, len(order)), n))
+    target.write_text("\n".join(header + [sections[n] for n in ordered]))
+    print(f"wrote docs/PLANS.md ({len(sections)} queries)")
     return 0
 
 
