@@ -704,9 +704,14 @@ def exact_substring_removal(
     row per affected doc via a doc-keyed collect_list whose size is
     bounded by n_tokens/k for that document (the same per-doc
     discipline as the island-merge window -- never corpus-sized); the
-    subtraction itself is a NARROW higher-order filter over each doc's
-    token array (position-indexed lambda probing the per-doc span list,
-    whole-stage codegen, zero Python, zero explode), and the join back
+    subtraction itself is a NARROW gap-slice reconstruction over each
+    doc's token array: the SORTED disjoint islands induce m+1 inter-span
+    gaps, and retained = flatten(slice(toks, gap_start, gap_len) per
+    gap) -- O(tokens + spans) per document (each retained token copied
+    once, each span visited once; a position-indexed exists-probe
+    filter would be O(tokens * spans) and a planted many-span bomb doc
+    made that quadratic blowup measurable), whole-stage codegen, zero
+    Python, zero explode -- and the join back
     to the corpus is KEYED on the doc id with an explicit shuffle_hash
     HINT: the per-doc span table is O(affected documents) -- at dedup-
     literature duplication rates a constant FRACTION of the corpus,
@@ -723,7 +728,9 @@ def exact_substring_removal(
         df, text_col=text_col, id_col=id_col, k=k, min_df=min_df
     )
     per_doc = spans.groupBy(F.col(id_col).alias("__rid")).agg(
-        F.collect_list(F.struct("span_start", "span_len")).alias("__spans"),
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_len"))
+        ).alias("__spans"),
         F.sum("span_len").cast("bigint").alias("__n_removed"),
     )
     base = df.select(
@@ -732,18 +739,36 @@ def exact_substring_removal(
         tokens(text_col).alias("__toks"),
     )
     j = base.join(per_doc.hint("shuffle_hash"), "__rid", "left")
-    covered = lambda i: F.exists(  # noqa: E731 -- 1-based token pos i
-        F.coalesce(
-            F.col("__spans"),
-            F.expr(
-                "CAST(array() AS array<struct<span_start:bigint,"
-                "span_len:bigint>>)"
-            ),
+    # gap-slice reconstruction: sorted disjoint islands -> m+1 gaps
+    # [1, s_1-1], [e_1+1, s_2-1], ..., [e_m+1, n]; empty gaps slice to
+    # zero length (greatest(len, 0)) so adjacent/leading/trailing spans
+    # need no special case
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.expr(
+            "CAST(array() AS array<struct<span_start:bigint,"
+            "span_len:bigint>>)"
         ),
-        lambda s: (i >= s["span_start"])
-        & (i < s["span_start"] + s["span_len"]),
     )
-    retained = F.filter("__toks", lambda _t, i0: ~covered(i0 + 1))
+    gap_starts = F.concat(
+        F.array(F.lit(1).cast("bigint")),
+        F.transform(sp, lambda s: s["span_start"] + s["span_len"]),
+    )
+    gap_stops = F.concat(
+        F.transform(sp, lambda s: s["span_start"] - 1),
+        F.array(F.size("__toks").cast("bigint")),
+    )
+    retained = F.flatten(
+        F.zip_with(
+            gap_starts,
+            gap_stops,
+            lambda a, b: F.slice(
+                F.col("__toks"),
+                a.cast("int"),
+                F.greatest(b - a + 1, F.lit(0).cast("bigint")).cast("int"),
+            ),
+        )
+    )
     return (
         j.select(
             "__rid",

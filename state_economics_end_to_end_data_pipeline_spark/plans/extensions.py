@@ -39,6 +39,7 @@ from ..operators.multimodal import (
 )
 from ..operators.partitioning import rebalance_for_cpu
 from ..operators.similarity import cosine_topk, neardup_pairs_lsh
+from .robust_stats import collect_value_cutpoints, value_slice_pid
 from ..operators.text import (
     STOPWORDS,
     char_ngram_fingerprint,
@@ -7328,7 +7329,11 @@ _DSIR_TARGET = "src7"  # fixed target slice; any source works
 _DSIR_TOPK = 20
 
 
-def _dsir_oracle() -> str:
+def _dsir_w_cte() -> str:
+    """Shared DuckDB CTE computing per-document DSIR weights (ends with
+    the ``w`` relation: doc_id, source, n_features, weight_nano) -- the
+    common front of the top-k and selected-mixture oracles, kept in one
+    place so both stay bit-identical to ``_dsir_doc_weights``."""
     b = _DSIR_BUCKETS
     lr = (
         f"ln((COALESCE(t.n_t, 0) + 1.0) / (nt.n + {b}))"
@@ -7358,15 +7363,26 @@ def _dsir_oracle() -> str:
              CAST(floor(({lr}) * 1000000000.0 + 0.5) AS BIGINT) AS lr_nano
       FROM raw_b r LEFT JOIN tgt_b t USING (bucket)
       CROSS JOIN nr CROSS JOIN nt
+    ),
+    w AS (
+      SELECT tok.doc_id, tok.source,
+             CAST(COUNT(*) AS BIGINT) AS n_features,
+             CAST(SUM(lr.lr_nano) AS BIGINT) AS weight_nano
+      FROM tok JOIN lr USING (bucket)
+      GROUP BY 1, 2
     )
-    SELECT tok.doc_id, tok.source,
-           CAST(COUNT(*) AS BIGINT) AS n_features,
-           CAST(SUM(lr.lr_nano) AS BIGINT) AS weight_nano
-    FROM tok JOIN lr USING (bucket)
-    GROUP BY 1, 2
-    ORDER BY weight_nano DESC, tok.doc_id
+    """
+
+
+def _dsir_oracle() -> str:
+    return (
+        _dsir_w_cte()
+        + f"""
+    SELECT doc_id, source, n_features, weight_nano FROM w
+    ORDER BY weight_nano DESC, doc_id
     LIMIT {_DSIR_TOPK}
     """
+    )
 
 
 @register("dsir_importance_topk", oracle=_dsir_oracle())
@@ -7496,4 +7512,115 @@ def _dsir_doc_weights(d: DataFrame, target: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_features"),
             F.sum("lr_nano").cast("bigint").alias("weight_nano"),
         )
+    )
+
+
+_DSIR_KEEP_DENOM = 20  # select the top 1/20 (5%) of documents by weight
+
+
+def _dsir_mixture_oracle() -> str:
+    d = _DSIR_KEEP_DENOM
+    return (
+        _dsir_w_cte()
+        + f"""
+    , ranked AS (
+      SELECT source, weight_nano,
+             ROW_NUMBER() OVER (ORDER BY weight_nano DESC, doc_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM w
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= FLOOR((n + {d - 1}) / {d}.0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN rk <= FLOOR((n + {d - 1}) / {d}.0)
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS selection_rate
+    FROM ranked GROUP BY source
+    """
+    )
+
+
+@register(
+    "dsir_selected_mixture",
+    eager_build=True,
+    oracle=_dsir_mixture_oracle(),
+)
+def dsir_selected_mixture(
+    spark: SparkSession, sf_dir: str, cuts: list[float] | None = None
+) -> DataFrame:
+    """DSIR APPLY side: the per-source mixture of the SELECTED set.
+    ``dsir_importance_topk`` publishes the top documents; production
+    DSIR's artifact is a selected corpus slice and the first question a
+    curator asks of it is "what did selection do to the source mix".
+    This entry deterministically keeps the top ceil(n / _DSIR_KEEP_DENOM)
+    documents by (weight DESC, doc_id) -- the noise-free variant of Xie
+    et al. 2023's Gumbel-top-k resampling (randomized weighted sampling
+    is covered by ``weighted_sample_ares``; a cross-engine-exact entry
+    cannot carry an RNG) -- and publishes per source: document count,
+    selected count, and the selection rate.
+
+    The interesting part at 100 TB is the GLOBAL top-fraction cut: a
+    naive ROW_NUMBER over the full weight relation is a single-partition
+    window.  This plan ranks distributedly instead -- the house
+    cutpoint discipline (``gini_user_spend``): broadcast
+    percentile_approx boundaries over value = -weight_nano make the
+    slice id a deterministic per-row function, per-slice counts
+    prefix-sum on the BOUNDED slice grid (<= 33 rows), and a
+    within-slice row_number (window PARTITIONED by slice, ordered
+    weight DESC, doc_id) plus the slice offset reconstructs the exact
+    global rank with no unpartitioned window anywhere.  The keep
+    threshold ceil(n/d) = FLOOR((n + d - 1) / d.0) folds from a
+    broadcast one-row count -- exact in IEEE doubles on both engines
+    (an integer / 20.0 cannot round across an integer boundary).  The
+    weight pass itself is the ``_dsir_doc_weights`` contract: O(B)
+    bucket aggregates + one doc-keyed rollup.
+
+    EAGER build caveat (the gini/KS pattern): collecting cutpoints runs
+    one job at plan construction; explain-only callers pass ``cuts``.
+
+    Reference parity: no curation operators in the reference
+    (DAG1:1-322); completes the DSIR train/apply pair alongside the
+    BPE and span-dedup families' train/apply pairs."""
+    w = _dsir_doc_weights(
+        rebalance_for_cpu(t(spark, sf_dir, "documents")), _DSIR_TARGET
+    )
+    pv = w.select((-F.col("weight_nano")).cast("double").alias("value"))
+    if cuts is None:
+        cuts = collect_value_cutpoints(pv, 32)
+    sliced = w.withColumn(
+        "value", (-F.col("weight_nano")).cast("double")
+    ).withColumn("slice", value_slice_pid(cuts))
+    per_slice = sliced.groupBy("slice").agg(F.count(F.lit(1)).alias("cnt"))
+    w_grid = Window.orderBy("slice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_slice.select(
+        "slice",
+        F.coalesce(F.sum("cnt").over(w_grid), F.lit(0)).alias("offset"),
+    )
+    w_in = Window.partitionBy("slice").orderBy(
+        F.col("weight_nano").desc(), "doc_id"
+    )
+    ranked = sliced.join(F.broadcast(offsets), "slice").withColumn(
+        "rk", F.row_number().over(w_in) + F.col("offset")
+    )
+    tot = w.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sel = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "is_sel",
+        (
+            F.col("rk")
+            <= F.floor(
+                (F.col("n") + F.lit(_DSIR_KEEP_DENOM - 1))
+                / F.lit(float(_DSIR_KEEP_DENOM))
+            )
+        ).cast("int"),
+    )
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_sel").cast("bigint").alias("n_selected"),
+        (
+            F.sum("is_sel").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("selection_rate"),
     )

@@ -177,6 +177,35 @@ def test_removal_accounting_and_digest(spark):
     assert out[3].retained_md5 == md5_of(fc)
 
 
+def test_removal_many_span_bomb_linear(spark):
+    """Worst-case span density: one doc alternating a cross-doc
+    duplicated 8-token island with a 2-token unique gap -> 1,000
+    disjoint spans in ONE document.  The gap-slice reconstruction is
+    O(tokens + spans) per doc (the original position-indexed
+    exists-probe filter was O(tokens * spans) and measurably quadratic
+    at 9,900 spans); this pins the exact accounting on the dense case:
+    every island cut, every gap retained, digest of exactly the gap
+    tokens."""
+    island = " ".join(f"d{j}" for j in range(8))
+    parts = []
+    gap_toks = []
+    for i in range(1000):
+        parts.append(island)
+        parts.append(f"u{i}a u{i}b")
+        gap_toks += [f"u{i}a", f"u{i}b"]
+    rows = [(1, " ".join(parts)), (2, island)]
+    out = _removal(spark, rows)
+    assert (out[1].n_tokens, out[1].n_removed, out[1].n_retained) == (
+        10000,
+        8000,
+        2000,
+    )
+    assert out[1].retained_md5 == hashlib.md5(
+        " ".join(gap_toks).encode()
+    ).hexdigest()
+    assert out[1].n_retained == out[1].n_tokens - out[1].n_removed
+
+
 def test_removal_fully_duplicated_doc_empties(spark):
     """A document that is one big shared span retains zero tokens and
     digests the empty string; multiple disjoint spans each subtract."""

@@ -2452,6 +2452,23 @@ def test_dsir_planted_target_wins(spark):
     assert min(pure_t) > 0 > max(pure_r)  # signs match the plant
 
 
+def test_dsir_selected_mixture_laws(spark, sf_dir):
+    """Apply-side laws: the per-source selected counts sum to exactly
+    ceil(N / 20) (the deterministic top-5% cut), every source row has
+    0 <= n_selected <= n_docs, and selection_rate is the exact
+    quotient."""
+    qs = load_all()
+    rows = _rows(qs, "dsir_selected_mixture", spark, sf_dir)
+    n_total = sum(r.n_docs for r in rows)
+    keep = (n_total + 19) // 20
+    assert sum(r.n_selected for r in rows) == keep
+    for r in rows:
+        assert 0 <= r.n_selected <= r.n_docs
+        assert math.isclose(
+            r.selection_rate, r.n_selected / r.n_docs, rel_tol=0
+        )
+
+
 def test_dsir_entry_laws(spark, sf_dir):
     """Entry laws at fixture SF: exactly top-k rows, distinct doc_ids,
     weights non-increasing in published order after re-sorting by the
