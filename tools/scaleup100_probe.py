@@ -596,9 +596,34 @@ def _cand_exact_substring_hits(spark, sf_dir: str) -> int:
     return g.join(dup.hint("shuffle_hash"), "g").count()
 
 
+def _cand_removal_affected_docs(spark, sf_dir: str) -> int:
+    """Rows on the BUILD side of exact_substring_removal's subtraction
+    join: one per document with at least one duplicated island
+    (mirrors the entry: k=8, min_df=2, per-doc span collect).  This is
+    the relation whose O(affected docs) growth makes the shuffle_hash
+    hint load-bearing -- token-salted replicas keep per-replica
+    duplication constant, so affected docs must grow ~100x, exactly
+    the data-sized build side a static broadcast would OOM on."""
+    from state_economics_end_to_end_data_pipeline_spark.io.readers import (
+        read_parquet_table,
+    )
+    from state_economics_end_to_end_data_pipeline_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    return (
+        exact_substring_spans(d, text_col="text", id_col="doc_id", k=8)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+
+
 CAND_FNS = {
     "ngram_jaccard_pairs": _cand_ngram_jaccard,
     "exact_substring_spans": _cand_exact_substring_hits,
+    "exact_substring_removal": _cand_removal_affected_docs,
     "simhash_banded_pairs": _cand_simhash_banded,
     "jaccard_prefix_filter_pairs": _cand_prefix_filter,
     "graph_bfs_hops": _cand_bfs_edges,
@@ -620,6 +645,10 @@ NOTES = {
     "exact_substring_spans": "duplicated-anchor hit rows entering the "
     "island windows -- disjoint gram spaces keep within-replica "
     "duplication constant, so ~100x is the plan working",
+    "exact_substring_removal": "affected documents on the subtraction "
+    "join's build side -- data-sized at constant duplication rate "
+    "(~100x); the shuffle_hash hint is what survives this where the "
+    "static post-aggregate broadcast estimate would OOM",
     "simhash_banded_pairs": "band collisions on the r9 4x24-bit layout "
     "(derive_band_bits-sized); r8's fixed 15-bit bands measured 221x here",
     "jaccard_prefix_filter_pairs": "prefix+length-filter survivors",
