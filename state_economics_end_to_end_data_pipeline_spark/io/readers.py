@@ -128,25 +128,54 @@ def _nanos_ts_columns(path: str) -> list[str]:
         return []
 
 
+# Per-(application, path) memo of the RESOLVED scan ingredients -- the
+# Spark StructType the footer resolves to and the nanos column list.  A
+# catalog suite calls read_parquet_table thousands of times on the same
+# static files; re-resolving the footer schema through spark.read costs
+# ~100 ms of DRIVER work per call (measured r14, guide §5: the driver
+# should do almost no data work), while re-building the scan with an
+# explicit schema costs ~18 ms.  This caches PLAN ingredients only --
+# never data, never results: every returned DataFrame is a fresh lazy
+# scan that re-reads parquet at action time, so bench/oracle runs are
+# unaffected semantically.  Keyed by applicationId (same discipline as
+# plans/extensions' session memos) and evicted when the owning app dies.
+_SCAN_MEMO: dict[tuple[str, str], tuple[T.StructType, list[str]]] = {}
+
+
+def _evict_dead_apps_scan(live_app_id: str) -> None:
+    for k in [k for k in _SCAN_MEMO if k[0] != live_app_id]:
+        del _SCAN_MEMO[k]
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S10 -- columnar scan of a published table (projection + predicate
     pushdown, partition pruning all free via the parquet source)."""
     from pyspark.sql import functions as F
 
     path = f"{sf_dir}/{name}.parquet"
-    nanos_cols = _nanos_ts_columns(path)
-    if nanos_cols:
-        # Runtime-settable; a session built outside get_spark (e.g. the
-        # driver's) would otherwise fail the scan with PARQUET_TYPE_ILLEGAL.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Parquet timestamps without isAdjustedToUTC must scan as TIMESTAMP
-    # (session-local), not TIMESTAMP_NTZ -- watermarks, window() and
-    # unix_micros all require TIMESTAMP, and with a UTC session the
-    # micros are identical. Runtime-settable here (not only in
-    # session.get_spark) so the engine behaves the same on a session
-    # built by an external harness.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(path)
+    app_id = spark.sparkContext.applicationId
+    memo = _SCAN_MEMO.get((app_id, path))
+    if memo is None:
+        _evict_dead_apps_scan(app_id)
+        nanos_cols = _nanos_ts_columns(path)
+        if nanos_cols:
+            # Runtime-settable; a session built outside get_spark (e.g. the
+            # driver's) would otherwise fail the scan with PARQUET_TYPE_ILLEGAL.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet timestamps without isAdjustedToUTC must scan as TIMESTAMP
+        # (session-local), not TIMESTAMP_NTZ -- watermarks, window() and
+        # unix_micros all require TIMESTAMP, and with a UTC session the
+        # micros are identical. Runtime-settable here (not only in
+        # session.get_spark) so the engine behaves the same on a session
+        # built by an external harness.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        memo = (spark.read.parquet(path).schema, nanos_cols)
+        _SCAN_MEMO[(app_id, path)] = memo
+    schema, nanos_cols = memo
+    # explicit schema: the scan skips footer re-resolution (it was resolved
+    # once above and is pinned per app+path); the DataFrame itself is a
+    # FRESH plan per call, so cross-query attribute-id sharing never arises
+    df = spark.read.schema(schema).parquet(path)
     dtypes = dict(df.dtypes)
     for c in nanos_cols:
         if dtypes.get(c) == "bigint":

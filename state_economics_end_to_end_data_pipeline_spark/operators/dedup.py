@@ -233,6 +233,40 @@ def _hex_bit_contrib(nibble_idx: int, bit_in_nibble: int):
     return contrib
 
 
+def _vote_sql(hexes_sql: str, g: int) -> str:
+    """SQL text of global bit ``g``'s vote sum over the token-hash array
+    ``hexes_sql`` -- the exact expression ``_hex_bit_contrib`` builds
+    (position-lookup nibble decode, +-1 vote, bigint fold), parsed
+    JVM-side in ONE ``F.expr`` call instead of ~30 py4j round trips per
+    bit.  r14 measured the per-bit Column-builder costing ~2.7 s of
+    driver time PER PLAN BUILD for the 96-bit banded table (the bench
+    rebuilds every entry's plan each pass); the string build is ~0.2 s
+    with a bit-identical expression tree (guide §7.3: very large
+    expression trees make planning itself the bottleneck -- here the
+    cost was not even planning but the Python->JVM chatter building the
+    tree)."""
+    ni, b = g // 4 + 1, g % 4
+    return (
+        f"aggregate(transform({hexes_sql}, t -> "
+        f"CAST((((position(substr(t, {ni}, 1), '0123456789abcdef') - 1) "
+        f">> {b}) & 1) * 2 - 1 AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _packed_votes_sql(hexes_sql: str, bits: list[int]) -> str:
+    """SQL text packing the sign bits of the vote sums for global bits
+    ``bits`` into one bigint (bit j of the result = 1 iff bit ``bits[j]``'s
+    vote sum is positive) -- the band/packing step shared by
+    ``simhash_band_cols`` and ``simhash_from_hexes``."""
+    terms = " + ".join(
+        f"(CASE WHEN {_vote_sql(hexes_sql, g)} > 0 "
+        f"THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j, g in enumerate(bits)
+    )
+    return f"(CAST(0 AS BIGINT) + {terms})"
+
+
 def derive_band_bits(
     n_docs: int,
     n_bands: int = 4,
@@ -287,7 +321,9 @@ def derive_band_bits(
     return w
 
 
-def simhash_band_cols(hexes: Column, band_bits: int, n_bands: int) -> list[Column]:
+def simhash_band_cols(
+    hexes: Column | str, band_bits: int, n_bands: int
+) -> list[Column]:
     """Per-band SimHash values: band b packs hash bits
     [b*band_bits, (b+1)*band_bits) into its own bigint, so total width
     band_bits * n_bands may exceed 63 (the single-bigint ceiling that
@@ -298,6 +334,19 @@ def simhash_band_cols(hexes: Column, band_bits: int, n_bands: int) -> list[Colum
         raise ValueError("band_bits must be in [4, 60]")
     if band_bits * n_bands > 128:  # md5 supplies 128 bits
         raise ValueError("band_bits * n_bands exceeds the md5 bit budget")
+    if isinstance(hexes, str):
+        # string input names the staged hash-array column: build each band
+        # as ONE JVM-parsed expression (see _vote_sql on why -- ~10x
+        # cheaper plan build, bit-identical expression)
+        return [
+            F.expr(
+                _packed_votes_sql(
+                    hexes,
+                    list(range(bnd * band_bits, (bnd + 1) * band_bits)),
+                )
+            )
+            for bnd in range(n_bands)
+        ]
     cols = []
     for bnd in range(n_bands):
         total = F.lit(0).cast("bigint")
@@ -338,13 +387,13 @@ def simhash_bands_table(
         "__h",
         F.transform(tokens(text_col), lambda t: F.substring(F.md5(t), 1, n_hex)),
     )
-    cols = simhash_band_cols(F.col("__h"), band_bits, n_bands)
+    cols = simhash_band_cols("__h", band_bits, n_bands)
     return staged.select(
         id_col, *[c.alias(f"band{b}") for b, c in enumerate(cols)]
     )
 
 
-def simhash_from_hexes(hexes: Column, n_bits: int = 60) -> Column:
+def simhash_from_hexes(hexes: Column | str, n_bits: int = 60) -> Column:
     """SimHash of arbitrary width (multiple of 4, <= 60) from an array of
     token hash prefixes (``substring(md5(token), 1, n_bits/4)``).
 
@@ -356,6 +405,12 @@ def simhash_from_hexes(hexes: Column, n_bits: int = 60) -> Column:
     that stays clear of bigint sign trouble on every engine."""
     if n_bits % 4 or not 4 <= n_bits <= 60:
         raise ValueError("n_bits must be a multiple of 4 in [4, 60]")
+
+    if isinstance(hexes, str):
+        # string input names the staged hash-array column: one JVM-parsed
+        # expression (see _vote_sql -- ~10x cheaper plan build, identical
+        # expression tree)
+        return F.expr(_packed_votes_sql(hexes, list(range(n_bits))))
 
     total = F.lit(0).cast("bigint")
     for j in range(n_bits):
@@ -387,7 +442,7 @@ def simhash_table(
         ),
     )
     return staged.select(
-        id_col, simhash_from_hexes(F.col("__h"), n_bits=n_bits).alias("simhash")
+        id_col, simhash_from_hexes("__h", n_bits=n_bits).alias("simhash")
     )
 
 
