@@ -75,13 +75,40 @@ def _iter_sql(prev: str, out: str) -> str:
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str, threshold: int) -> DataFrame:
     """Undirected co-purchase edge list (both directions), mirroring
-    ``_pair_edges_sql``: part pairs sharing >= threshold orders."""
+    ``_pair_edges_sql``: part pairs sharing >= threshold orders.
+
+    r14 shape (guide §2.3 "aggregate before you shuffle"): ONE shuffle
+    builds per-order baskets (``collect_set`` dedups map-side, so the
+    exchange carries at most one (order, part) per pair instead of two
+    full distinct-then-self-join legs), ordered pairs are generated
+    map-side from the sorted basket array, and the pair count is a
+    second partially-aggregated shuffle.  Replaces distinct + self-join
+    + count (3 exchanges, basket rows shuffled twice).  Row-identical
+    (exceptAll both ways = 0 at sf0.1).  Per-order work is O(c^2) in
+    basket size c -- exactly what the pair definition requires and the
+    same bound the self-join had; a single pathological giant basket
+    lands in one task either way (both plans key by order)."""
     li = t(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    a = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
     pairs = (
-        a.join(b, (a.k == b.k) & (F.col("src") < F.col("dst")))
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("parts"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("parts"), i + 2, F.size("parts")),
+                            lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= threshold)
@@ -187,20 +214,9 @@ def pagerank_parts_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- lineage grows linearly, so production loops checkpoint every ~10
     rounds to cut it. Contribution sums are decimal-exact, making the
     float trajectory identical across engines and partitionings."""
-    li = t(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    a = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    pairs = (
-        a.join(b, (a.k == b.k) & (F.col("src") < F.col("dst")))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 3)
-        .select("src", "dst")
-    )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    # shared single-shuffle basket builder (r14): was an inline
+    # distinct + self-join duplicate of _copurchase_edges at threshold=3
+    edges = _copurchase_edges(spark, sf_dir, threshold=3).cache()
     nodes = edges.select(F.col("src").alias("node")).distinct().cache()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_nodes = nodes.count()  # scalar: sizes the teleport term, O(1) result
