@@ -138,15 +138,25 @@ def jaccard_pairs(
     consumers (explain dumps, schema enumeration, catalog construction)
     pay nothing. The nominal cost would be re-executing the index
     pipeline 3x on action (both self-join sides + the size aggregate),
-    but in practice it does NOT recompute: the ``dropDuplicates``
-    shuffle below all three consumers is an identical exchange, and
-    AQE's runtime stage reuse computes it once and shares the map
-    output (measured: removing the dropDuplicates materialization
-    point and carrying sizes inline made the query ~40% SLOWER at
-    sf0.1 because each self-join side then re-ran the tokenize+shingle
-    pass). The explicit all-column dedup is therefore load-bearing
-    twice over: it is the distinct-gram semantics AND the shared
-    materialization point.
+    but in practice it does NOT recompute: the index is materialized by
+    ONE exchange that all three consumers share via AQE runtime stage
+    reuse (measured: removing the materialization point entirely and
+    carrying sizes inline made the query ~40% SLOWER at sf0.1 because
+    each self-join side then re-ran the tokenize+shingle pass).
+
+    r14 exchange diet (guide §2.4): the shared materialization point is
+    now ``repartition(join_keys)`` -- the exact partitioning the
+    self-join requires -- instead of a ``dropDuplicates`` over all
+    columns.  The old shape shuffled the index by (id, block, gram) and
+    then the self-join RE-shuffled both sides by (block, gram): two
+    full index exchanges.  Hash-partitioning by the join keys feeds the
+    self-join with zero further exchanges (ngram_jaccard_pairs measured
+    ~4.3s -> ~3.5s warm at sf0.1, identical rows).  The all-column
+    ``dropDuplicates`` stays for semantics (inputs with duplicate ids
+    must not double-count grams) but now runs ABOVE the repartition,
+    where HashPartitioning(block, gram) already satisfies its clustered
+    distribution -- a hash aggregate, no second exchange (verified in
+    the executed plan).
 
     ``eager=True`` -- opt in when the result will definitely be acted on
     and the session is long-lived: cache lifecycle is OWNED BY THE
@@ -160,6 +170,7 @@ def jaccard_pairs(
     localCheckpoint'ed result is not recomputable on executor loss."""
     # the inverted index feeds BOTH self-join sides and the per-doc size
     # aggregate -- persisted (eager mode) so explode+dedup runs once.
+    join_keys = ["block", "gram"] if block_col else ["gram"]
     sh = (
         df.withColumn("__toks", tokens(text_col))
         .select(
@@ -169,12 +180,14 @@ def jaccard_pairs(
                 word_ngrams(F.col("__toks"), n=shingle_n, distinct=True)
             ).alias("gram"),
         )
+        # join-key partitioning: the ONE index exchange, shared by both
+        # self-join sides with no re-shuffle (see docstring, r14)
+        .repartition(*[F.col(k) for k in join_keys])
         .dropDuplicates()
     )
     if eager:
         sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    join_keys = ["block", "gram"] if block_col else ["gram"]
     a = sh.withColumnRenamed("id", "id_a")
     b = sh.withColumnRenamed("id", "id_b")
     inter = (
