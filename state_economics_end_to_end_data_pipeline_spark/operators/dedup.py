@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from .text import tokens, word_ngrams
@@ -468,51 +468,67 @@ def cluster_labels(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     min-aggregate, O(cluster diameter) rounds -- near-dup clusters are
     shallow, so a handful. ``localCheckpoint`` truncates lineage each
     round (the plan would otherwise grow exponentially); the driver-side
-    convergence check is O(1) per round."""
+    convergence check is O(1) per round.
+
+    r14 round-body diet (same treatment as graph_analytics'
+    _min_label_components, labels verified bit-identical):
+
+    - SELF-LOOPS in the checkpointed edge list make the per-round
+      groupBy(src).min(label) cover each node's own label, so the
+      propagate step is ONE equi-join + aggregate -- the old shape
+      needed a second left join of labels against the propagated mins.
+    - Convergence uses the monotone potential (labels only ever
+      decrease under min-propagation, so SUM(label) strictly decreases
+      until fixpoint; decimal(38,0) so a wrapped bigint sum can never
+      fake convergence), measured by ``observe`` on the SAME job that
+      materializes the round's checkpoint -- the old shape paid a
+      separate join-old-vs-new + count action per round.
+    - The edge list is hash-partitioned by ``dst`` (the per-round join
+      key) before its one checkpoint; LogicalRDD preserves the
+      partitioning, so rounds shuffle only the narrow (id, label)
+      relation, never the edges."""
     # materialize the edge list ONCE -- every iteration joins against it,
     # and without this the whole upstream pipeline (e.g. MinHash -> LSH)
-    # would re-execute per round.
+    # would re-execute per round.  Self-loops ride along (id as both
+    # ends) so the propagate aggregate includes each node's own label.
+    directed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        directed.union(
+            directed.select(F.col("src").alias("src"), F.col("src").alias("dst"))
+        )
         .distinct()
+        .repartition("dst")
         .localCheckpoint()
     )
     # star-collapse initialization: label = min(id, direct neighbors).
     # Resolves star/clique shapes immediately; chains converge in
-    # O(log diameter)-ish rounds instead of O(diameter).
+    # O(log diameter)-ish rounds instead of O(diameter).  (Self-loops
+    # make min(dst) already include id, so the least() is folded in.)
+    pot_expr = F.sum(F.col("label").cast("decimal(38,0)")).alias("pot")
+    obs0 = Observation()
     labels = (
         edges.groupBy(F.col("src").alias("id"))
-        .agg(F.min("dst").alias("min_nb"))
-        .select("id", F.least("id", "min_nb").alias("label"))
+        .agg(F.min("dst").alias("label"))
+        .observe(obs0, pot_expr)
         .localCheckpoint()
     )
+    potential = obs0.get["pot"]
     for _ in range(max_iter):
-        prop = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
+        obs = Observation()
         new_labels = (
-            labels.join(prop, labels.id == prop.src, "left")
-            .select(
-                labels.id,
-                F.least(
-                    labels.label, F.coalesce(prop.nlabel, labels.label)
-                ).alias("label"),
-            )
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("label").alias("label"))
+            .observe(obs, pot_expr)
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_potential = obs.get["pot"]
         labels = new_labels
-        if changed == 0:
+        if new_potential == potential:
             break
+        potential = new_potential
     return labels
 
 
