@@ -67,6 +67,44 @@ def _py_norm2(vec) -> float:
     return acc
 
 
+def _sql_dlit(x: float) -> str:
+    """SQL text of one exact double literal: ``repr`` round-trips the
+    IEEE value and a string->double cast is the exact inverse parse
+    (constant-folded to the identical Literal at analysis)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sql_darr(vals) -> str:
+    """SQL text of a literal array<double>."""
+    return "array(" + ", ".join(_sql_dlit(v) for v in vals) + ")"
+
+
+def _sql_dot_lit(vec_sql: str, vals) -> str:
+    """SQL text of ``dot(vec, lit(vals))`` -- the same sequential-fold
+    expression tree the Column builder makes, parsed JVM-side in one
+    call.  r14: the per-centroid/per-code Column builders cost ~0.5-1.5s
+    of DRIVER py4j chatter per PLAN BUILD for the ANN operators (k
+    centroids x d dims of literals); the string build is milliseconds
+    and analyzes to the identical plan (guide §7.3 -- plan construction
+    itself was the bottleneck, verified bit-identical by exceptAll)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_sql_darr(vals)}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _sql_d2_lit(vec_sql: str, vals) -> str:
+    """SQL text of the squared-L2 fold against a literal vector (the
+    ``pq_encode``/``kmeans_lloyd_vectorized`` distance) -- see
+    ``_sql_dot_lit`` on why a string build."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_sql_darr(vals)}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 def l2_normalize(a: Column, nrm: Column | None = None) -> Column:
     """Unit vector (array<double>) -- pure JVM transform/aggregate; the
     production path for normalization (the pandas_udf variant in
@@ -299,29 +337,21 @@ def assign_cells(
         F.col(vec_col).alias("vec"),
         norm2(F.col(vec_col)).alias("__n2"),
     )
-    scored = F.array(
-        *[
-            F.struct(
-                # try_divide yields NULL for a zero (degenerate) vector or
-                # centroid, and NULL would sort FIRST in the ascending
-                # struct sort below -- electing the degenerate centroid as
-                # nearest for every row. Coalesce to +inf so degenerate
-                # entries rank strictly last instead.
-                F.coalesce(
-                    -cosine_prenormed(
-                        F.col("vec"),
-                        F.lit(list(map(float, r["c_vec"]))),
-                        F.col("__n2"),
-                        F.lit(_py_norm2(r["c_vec"])),
-                    ),
-                    F.lit(float("inf")),
-                ).alias("neg_cos"),
-                F.lit(r["cell"]).cast("long").alias("cell"),
-            )
-            for r in cents
-        ]
+    # One JVM-parsed expression for the whole scored array (see
+    # _sql_dot_lit: the per-centroid Column builder dominated plan-build
+    # time).  try_divide yields NULL for a zero (degenerate) vector or
+    # centroid, and NULL would sort FIRST in the ascending struct sort
+    # below -- electing the degenerate centroid as nearest for every
+    # row.  Coalesce to +inf so degenerate entries rank strictly last.
+    structs = ", ".join(
+        "named_struct('neg_cos', coalesce(-try_divide("
+        + _sql_dot_lit("vec", [float(x) for x in r["c_vec"]])
+        + f", sqrt(__n2 * {_sql_dlit(_py_norm2(r['c_vec']))})), "
+        "CAST('Infinity' AS DOUBLE)), "
+        f"'cell', CAST({int(r['cell'])} AS BIGINT))"
+        for r in cents
     )
-    probes = F.slice(F.sort_array(scored), 1, n_probe)
+    probes = F.expr(f"slice(sort_array(array({structs})), 1, {int(n_probe)})")
     exploded = v.select(
         "id", "vec", F.posexplode(probes).alias("pos", "probe")
     )
@@ -363,36 +393,31 @@ def pq_encode(
     for (s, c), vec in sorted(codebook.items()):
         codes_per_sub.setdefault(s, []).append((c, vec))
 
-    def d2_to(sub_expr: Column, lit_vec: list[float]) -> Column:
-        diffs = F.zip_with(
-            sub_expr,
-            F.lit(lit_vec),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        )
-        return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
-
+    # One JVM-parsed expression for the whole (subspace, code, d2) array
+    # (see _sql_dot_lit: the m x k Column-built folds dominated
+    # plan-build time).  The per-subspace argmin struct is routed
+    # through transform(array(best), ...) so the sort_array(...) -- and
+    # with it all k distance folds -- is evaluated ONCE per row and
+    # subspace; the old Column form referenced best['code'] and
+    # best['d2'] separately, duplicating every fold (HOF lambdas are
+    # excluded from Catalyst CSE).  Values are bit-identical.
     rows = []
     for s in range(m):
-        sub = F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
-        scored = F.array(
-            *[
-                F.struct(
-                    d2_to(sub, vec).alias("d2"),
-                    F.lit(c).cast("bigint").alias("code"),
-                )
-                for c, vec in codes_per_sub[s]
-            ]
+        sub = f"slice(`{vec_col}`, {s * sub_dim + 1}, {sub_dim})"
+        scored = ", ".join(
+            f"named_struct('d2', {_sql_d2_lit(sub, vec)}, "
+            f"'code', CAST({int(c)} AS BIGINT))"
+            for c, vec in codes_per_sub[s]
         )
-        best = F.sort_array(scored)[0]
+        best = f"sort_array(array({scored}))[0]"
         rows.append(
-            F.struct(
-                F.lit(s).cast("bigint").alias("subspace"),
-                best["code"].alias("code"),
-                best["d2"].alias("d2"),
-            )
+            f"transform(array({best}), b -> named_struct("
+            f"'subspace', CAST({s} AS BIGINT), "
+            f"'code', b.code, 'd2', b.d2))[0]"
         )
+    q = F.expr("array(" + ", ".join(rows) + ")")
     return df.select(
-        F.col(id_col), *[F.col(c) for c in keep], F.explode(F.array(*rows)).alias("q")
+        F.col(id_col), *[F.col(c) for c in keep], F.explode(q).alias("q")
     ).select(id_col, *keep, "q.subspace", "q.code", "q.d2")
 
 
@@ -605,31 +630,27 @@ def kmeans_lloyd_vectorized(
     dim = len(cents[0][1])
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
 
-    def d2_to(c_vec: list[float]) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                F.col("vec"),
-                F.lit(c_vec),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, y: acc + y,
-        )
-
     asg = None
     for rnd in range(1, rounds + 1):
-        scored = F.array(
-            *[
-                F.struct(
-                    d2_to(c_vec).alias("d2"),
-                    F.lit(cell).cast("bigint").alias("cell"),
-                )
-                for cell, c_vec in cents
-            ]
+        # one JVM-parsed expression per round (see _sql_d2_lit), with the
+        # argmin struct STAGED as its own column so the k distance folds
+        # run ONCE per row -- the old amin['cell'] / amin['d2'] pair
+        # duplicated the whole array_min subtree in the projection (HOF
+        # lambdas are excluded from Catalyst CSE; CollapseProject keeps
+        # a non-cheap staged column referenced twice, same discipline as
+        # with_l2_normalized); values bit-identical
+        scored = ", ".join(
+            f"named_struct('d2', {_sql_d2_lit('vec', c_vec)}, "
+            f"'cell', CAST({int(cell)} AS BIGINT))"
+            for cell, c_vec in cents
         )
-        amin = F.array_min(scored)
-        asg = v.select(
-            "id", "vec", amin["cell"].alias("cell"), amin["d2"].alias("d2")
+        staged = v.select(
+            "id", "vec", F.expr(f"array_min(array({scored}))").alias("__amin")
+        )
+        asg = staged.select(
+            "id", "vec",
+            F.col("__amin.cell").alias("cell"),
+            F.col("__amin.d2").alias("d2"),
         )
         if rnd < rounds:
             means = asg.groupBy("cell").agg(
