@@ -354,7 +354,7 @@ def run_available_now(
     result: DataFrame,
     output_mode: str = "complete",
     timeout_s: int = 300,
-    shuffle_partitions: int | None = 4,
+    shuffle_partitions: int | None = 2,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion on the data available
     now (memory sink) and return the result table. Finite, deterministic
@@ -364,8 +364,10 @@ def run_available_now(
     each stateful operator maintains one store PER shuffle partition
     (a stream-stream join keeps FOUR per partition), so a small bounded
     replay wants few stores -- measured at sf0.1: the interval join drops
-    ~0.6s going 8->4 stores/partition-group, windowed aggs are flat; an
-    unbounded production run wants many. The checkpoint goes to a
+    ~0.6s going 8->4 stores/partition-group, and r14 re-measured the
+    4-entry stateful mix at ~0.1-0.2s/entry cheaper again at 2 (kept >1
+    so multi-partition state semantics stay exercised); an unbounded
+    production run wants many (callers pass their own). The checkpoint goes to a
     session-shared tmpfs base (``stream_checkpoint_dir``), cutting the
     availableNow harness floor from ~1.2s to ~0.85s measured for a
     stateless memory-sink replay (query start, source listing, sink
