@@ -2423,24 +2423,33 @@ def random_walks_hash3(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer shape).
 
     Scale shape: each step is ONE equi-join of the walk frontier
-    against the ranked adjacency (walks never fan out -- exactly one row
-    per (start, step)), so a T-step corpus costs T keyed shuffles over
-    |V| rows regardless of walk count per node; the adjacency ranking
-    is a per-node window whose partition is a node's degree (for
-    hub-heavy graphs, rank arithmetically from a degree-capped
-    neighbor sample -- the graph_neighbor_jaccard hub discipline; the
-    co-purchase degrees here are threshold-bounded). The md5 coin is
-    engine-identical by construction (`_hex_to_int_sql` nibble idiom).
+    against the SORTED ADJACENCY ARRAY (walks never fan out -- exactly
+    one row per (start, step)), so a T-step corpus costs T keyed
+    shuffles over |V| rows regardless of walk count per node.  r14: the
+    ranked-edge formulation cost TWO joins per step (degree lookup +
+    (cur, k)=(src, rk) rank equi-join) plus a per-node row_number
+    window; grouping each node's neighbors once into a sorted array
+    (one partially-aggregated shuffle, checkpointed partitioned by src)
+    makes each step prev JOIN adj + element_at(nbrs, k) -- rows
+    verified identical.  The k-th-neighbor-by-id semantics is the
+    array's sort order; a hub's array is one aggregation-buffer row
+    exactly like the old window partition (degrees here are
+    threshold-bounded; for hub-heavy graphs cap/sample the neighbor
+    list first -- the graph_neighbor_jaccard hub discipline). The md5
+    coin is engine-identical by construction (`_hex_to_int_sql` nibble
+    idiom).
     """
-    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    from pyspark.sql import Window
-
-    nb = edges.withColumn(
-        "rk", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+    adj = (
+        _copurchase_edges(spark, sf_dir, threshold=2)
+        .groupBy("src")
+        .agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs"),
+            F.count(F.lit(1)).alias("outdeg"),
+        )
+        .repartition("src")
+        .localCheckpoint()
     )
-    walks = [nodes.select(F.col("node").alias("start"), F.col("node").alias("cur"))]
+    walks = [adj.select(F.col("src").alias("start"), F.col("src").alias("cur"))]
     for s in range(1, _WALK_STEPS + 1):
         coin = (
             F.conv(
@@ -2456,11 +2465,8 @@ def random_walks_hash3(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         )
         prev = walks[-1]
-        stepped = (
-            prev.join(deg, prev.cur == deg.src)
-            .withColumn("k", coin)
-            .join(nb, (F.col("cur") == nb.src) & (F.col("k") == nb.rk))
-            .select("start", F.col("dst").alias("cur"))
+        stepped = prev.join(adj, prev.cur == adj.src).select(
+            "start", F.element_at("nbrs", coin.cast("int")).alias("cur")
         )
         walks.append(stepped)
     out = None
