@@ -1310,20 +1310,35 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     `item_item_cosine_topk` (co-occurrence counts from baskets) --
     this scores GRAPH-structural overlap at 2 hops.
     """
+    # r14 wedge shape (guide §2.3 "aggregate before you shuffle", same
+    # pattern as market_basket_pairs/_copurchase_edges): ONE groupBy(via)
+    # yields each intermediary's sorted neighbor array AND its degree
+    # (the undirected graph has indegree == outdegree, so size(nbrs) is
+    # exactly the old out-degree gate); wedge pairs explode map-side
+    # from the capped array instead of a via-keyed edge self-join (two
+    # exchanges of the edge list, wedge rows shuffled raw).  Rows
+    # verified identical; the degree cap bounds per-via fan-out at
+    # C(cap, 2) exactly as before.
     edges = _copurchase_edges(spark, sf_dir, threshold=2)
-    degs = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
+    grouped = edges.groupBy(F.col("dst").alias("via")).agg(
+        F.sort_array(F.collect_set("src")).alias("nbrs")
     )
-    viaok = degs.filter(F.col("d") <= _NJ_VIA_DEGREE_CAP).select(
-        F.col("node").alias("via")
+    degs = grouped.select(
+        F.col("via").alias("node"), F.size("nbrs").cast("long").alias("d")
     )
-    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("via"))
-    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("via"))
+    pair_structs = F.flatten(
+        F.transform(
+            "nbrs",
+            lambda x, i: F.transform(
+                F.slice(F.col("nbrs"), i + F.lit(2), F.size("nbrs")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     common = (
-        e1.join(viaok, "via")
-        .join(e2, "via")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        grouped.filter(F.size("nbrs") <= _NJ_VIA_DEGREE_CAP)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("cn"))
     )
     da = degs.select(F.col("node").alias("a"), F.col("d").alias("da"))
