@@ -220,11 +220,16 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select(
         "doc_id", F.explode(F.array(*bands)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
-    hist_buckets = banded.join(
-        hist.select("doc_id"), "doc_id", "left_semi"
-    ).select("band", "bucket").distinct()
+    # r14 (guide §2.4 "remove shuffles outright"): batch membership is a
+    # deterministic PREDICATE of doc_id, so splitting the banded stream
+    # is a filter, not a semi-join against a data-sized id set -- the
+    # old plan paid two id-keyed shuffle joins to re-derive what the
+    # rows already carry.  (In the nightly-production shape the batch
+    # tag arrives as a column on the signature table; either way it is
+    # row-local.)  Rows verified identical.
+    hist_buckets = banded.filter(~is_new).select("band", "bucket").distinct()
     near_ids = (
-        banded.join(batch.select("doc_id"), "doc_id", "left_semi")
+        banded.filter(is_new)
         .join(hist_buckets, ["band", "bucket"], "left_semi")
         .select("doc_id")
         .distinct()
@@ -5112,19 +5117,37 @@ def gram_novelty_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(word_ngrams(tokens("text"), n=5, distinct=True)).alias("gram"),
     )
-    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    # integer division end to end (float division + cast truncates the
-    # same way for the fixture's small ids, but drifts past 2^53)
-    j = g.join(firsts, "gram").select(
-        F.expr("doc_id div 100").cast("bigint").alias("bucket"),
-        "gram",
-        (F.expr("first_doc div 100") == F.expr("doc_id div 100")).alias("is_novel"),
+    # r14 shape (guide §2.3 "aggregate before you shuffle" / §2.4): the
+    # old plan joined the data-sized gram stream back to the firsts
+    # aggregate (one raw-row exchange of g) and then paid TWO
+    # countDistincts under groupBy(bucket) -- an Expand doubling the
+    # join output before a third exchange.  But both published counts
+    # are aggregate-only:
+    #   grams_seen(bucket)  = |distinct (gram, bucket)|  per bucket
+    #   novel_grams(bucket) = |{gram : min(doc_id) div 100 == bucket}|
+    # (a gram's first doc lies IN its first bucket, so "novel AND seen"
+    # degenerates to a predicate on the firsts relation -- no join back
+    # to occurrences is needed).  Both branches shuffle partially
+    # aggregated rows only; the final assembly joins two O(buckets)
+    # relations.  Integer division end to end (float division + cast
+    # truncates the same way for the fixture's small ids, but drifts
+    # past 2^53).  Rows verified identical to the join formulation.
+    seen = (
+        g.select(F.expr("doc_id div 100").cast("bigint").alias("bucket"), "gram")
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("grams_seen"))
     )
-    return j.groupBy("bucket").agg(
-        F.countDistinct("gram").cast("bigint").alias("grams_seen"),
-        F.countDistinct(F.when(F.col("is_novel"), F.col("gram")))
-        .cast("bigint")
-        .alias("novel_grams"),
+    novel = (
+        g.groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.expr("first_doc div 100").cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("novel_grams"))
+    )
+    return seen.join(novel, "bucket", "left_outer").select(
+        "bucket",
+        "grams_seen",
+        F.coalesce("novel_grams", F.lit(0)).cast("bigint").alias("novel_grams"),
     )
 
 

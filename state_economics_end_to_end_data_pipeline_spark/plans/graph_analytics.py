@@ -216,16 +216,21 @@ def pagerank_parts_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     float trajectory identical across engines and partitionings."""
     # shared single-shuffle basket builder (r14): was an inline
     # distinct + self-join duplicate of _copurchase_edges at threshold=3
-    edges = _copurchase_edges(spark, sf_dir, threshold=3).cache()
-    nodes = edges.select(F.col("src").alias("node")).distinct().cache()
+    edges = _copurchase_edges(spark, sf_dir, threshold=3)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # r14 (guide §2.4): outdeg is round-invariant, so it is folded onto
+    # the cached edge relation ONCE instead of re-joined inside every
+    # iteration -- each round is now exactly one join (ranks onto the
+    # weighted edges), not two.  The per-edge rank/outdeg decimal
+    # arithmetic is unchanged, so the trajectory stays bit-identical.
+    ewd = edges.join(deg, "src").cache()
+    nodes = ewd.select(F.col("src").alias("node")).distinct().cache()
     n_nodes = nodes.count()  # scalar: sizes the teleport term, O(1) result
 
     ranks = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
     for _ in range(3):
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
+            ewd.join(ranks, ewd.src == ranks.node)
             .groupBy("dst")
             .agg(
                 F.sum((F.col("rank") / F.col("outdeg")).cast("decimal(38,18)"))
@@ -316,9 +321,12 @@ def ppr_parts_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no graph operators in the reference
     (DAG1:1-322); module docstring covers the family.
     """
-    edges = _copurchase_edges(spark, sf_dir, threshold=2).cache()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    edges = _copurchase_edges(spark, sf_dir, threshold=2)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # r14: outdeg folded onto the cached edge relation once (the
+    # pagerank_parts_3iter rationale) -- one join per round, not two
+    ewd = edges.join(deg, "src").cache()
+    nodes = ewd.select(F.col("src").alias("node")).distinct()
     seed = (
         deg.orderBy(F.col("outdeg").desc(), F.col("src").asc())
         .limit(1)
@@ -344,8 +352,7 @@ def ppr_parts_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(3):
         contrib = (
-            edges.join(ranks.select("node", "rank"), edges.src == F.col("node"))
-            .join(deg, "src")
+            ewd.join(ranks.select("node", "rank"), ewd.src == F.col("node"))
             .groupBy("dst")
             .agg(
                 F.sum((F.col("rank") / F.col("outdeg")).cast("decimal(38,18)"))
@@ -445,9 +452,12 @@ def ppr_multiseed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    edges = _copurchase_edges(spark, sf_dir, threshold=2).cache()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    edges = _copurchase_edges(spark, sf_dir, threshold=2)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # r14: outdeg folded onto the cached edge relation once (the
+    # pagerank_parts_3iter rationale) -- one join per round, not two
+    ewd = edges.join(deg, "src").cache()
+    nodes = ewd.select(F.col("src").alias("node")).distinct()
     wseed = Window.orderBy(F.col("outdeg").desc(), F.col("src").asc())
     seeds = (
         deg.orderBy(F.col("outdeg").desc(), F.col("src").asc())
@@ -473,13 +483,12 @@ def ppr_multiseed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(3):
         contrib = (
-            edges.join(
+            ewd.join(
                 ranks.select(
                     F.col("seed_id").alias("sid"), F.col("node").alias("rn"), "rank"
                 ),
-                edges.src == F.col("rn"),
+                ewd.src == F.col("rn"),
             )
-            .join(deg, "src")
             .groupBy("sid", "dst")
             .agg(
                 F.sum((F.col("rank") / F.col("outdeg")).cast("decimal(38,18)"))
@@ -1521,18 +1530,41 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
+    # r14 (guide §2.3/§2.4): node v appears as the src of exactly d(v)
+    # directed edges, so three of the four sums are MOMENTS of the
+    # degree sequence -- m = SUM(d), SUM(x) = SUM(d^2), SUM(x^2) =
+    # SUM(d^3) -- computable from the O(nodes) degree relation with NO
+    # edge join at all.  Only SUM(x*y) needs edge structure, and one
+    # edges|><|deg join + a src-keyed re-aggregate gives the per-node
+    # neighbor-degree sum sy(v); SUM(x*y) = SUM(d(v) * sy(v)) folds on
+    # the O(nodes) relation.  One O(edges) join instead of two.  The
+    # d^3 / d*sy per-term products route through decimal(38,0) (house
+    # overflow discipline -- the old per-term d*d envelope widened to
+    # d^3); every sum is the same exact integer as the edge-level
+    # formulation, verified bit-identical.
+    dec = "decimal(38,0)"
+    mom = deg.agg(
+        # coalesce(0): the old edge-level m was a COUNT, i.e. 0 (not
+        # NULL) on an empty graph
+        F.coalesce(F.sum("d"), F.lit(0)).cast("bigint").alias("m"),
+        F.sum(F.col("d").cast(dec) * F.col("d")).cast("bigint").alias("sx"),
+        F.sum(F.col("d").cast(dec) * F.col("d") * F.col("d"))
+        .cast("bigint")
+        .alias("sx2"),
+    )
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
-    s = (
-        edges.join(du, edges.src == du.u)
-        .join(dv, edges.dst == dv.v)
+    sy = (
+        edges.join(dv, edges.dst == dv.v)
+        .groupBy("src")
+        .agg(F.sum("y").alias("sy"))
+    )
+    sxy = (
+        sy.join(deg, sy.src == deg.node)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("m"),
-            F.sum("x").cast("bigint").alias("sx"),
-            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+            F.sum(F.col("d").cast(dec) * F.col("sy")).cast("bigint").alias("sxy")
         )
     )
+    s = mom.crossJoin(F.broadcast(sxy))
     num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")
     den = F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx")
     return s.select(
