@@ -812,13 +812,18 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # current multigraph IS the k-core -- stop WITHOUT contracting
         # any remaining degree-2 chains (they are core chains;
         # contraction is pure acceleration, never needed at fixpoint).
+        # r14: the emptiness probes ride each checkpoint's own job via
+        # ``observe`` (the _min_label_components idiom) instead of a
+        # separate limit(1).count() job per round
+        obs_dead = Observation()
         dead = (
             _mg_degrees(edges)
             .filter(F.col("d") < _KCORE_K)
             .select("node")
+            .observe(obs_dead, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if dead.limit(1).count() == 0:
+        if obs_dead.get["n"] == 0:
             LAST_ROUNDS["kcore_parts"] = rounds[0]
             break
         bump()
@@ -835,13 +840,15 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per round) and is collapsed here in O(log chain) rounds.
         if rakes < _KCORE_COMPRESS_AFTER:
             continue
+        obs_d2 = Observation()
         d2 = (
             _mg_degrees(edges)
             .filter(F.col("d") == _KCORE_K)
             .select("node")
+            .observe(obs_d2, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if d2.limit(1).count() == 0:
+        if obs_d2.get["n"] == 0:
             continue
         bump()  # the contraction rewrite is one materialized round
         if "eid" not in edges.columns:  # first contraction: attach ids
@@ -866,13 +873,15 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pointer doubling only over nodes actually ON a d2-d2 chain;
         # an isolated degree-2 node (both neighbors anchors) is its own
         # trivial chain and needs no rounds at all
+        obs_cn = Observation()
         chain_nodes = (
             chain_edges.select(F.col("u").alias("node"))
             .unionByName(chain_edges.select(F.col("v").alias("node")))
             .distinct()
+            .observe(obs_cn, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if chain_nodes.limit(1).count() > 0:
+        if obs_cn.get["n"] > 0:
             ce = chain_edges.select(
                 F.col("u").alias("src"), F.col("v").alias("dst")
             )
@@ -1121,7 +1130,19 @@ def coreness_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    # r14: the _min_label_components round-body treatment applied here
+    # (guide §2.4): (a) the edge list is hash-repartitioned by ``dst``
+    # -- the per-round join key -- before its one checkpoint, so rounds
+    # shuffle only the narrow (node, h) relation, never the edges;
+    # (b) the monotone convergence potential rides each round's own
+    # localCheckpoint job via ``observe`` instead of a separate
+    # agg().collect() action per round.  Estimates bit-identical, same
+    # round count.
+    edges = (
+        _copurchase_edges(spark, sf_dir, threshold=2)
+        .repartition("dst")
+        .localCheckpoint()
+    )
     deg = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
@@ -1137,11 +1158,16 @@ def coreness_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("cand").alias("h0"))
         .collect()[0][0]
     )
-    h = deg.select(
-        "node", F.least(F.col("d"), F.lit(int(h0cap))).cast("bigint").alias("h")
-    ).localCheckpoint()
-    pot_expr = F.sum(F.col("h").cast("decimal(38,0)"))
-    potential = h.agg(pot_expr).collect()[0][0]
+    pot_expr = F.sum(F.col("h").cast("decimal(38,0)")).alias("pot")
+    obs0 = Observation()
+    h = (
+        deg.select(
+            "node", F.least(F.col("d"), F.lit(int(h0cap))).cast("bigint").alias("h")
+        )
+        .observe(obs0, pot_expr)
+        .localCheckpoint()
+    )
+    potential = obs0.get["pot"]
     w = Window.partitionBy("node").orderBy(F.col("nh").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1152,13 +1178,15 @@ def coreness_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node", "nh")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         )
+        obs = Observation()
         h = (
             cnt.withColumn("s", F.sum("cnt").over(w))
             .groupBy("node")
             .agg(F.max(F.least(F.col("nh"), F.col("s"))).alias("h"))
+            .observe(obs, pot_expr)
             .localCheckpoint()
         )
-        new_potential = h.agg(pot_expr).collect()[0][0]
+        new_potential = obs.get["pot"]
         if new_potential == potential:
             LAST_ROUNDS["coreness_hindex"] = rnd
             break
@@ -2232,7 +2260,13 @@ def densest_subgraph_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     RuntimeError if the cap is ever hit (impossible below ~1.5^48
     nodes, but never publish a partial peel silently).
     """
-    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    # r14: src-partitioned checkpoint -- round 1's degree aggregate and
+    # src semi-join consume the preserved partitioning exchange-free
+    edges = (
+        _copurchase_edges(spark, sf_dir, threshold=2)
+        .repartition("src")
+        .localCheckpoint()
+    )
     return greedy_densest_subgraph(edges, rounds_key="densest_subgraph_peel")
 
 
@@ -2243,9 +2277,30 @@ def greedy_densest_subgraph(
     DataFrame (see ``densest_subgraph_peel`` for the algorithm and the
     scale contract). Exposed separately so tests can drive it on
     synthetic graphs (planted-clique behavior)."""
-    s = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    # r14 round-body optimization (guide §2.4), results bit-identical:
+    # - survivors derive from e's OWN degree aggregate: a node of s with
+    #   zero surviving edges has deg 0 and fails the cross-multiplied
+    #   test (2n*0 > 3D is false for D >= 0), so the old s-side
+    #   left_outer join existed only to manufacture rows the filter
+    #   drops anyway -- one partially-aggregated shuffle per round, no
+    #   join.  (dd == 0 edge case: old removed every node via deg 0,
+    #   new yields an empty aggregate -- same empty s.)
+    # - n and dd ride each round's OWN localCheckpoint jobs via
+    #   ``observe`` (the _min_label_components idiom) instead of two
+    #   extra count() jobs per round.
+    # - e re-checkpoints hash-partitioned by src, so the next round's
+    #   degree aggregate and src semi-join are exchange-free
+    #   (LogicalRDD preserves output partitioning); only the dst
+    #   semi-join re-shuffles the surviving edges.
+    obs0 = Observation()
+    s = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     e = edges
-    n, dd = s.count(), e.count()
+    n, dd = obs0.get["n"], e.count()
     best = None  # (density, node_set, n, dd)
     for rnd in range(_DSG_CAP):
         if n == 0:
@@ -2255,22 +2310,25 @@ def greedy_densest_subgraph(
         dens = dd / (2 * n)
         if best is None or dens > best[0]:
             best = (dens, s, n, dd)
-        deg = (
-            s.join(e, s.node == e.src, "left_outer")
-            .groupBy("node")
-            .agg(F.count("src").alias("deg"))
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
         )
+        obs_s = Observation()
         s = (
             deg.filter(2 * F.lit(n) * F.col("deg") > 3 * F.lit(dd))
             .select("node")
+            .observe(obs_s, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
+        obs_e = Observation()
         e = (
             e.join(s.select(F.col("node").alias("src")), "src", "leftsemi")
             .join(s.select(F.col("node").alias("dst")), "dst", "leftsemi")
+            .repartition("src")
+            .observe(obs_e, F.count(F.lit(1)).alias("dd"))
             .localCheckpoint()
         )
-        n, dd = s.count(), e.count()
+        n, dd = obs_s.get["n"], obs_e.get["dd"]
     else:
         raise RuntimeError(
             f"densest_subgraph_peel: set non-empty after {_DSG_CAP} rounds -- "
@@ -2366,23 +2424,40 @@ def mis_parts_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_bfs_hops measurement; loud RuntimeError if the active set
     survives the cap (never publish a partial MIS).
     """
+    # r14 round-body optimization (guide §2.4), MIS bit-identical:
+    # - a node's priority is md5(node) -- a PURE FUNCTION of the id the
+    #   edge row already carries -- so the per-round pri equi-join in
+    #   the neighbor-min aggregate is replaced by computing md5(dst)
+    #   inline on the active edge stream (one join per round gone);
+    # - the active-induced edge set feeds BOTH the neighbor-min and the
+    #   kill set; it is checkpointed (src-partitioned: the neighbor-min
+    #   groupBy(src) and the kill semi-join consume the preserved
+    #   partitioning exchange-free) so its two semi-joins run once per
+    #   round, not twice;
+    # - the active-set emptiness probe rides each round's own
+    #   localCheckpoint job via ``observe`` instead of an isEmpty() job.
     edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    pri = nodes.select(
-        "node", F.md5(F.col("node").cast("string")).alias("pri")
-    ).localCheckpoint()
-    act = pri
+    obs0 = Observation()
+    pri = (
+        nodes.select("node", F.md5(F.col("node").cast("string")).alias("pri"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    act, n_act = pri, obs0.get["n"]
     mis_parts = []
     for rnd in range(_MIS_ROUNDS):
-        if act.isEmpty():
+        if n_act == 0:
             LAST_ROUNDS["mis_parts_luby"] = rnd
             break
         eact = (
             edges.join(act.select(F.col("node").alias("src")), "src", "leftsemi")
             .join(act.select(F.col("node").alias("dst")), "dst", "leftsemi")
+            .repartition("src")
+            .localCheckpoint()
         )
         nbmin = (
-            eact.join(pri.select(F.col("node").alias("dst"), F.col("pri").alias("npri")), "dst")
+            eact.select("src", F.md5(F.col("dst").cast("string")).alias("npri"))
             .groupBy("src")
             .agg(F.min("npri").alias("minp"))
             .withColumnRenamed("src", "node")
@@ -2399,7 +2474,13 @@ def mis_parts_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        act = act.join(killed, "node", "left_anti").localCheckpoint()
+        obs = Observation()
+        act = (
+            act.join(killed, "node", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        n_act = obs.get["n"]
     else:
         raise RuntimeError(
             f"mis_parts_luby: active set non-empty after {_MIS_ROUNDS} rounds "
