@@ -187,7 +187,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.lit(h).alias("hops"))
             .localCheckpoint()
         )
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # r14: the visited set is a LAZY union -- every child is already
+        # a checkpointed LogicalRDD, so referencing it per round costs a
+        # linear union scan, never subtree recompute; the old per-round
+        # re-checkpoint of the whole union was one extra materialization
+        # job per hop (the exponential-duplication hazard the per-round
+        # checkpoint exists for lives in nxt, which stays checkpointed)
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return visited.groupBy(F.col("hops").cast("bigint").alias("hops")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
@@ -1545,11 +1551,13 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate pins the full-precision numerators too.  Degenerate
     regular graphs (zero variance) publish NULL via NULLIF.
 
-    Scale shape: two broadcast-or-shuffle joins of the edge list
-    against the O(nodes) degree relation, then ONE global map-side-
-    combined aggregate producing a single row.  No windows, no driver
-    state, no per-node anything -- the cheapest entry in the graph
-    family at any scale.
+    Scale shape (r14): m, SUM(x), SUM(x^2) are MOMENTS of the degree
+    sequence folded from the O(nodes) degree relation with no edge
+    join; only SUM(x*y) touches edges -- one broadcast-or-shuffle join
+    of the edge list against the degree relation, a src-keyed partial
+    aggregate, and an O(nodes) fold.  One single-row output, no
+    windows, no driver state -- the cheapest entry in the graph family
+    at any scale.
 
     Reference parity: no graph operators in the reference (DAG1:1-322);
     module docstring covers the family.
@@ -2015,7 +2023,9 @@ def harmonic_centrality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("seed", "node", F.lit(h).alias("hop"))
             .localCheckpoint()
         )
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # r14: lazy visited union -- the graph_bfs_hops rationale (every
+        # child checkpointed; one materialization job per hop removed)
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("seed", "node")
     return (
         visited.filter(F.col("hop") > 0)
