@@ -1264,21 +1264,38 @@ def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand")
     )
-    tdir = edges.agg(F.count(F.lit(1)).cast("bigint").alias("t_dir"))
     la = lab.select(F.col("node").alias("src"), F.col("brand").alias("brand_a"))
     lb = lab.select(F.col("node").alias("dst"), F.col("brand").alias("brand_b"))
-    # no broadcast hint on the labeling: (node, brand) is O(parts) and
-    # scales with SF, so a forced broadcast OOMs the driver at 100 TB --
-    # AQE broadcasts at runtime when the labeling is actually small and
-    # falls back to a shuffled hash join when it is not
-    both = edges.join(la, "src").join(lb, "dst")
+    # r14 (guide §2.3/§2.4): the labeling covers every node (edge
+    # endpoints are part keys), so degree_sum per brand folds from the
+    # O(nodes) degree relation against the labeling, and t_dir folds
+    # from deg -- the old plan fed the full two-label-join edge
+    # relation to a SECOND aggregate consumer (degs) and ran a third
+    # edge scan for t_dir; both now cost O(nodes).  intra keeps the
+    # two-label-join shape -- it genuinely needs both endpoint brands
+    # per edge, and an aggregate-first rewrite (per-(src, brand) counts
+    # then attach brand_a) measured a consistent ~0.2 s SLOWER at sf0.1
+    # (the added exchange outweighs the saved broadcast-side join
+    # locally) -- examined and rejected.
+    # No broadcast hint anywhere (unchanged rationale): (node, brand)
+    # is O(parts) and scales with SF, so a forced broadcast OOMs the
+    # driver at 100 TB -- AQE broadcasts at runtime when the labeling
+    # is actually small.  Verified row-identical vs the old plan.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    tdir = deg.agg(
+        F.coalesce(F.sum("d"), F.lit(0)).cast("bigint").alias("t_dir")
+    )
+    degs = (
+        deg.join(la, "src")
+        .groupBy(F.col("brand_a").alias("brand"))
+        .agg(F.sum("d").cast("bigint").alias("degree_sum"))
+    )
     intra = (
-        both.filter(F.col("brand_a") == F.col("brand_b"))
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("brand_a") == F.col("brand_b"))
         .groupBy(F.col("brand_a").alias("brand"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("intra_deg"))
-    )
-    degs = both.groupBy(F.col("brand_a").alias("brand")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("degree_sum")
     )
     return (
         degs.join(intra, "brand", "left_outer")
