@@ -169,7 +169,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     skip this entry (it is the catalog's one traversal-at-build entry
     alongside mad_per_group_approx's documented build-time action).
     """
-    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    # r14: src-partitioned checkpoint -- the src-keyed per-round
+    # consumers (joins/aggregates on edges.src) reuse the preserved
+    # partitioning exchange-free
+    edges = (
+        _copurchase_edges(spark, sf_dir, threshold=2)
+        .repartition("src")
+        .localCheckpoint()
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     root = (
         deg.orderBy(F.col("outdeg").desc(), F.col("src").asc())
@@ -1260,7 +1267,14 @@ def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no graph operators in the reference (DAG1:1-322,
     linear pandas flows); see the module docstring.
     """
-    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    # r14: src-partitioned checkpoint -- the src-keyed per-round
+    # consumers (joins/aggregates on edges.src) reuse the preserved
+    # partitioning exchange-free
+    edges = (
+        _copurchase_edges(spark, sf_dir, threshold=2)
+        .repartition("src")
+        .localCheckpoint()
+    )
     lab = t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand")
     )
@@ -1711,7 +1725,14 @@ def lpa_communities_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no graph operators in the reference (DAG1:1-322);
     module docstring covers the family.
     """
-    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    # r14: dst-partitioned edge checkpoint (the coreness_hindex
+    # treatment) -- each round's join shuffles only the narrow labels
+    # relation, never the edges
+    edges = (
+        _copurchase_edges(spark, sf_dir, threshold=2)
+        .repartition("dst")
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -2020,7 +2041,14 @@ def harmonic_centrality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-curation machinery (influencer/hub scoring for sampling
     weights).
     """
-    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    # r14: src-partitioned checkpoint -- the src-keyed per-round
+    # consumers (joins/aggregates on edges.src) reuse the preserved
+    # partitioning exchange-free
+    edges = (
+        _copurchase_edges(spark, sf_dir, threshold=2)
+        .repartition("src")
+        .localCheckpoint()
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     seeds = (
         deg.orderBy(F.col("outdeg").desc(), F.col("src").asc())
@@ -2149,14 +2177,19 @@ def scc_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pairs = r.count()
     for rnd in range(1, _SCC_CAP + 1):
         r2 = r.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
+        # r14: the pair-count potential rides the round's own
+        # localCheckpoint job via observe (the _min_label_components
+        # idiom) instead of a separate count() job per round
+        obs = Observation()
         grown = (
             r.join(r2, r.dst == r2.mid)
             .select("src", F.col("dst2").alias("dst"))
             .unionByName(r)
             .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        n_next = grown.count()
+        n_next = obs.get["n"]
         if n_next == n_pairs:
             LAST_ROUNDS["scc_event_types"] = rnd
             break
@@ -2463,7 +2496,14 @@ def mis_parts_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   round, not twice;
     # - the active-set emptiness probe rides each round's own
     #   localCheckpoint job via ``observe`` instead of an isEmpty() job.
-    edges = _copurchase_edges(spark, sf_dir, threshold=2).localCheckpoint()
+    # r14: src-partitioned checkpoint -- the src-keyed per-round
+    # consumers (joins/aggregates on edges.src) reuse the preserved
+    # partitioning exchange-free
+    edges = (
+        _copurchase_edges(spark, sf_dir, threshold=2)
+        .repartition("src")
+        .localCheckpoint()
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     obs0 = Observation()
     pri = (
