@@ -684,8 +684,14 @@ def _min_label_components(
     )
     pot_expr = F.sum(F.col("comp").cast("decimal(38,0)")).alias("pot")
     obs0 = Observation()
+    # r14: initial labels derive from e's MATERIALIZED self-loops (one
+    # narrow scan of the checkpoint) instead of re-running the nodes
+    # aggregate a second time -- requires ``both`` to be loop-free
+    # (src != dst on every row), which both callers' edge builders
+    # guarantee (strict src<dst pair enumeration, both directions)
     labels = (
-        nodes.select("node", F.col("node").alias("comp"))
+        e.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("node"), F.col("src").alias("comp"))
         .observe(obs0, pot_expr)
         .localCheckpoint()
     )
