@@ -23,6 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from . import planhook
 from .text import tokens, word_ngrams
 
 
@@ -484,10 +485,14 @@ def cluster_labels(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
       materializes the round's checkpoint -- the old shape paid a
       separate join-old-vs-new + count action per round.
     - The edge list is hash-partitioned by ``dst`` (the per-round join
-      key) before its one checkpoint; LogicalRDD preserves the
-      partitioning, so rounds shuffle only the narrow (id, label)
-      relation, never the edges."""
-    # materialize the edge list ONCE -- every iteration joins against it,
+      key) and CACHED (r15): ``InMemoryTableScanExec`` preserves
+      ``outputPartitioning``, so rounds shuffle only the narrow
+      (id, label) relation, never the edges.  (r14 used repartition +
+      localCheckpoint, but checkpointed LogicalRDDs report
+      UnknownPartitioning -- the plans/r14 dumps refuted the elision;
+      the cache is the pattern that provably plan-preserves it.  The
+      cache is unpersisted before return -- per-call staging.)"""
+    # stage the edge list ONCE -- every iteration joins against it,
     # and without this the whole upstream pipeline (e.g. MinHash -> LSH)
     # would re-execute per round.  Self-loops ride along (id as both
     # ends) so the propagate aggregate includes each node's own label.
@@ -500,7 +505,7 @@ def cluster_labels(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         .distinct()
         .repartition("dst")
-        .localCheckpoint()
+        .cache()
     )
     # star-collapse initialization: label = min(id, direct neighbors).
     # Resolves star/clique shapes immediately; chains converge in
@@ -515,21 +520,24 @@ def cluster_labels(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint()
     )
     potential = obs0.get["pot"]
-    for _ in range(max_iter):
-        obs = Observation()
-        new_labels = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("label").alias("label"))
-            .observe(obs, pot_expr)
-            .localCheckpoint()
-        )
-        new_potential = obs.get["pot"]
-        labels = new_labels
-        if new_potential == potential:
-            break
-        potential = new_potential
-    return labels
+    try:
+        for _ in range(max_iter):
+            obs = Observation()
+            stepped = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("label").alias("label"))
+            )
+            planhook.emit("cluster_labels_round", stepped)
+            new_labels = stepped.observe(obs, pot_expr).localCheckpoint()
+            new_potential = obs.get["pot"]
+            labels = new_labels
+            if new_potential == potential:
+                break
+            potential = new_potential
+        return labels
+    finally:
+        edges.unpersist()
 
 
 def dedup_survivors(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:

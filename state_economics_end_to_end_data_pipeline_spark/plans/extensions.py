@@ -7507,26 +7507,30 @@ def _dsir_doc_weights(d: DataFrame, target: str) -> DataFrame:
         # than compute -- correctness is unaffected either way.
         .localCheckpoint(eager=False)
     )
-    # one token pass, staged at the (doc, bucket)-grain consumers' base:
-    # raw and target bucket counts both reduce THIS relation
-    raw_b = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_r"))
-    tgt_b = (
-        tok.filter(F.col("source") == target)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_t"))
+    # one token pass, staged at the (doc, bucket)-grain consumers' base.
+    # r15 (guide §2.3/§2.4): raw and target bucket counts FUSE into one
+    # aggregate over the staged stream -- n_t is a conditional count of
+    # the same rows, so the old second scan + second shuffle + the
+    # raw_b LEFT JOIN tgt_b assembly disappear (a bucket with no target
+    # rows now counts n_t = 0 exactly where the old plan coalesced the
+    # join's NULL to 0; the log-ratio arithmetic below is the identical
+    # expression tree on identical values -- bit-identical weights).
+    bc = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.count(F.when(F.col("source") == target, F.lit(1))).alias("n_t"),
     )
-    nr = raw_b.agg(F.sum("n_r").alias("nr_n"))
-    nt = tgt_b.agg(F.coalesce(F.sum("n_t"), F.lit(0)).alias("nt_n"))
+    tot = bc.agg(
+        F.sum("n_r").alias("nr_n"),
+        F.coalesce(F.sum("n_t"), F.lit(0)).alias("nt_n"),
+    )
     lr = (
-        raw_b.join(tgt_b, "bucket", "left_outer")
-        .crossJoin(F.broadcast(nr))
-        .crossJoin(F.broadcast(nt))
+        bc.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
             F.floor(
                 (
                     F.log(
-                        (F.coalesce(F.col("n_t"), F.lit(0)) + F.lit(1.0))
+                        (F.col("n_t") + F.lit(1.0))
                         / (F.col("nt_n") + F.lit(float(b)))
                     )
                     - F.log(

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..io.readers import read_parquet_table as t
+from ..operators import planhook
 from . import register
 
 _DAMP = 0.85
@@ -169,13 +170,15 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     skip this entry (it is the catalog's one traversal-at-build entry
     alongside mad_per_group_approx's documented build-time action).
     """
-    # r14: src-partitioned checkpoint -- the src-keyed per-round
-    # consumers (joins/aggregates on edges.src) reuse the preserved
-    # partitioning exchange-free
+    # r14: src-partitioned staging -- the src-keyed per-round consumers
+    # (joins/aggregates on edges.src) reuse the preserved partitioning
+    # exchange-free.  r15: staged via CACHE, which plan-preserves the
+    # hash(src) partitioning (the r14 localCheckpoint did not -- its
+    # LogicalRDD reported UnknownPartitioning in the committed dumps).
     edges = (
         _copurchase_edges(spark, sf_dir, threshold=2)
         .repartition("src")
-        .localCheckpoint()
+        .cache()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     root = (
@@ -186,14 +189,15 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = root.select("node", F.lit(0).alias("hops")).localCheckpoint()
     frontier = visited.select("node")
     for h in range(1, _BFS_MAX_HOPS + 1):
-        nxt = (
+        step = (
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
             .select("node", F.lit(h).alias("hops"))
-            .localCheckpoint()
         )
+        planhook.emit("graph_bfs_hops_round", step)
+        nxt = step.localCheckpoint()
         # r14: the visited set is a LAZY union -- every child is already
         # a checkpointed LogicalRDD, so referencing it per round costs a
         # linear union scan, never subtree recompute; the old per-round
@@ -202,6 +206,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint exists for lives in nxt, which stays checkpointed)
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
+    edges.unpersist()
     return visited.groupBy(F.col("hops").cast("bigint").alias("hops")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
@@ -668,24 +673,26 @@ def _min_label_components(
       ``localCheckpoint`` via ``observe`` (the checkpoint materializes
       every row anyway; the old separate ``agg().collect()`` was one
       extra job per round).
-    - The edge list is hash-repartitioned by ``src`` BEFORE its one
-      checkpoint; ``LogicalRDD`` preserves that output partitioning, so
+    - The edge list is hash-repartitioned by ``src`` and CACHED (r15):
+      ``InMemoryTableScanExec`` preserves ``outputPartitioning``, so
       each round's join shuffles only the (node, comp) labels relation,
       never the edges (at 100 TB the edge relation dominates: this is
       the difference between shuffling O(edges) once and once per
-      round)."""
+      round).  r14 used repartition+localCheckpoint here, but the
+      committed plans/r14 dumps showed the checkpointed ``LogicalRDD``
+      reports ``UnknownPartitioning(0)`` -- the claimed exchange
+      elision did not exist as implemented; the cache is the pattern
+      that provably plan-preserves it (pagerank's ``ewd``; loop-body
+      dump in plans/r15/).  The cache is unpersisted before return --
+      per-call staging inside the query, never cross-run state."""
     selfloops = nodes.select(
         F.col("node").alias("src"), F.col("node").alias("dst")
     )
-    e = (
-        both.unionByName(selfloops)
-        .repartition("src")
-        .localCheckpoint()
-    )
+    e = both.unionByName(selfloops).repartition("src").cache()
     pot_expr = F.sum(F.col("comp").cast("decimal(38,0)")).alias("pot")
     obs0 = Observation()
     # r14: initial labels derive from e's MATERIALIZED self-loops (one
-    # narrow scan of the checkpoint) instead of re-running the nodes
+    # narrow scan of the cached edges) instead of re-running the nodes
     # aggregate a second time -- requires ``both`` to be loop-free
     # (src != dst on every row), which both callers' edge builders
     # guarantee (strict src<dst pair enumeration, both directions)
@@ -696,32 +703,36 @@ def _min_label_components(
         .localCheckpoint()
     )
     potential = obs0.get["pot"]
-    for _ in range(cap):
-        stepped = (
-            e.join(labels, e.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("comp").alias("comp"))
+    try:
+        for _ in range(cap):
+            stepped = (
+                e.join(labels, e.src == labels.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("comp").alias("comp"))
+            )
+            lookup = stepped.select(
+                F.col("node").alias("ptr_node"), F.col("comp").alias("ptr_comp")
+            )
+            obs = Observation()
+            nxt = stepped.join(
+                lookup, stepped.comp == lookup.ptr_node, "left_outer"
+            ).select("node", F.least("comp", "ptr_comp").alias("comp"))
+            planhook.emit("min_label_components_round", nxt)
+            labels = nxt.observe(obs, pot_expr).localCheckpoint()
+            new_potential = obs.get["pot"]
+            if new_potential == potential:
+                return labels
+            bump()
+            potential = new_potential
+        raise RuntimeError(
+            "_min_label_components: potential still decreasing after "
+            f"{cap} rounds -- component diameter exceeds the cap; raise it "
+            "rather than accept unconverged labels"
         )
-        lookup = stepped.select(
-            F.col("node").alias("ptr_node"), F.col("comp").alias("ptr_comp")
-        )
-        obs = Observation()
-        labels = (
-            stepped.join(lookup, stepped.comp == lookup.ptr_node, "left_outer")
-            .select("node", F.least("comp", "ptr_comp").alias("comp"))
-            .observe(obs, pot_expr)
-            .localCheckpoint()
-        )
-        new_potential = obs.get["pot"]
-        if new_potential == potential:
-            return labels
-        bump()
-        potential = new_potential
-    raise RuntimeError(
-        "_min_label_components: potential still decreasing after "
-        f"{cap} rounds -- component diameter exceeds the cap; raise it "
-        "rather than accept unconverged labels"
-    )
+    finally:
+        # kcore_parts calls this per compress step: the per-call edge
+        # cache must not accumulate across calls (async: no extra job)
+        e.unpersist()
 
 
 @register(
@@ -847,11 +858,11 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         bump()
         rakes += 1
-        edges = (
-            edges.join(dead.select(F.col("node").alias("u")), "u", "left_anti")
-            .join(dead.select(F.col("node").alias("v")), "v", "left_anti")
-            .localCheckpoint()
-        )
+        rake = edges.join(
+            dead.select(F.col("node").alias("u")), "u", "left_anti"
+        ).join(dead.select(F.col("node").alias("v")), "v", "left_anti")
+        planhook.emit("kcore_rake_round", rake)
+        edges = rake.localCheckpoint()
         # COMPRESS: engaged only once raking alone has gone on for a
         # few rounds (_KCORE_COMPRESS_AFTER) -- real corpora peel to
         # fixpoint in 3-5 rakes and never pay the contraction
@@ -1151,8 +1162,11 @@ def coreness_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r14: the _min_label_components round-body treatment applied here
     # (guide §2.4): (a) the edge list is hash-repartitioned by ``dst``
-    # -- the per-round join key -- before its one checkpoint, so rounds
-    # shuffle only the narrow (node, h) relation, never the edges;
+    # -- the per-round join key -- and CACHED (r15: InMemoryTableScan
+    # preserves outputPartitioning; the r14 localCheckpoint reported
+    # UnknownPartitioning in the committed dumps, so rounds were still
+    # re-shuffling the edges), so rounds shuffle only the narrow
+    # (node, h) relation, never the edges;
     # (b) the monotone convergence potential rides each round's own
     # localCheckpoint job via ``observe`` instead of a separate
     # agg().collect() action per round.  Estimates bit-identical, same
@@ -1160,7 +1174,7 @@ def coreness_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         _copurchase_edges(spark, sf_dir, threshold=2)
         .repartition("dst")
-        .localCheckpoint()
+        .cache()
     )
     deg = (
         edges.groupBy(F.col("src").alias("node"))
@@ -1190,32 +1204,35 @@ def coreness_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("node").orderBy(F.col("nh").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    for rnd in range(_HIX_CAP):
-        cnt = (
-            edges.join(h, edges.dst == h.node)
-            .select(F.col("src").alias("node"), F.col("h").alias("nh"))
-            .groupBy("node", "nh")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        )
-        obs = Observation()
-        h = (
-            cnt.withColumn("s", F.sum("cnt").over(w))
-            .groupBy("node")
-            .agg(F.max(F.least(F.col("nh"), F.col("s"))).alias("h"))
-            .observe(obs, pot_expr)
-            .localCheckpoint()
-        )
-        new_potential = obs.get["pot"]
-        if new_potential == potential:
-            LAST_ROUNDS["coreness_hindex"] = rnd
-            break
-        potential = new_potential
-    else:
-        raise RuntimeError(
-            f"coreness_hindex: h-iteration still decreasing after "
-            f"{_HIX_CAP} rounds -- raise _HIX_CAP rather than publish "
-            f"unconverged coreness"
-        )
+    try:
+        for rnd in range(_HIX_CAP):
+            cnt = (
+                edges.join(h, edges.dst == h.node)
+                .select(F.col("src").alias("node"), F.col("h").alias("nh"))
+                .groupBy("node", "nh")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            )
+            obs = Observation()
+            stepped = (
+                cnt.withColumn("s", F.sum("cnt").over(w))
+                .groupBy("node")
+                .agg(F.max(F.least(F.col("nh"), F.col("s"))).alias("h"))
+            )
+            planhook.emit("coreness_hindex_round", stepped)
+            h = stepped.observe(obs, pot_expr).localCheckpoint()
+            new_potential = obs.get["pot"]
+            if new_potential == potential:
+                LAST_ROUNDS["coreness_hindex"] = rnd
+                break
+            potential = new_potential
+        else:
+            raise RuntimeError(
+                f"coreness_hindex: h-iteration still decreasing after "
+                f"{_HIX_CAP} rounds -- raise _HIX_CAP rather than publish "
+                f"unconverged coreness"
+            )
+    finally:
+        edges.unpersist()
     return h.select(
         F.col("node").cast("bigint").alias("part_key"),
         F.col("h").cast("bigint").alias("coreness"),
@@ -1273,13 +1290,18 @@ def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no graph operators in the reference (DAG1:1-322,
     linear pandas flows); see the module docstring.
     """
-    # r14: src-partitioned checkpoint -- the src-keyed per-round
-    # consumers (joins/aggregates on edges.src) reuse the preserved
-    # partitioning exchange-free
+    # r15: src-partitioned CACHE shared by both edge consumers (deg's
+    # groupBy(src) and intra's src-label join) -- InMemoryTableScan
+    # preserves the hash(src) partitioning, so neither re-shuffles the
+    # edges (the r14 localCheckpoint reported UnknownPartitioning and a
+    # fresh Exchange in this entry's own committed r14 dump); the lazy
+    # cache also drops the eager checkpoint-materialization job.  The
+    # returned lazy result reads the cache (the pagerank-ewd pattern),
+    # so no unpersist here; the bench clears caches between entries.
     edges = (
         _copurchase_edges(spark, sf_dir, threshold=2)
         .repartition("src")
-        .localCheckpoint()
+        .cache()
     )
     lab = t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand")
@@ -1731,13 +1753,15 @@ def lpa_communities_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no graph operators in the reference (DAG1:1-322);
     module docstring covers the family.
     """
-    # r14: dst-partitioned edge checkpoint (the coreness_hindex
-    # treatment) -- each round's join shuffles only the narrow labels
-    # relation, never the edges
+    # r14: dst-partitioned edge staging (the coreness_hindex treatment)
+    # -- each round's join shuffles only the narrow labels relation,
+    # never the edges.  r15: staged via CACHE, which plan-preserves the
+    # hash(dst) partitioning (the r14 localCheckpoint did not -- its
+    # LogicalRDD reported UnknownPartitioning in the committed dumps).
     edges = (
         _copurchase_edges(spark, sf_dir, threshold=2)
         .repartition("dst")
-        .localCheckpoint()
+        .cache()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -1754,19 +1778,16 @@ def lpa_communities_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n", "label")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         )
-        labels = (
-            hist.groupBy(F.col("n").alias("node"))
-            .agg(
-                (
-                    packmax
-                    - F.max(
-                        F.col("cnt") * pack + (packmax - F.col("label"))
-                    )
-                    % pack
-                ).alias("label")
-            )
-            .localCheckpoint()
+        stepped = hist.groupBy(F.col("n").alias("node")).agg(
+            (
+                packmax
+                - F.max(F.col("cnt") * pack + (packmax - F.col("label")))
+                % pack
+            ).alias("label")
         )
+        planhook.emit("lpa_communities_round", stepped)
+        labels = stepped.localCheckpoint()
+    edges.unpersist()
     return labels.select(
         F.col("node").cast("bigint").alias("part_key"),
         F.col("label").cast("bigint").alias("community"),
@@ -1974,7 +1995,9 @@ def truss_edges_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
             .localCheckpoint()
         )
-        e_next = e.join(support, ["a", "b"], "leftsemi").localCheckpoint()
+        step = e.join(support, ["a", "b"], "leftsemi")
+        planhook.emit("truss_peel_round", step)
+        e_next = step.localCheckpoint()
         n_next = e_next.count()
         if n_next == n_edges:
             LAST_ROUNDS["truss_edges_k3"] = rnd
@@ -2047,13 +2070,15 @@ def harmonic_centrality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-curation machinery (influencer/hub scoring for sampling
     weights).
     """
-    # r14: src-partitioned checkpoint -- the src-keyed per-round
-    # consumers (joins/aggregates on edges.src) reuse the preserved
-    # partitioning exchange-free
+    # r14: src-partitioned staging -- the src-keyed per-round consumers
+    # (joins/aggregates on edges.src) reuse the preserved partitioning
+    # exchange-free.  r15: staged via CACHE, which plan-preserves the
+    # hash(src) partitioning (the r14 localCheckpoint did not -- its
+    # LogicalRDD reported UnknownPartitioning in the committed dumps).
     edges = (
         _copurchase_edges(spark, sf_dir, threshold=2)
         .repartition("src")
-        .localCheckpoint()
+        .cache()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     seeds = (
@@ -2066,18 +2091,20 @@ def harmonic_centrality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     frontier = visited.select("seed", "node")
     for h in range(1, _HC_HOPS + 1):
-        nxt = (
+        step = (
             frontier.join(edges, frontier.node == edges.src)
             .select("seed", F.col("dst").alias("node"))
             .distinct()
             .join(visited, ["seed", "node"], "left_anti")
             .select("seed", "node", F.lit(h).alias("hop"))
-            .localCheckpoint()
         )
+        planhook.emit("harmonic_centrality_round", step)
+        nxt = step.localCheckpoint()
         # r14: lazy visited union -- the graph_bfs_hops rationale (every
         # child checkpointed; one materialization job per hop removed)
         visited = visited.unionByName(nxt)
         frontier = nxt.select("seed", "node")
+    edges.unpersist()
     return (
         visited.filter(F.col("hop") > 0)
         .groupBy("node")
@@ -2187,14 +2214,14 @@ def scc_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint job via observe (the _min_label_components
         # idiom) instead of a separate count() job per round
         obs = Observation()
-        grown = (
+        step = (
             r.join(r2, r.dst == r2.mid)
             .select("src", F.col("dst2").alias("dst"))
             .unionByName(r)
             .distinct()
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint()
         )
+        planhook.emit("scc_closure_round", step)
+        grown = step.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
         n_next = obs.get["n"]
         if n_next == n_pairs:
             LAST_ROUNDS["scc_event_types"] = rnd
@@ -2326,14 +2353,21 @@ def densest_subgraph_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     RuntimeError if the cap is ever hit (impossible below ~1.5^48
     nodes, but never publish a partial peel silently).
     """
-    # r14: src-partitioned checkpoint -- round 1's degree aggregate and
-    # src semi-join consume the preserved partitioning exchange-free
+    # r15: src-partitioned CACHE -- round 1's degree aggregate and src
+    # semi-join consume the preserved hash(src) partitioning
+    # exchange-free (the r14 localCheckpoint reported
+    # UnknownPartitioning in the committed dumps; InMemoryTableScan is
+    # the pattern that plan-preserves it).  greedy_densest_subgraph
+    # runs the peel eagerly and its result references only checkpointed
+    # survivor sets, so the cache is released right after.
     edges = (
         _copurchase_edges(spark, sf_dir, threshold=2)
         .repartition("src")
-        .localCheckpoint()
+        .cache()
     )
-    return greedy_densest_subgraph(edges, rounds_key="densest_subgraph_peel")
+    out = greedy_densest_subgraph(edges, rounds_key="densest_subgraph_peel")
+    edges.unpersist()
+    return out
 
 
 def greedy_densest_subgraph(
@@ -2351,13 +2385,16 @@ def greedy_densest_subgraph(
     #   drops anyway -- one partially-aggregated shuffle per round, no
     #   join.  (dd == 0 edge case: old removed every node via deg 0,
     #   new yields an empty aggregate -- same empty s.)
-    # - n and dd ride each round's OWN localCheckpoint jobs via
-    #   ``observe`` (the _min_label_components idiom) instead of two
-    #   extra count() jobs per round.
-    # - e re-checkpoints hash-partitioned by src, so the next round's
-    #   degree aggregate and src semi-join are exchange-free
-    #   (LogicalRDD preserves output partitioning); only the dst
-    #   semi-join re-shuffles the surviving edges.
+    # - n rides each round's s-checkpoint job via ``observe`` (the
+    #   _min_label_components idiom); dd IS the cache-materializing
+    #   count of the round's surviving edges (one action either way).
+    # - e re-stages hash-partitioned by src via CACHE, so the next
+    #   round's degree aggregate and src semi-join are exchange-free
+    #   (r15: InMemoryTableScan preserves output partitioning; the r14
+    #   localCheckpoint did not -- UnknownPartitioning in the committed
+    #   dumps); only the dst semi-join re-shuffles the surviving edges.
+    #   Each round's cache is unpersisted once the next round's is
+    #   materialized (the caller owns the round-0 ``edges`` staging).
     obs0 = Observation()
     s = (
         edges.select(F.col("src").alias("node"))
@@ -2366,6 +2403,7 @@ def greedy_densest_subgraph(
         .localCheckpoint()
     )
     e = edges
+    prev_e = None  # rounds' caches; round-0 edges belongs to the caller
     n, dd = obs0.get["n"], e.count()
     best = None  # (density, node_set, n, dd)
     for rnd in range(_DSG_CAP):
@@ -2386,21 +2424,27 @@ def greedy_densest_subgraph(
             .observe(obs_s, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        obs_e = Observation()
-        e = (
+        e_next = (
             e.join(s.select(F.col("node").alias("src")), "src", "leftsemi")
             .join(s.select(F.col("node").alias("dst")), "dst", "leftsemi")
             .repartition("src")
-            .observe(obs_e, F.count(F.lit(1)).alias("dd"))
-            .localCheckpoint()
         )
-        n, dd = obs_s.get["n"], obs_e.get["dd"]
+        planhook.emit("densest_subgraph_round", e_next)
+        e_next = e_next.cache()
+        n, dd = obs_s.get["n"], e_next.count()
+        if prev_e is not None:
+            prev_e.unpersist()
+        prev_e, e = e_next, e_next
     else:
         raise RuntimeError(
             f"densest_subgraph_peel: set non-empty after {_DSG_CAP} rounds -- "
             "the 1/3-per-round removal guarantee was violated; investigate "
             "rather than publish a partial peel"
         )
+    if prev_e is not None:
+        # the surviving-set frames in ``best`` are checkpointed; the last
+        # round's edge cache is no longer referenced by anything returned
+        prev_e.unpersist()
     if best is None:
         # n == 0 at round 0: no nodes at all (empty edge DataFrame).
         # Density is undefined on the empty graph; fail loudly instead of
@@ -2496,19 +2540,22 @@ def mis_parts_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   the neighbor-min aggregate is replaced by computing md5(dst)
     #   inline on the active edge stream (one join per round gone);
     # - the active-induced edge set feeds BOTH the neighbor-min and the
-    #   kill set; it is checkpointed (src-partitioned: the neighbor-min
-    #   groupBy(src) and the kill semi-join consume the preserved
-    #   partitioning exchange-free) so its two semi-joins run once per
-    #   round, not twice;
+    #   kill set; it is staged src-partitioned so its two semi-joins run
+    #   once per round, not twice (r15: staged via CACHE, which
+    #   plan-preserves hash(src) for the neighbor-min groupBy and the
+    #   kill semi-join -- the r14 localCheckpoint did not -- AND is lazy,
+    #   so the separate eager eact-materialization job per round is gone:
+    #   the cache fills inside cand's own checkpoint job);
     # - the active-set emptiness probe rides each round's own
     #   localCheckpoint job via ``observe`` instead of an isEmpty() job.
-    # r14: src-partitioned checkpoint -- the src-keyed per-round
-    # consumers (joins/aggregates on edges.src) reuse the preserved
-    # partitioning exchange-free
+    # r15: src-partitioned CACHE for the loop-invariant edges -- the
+    # src-keyed per-round consumers reuse the preserved partitioning
+    # exchange-free (see _min_label_components on why localCheckpoint
+    # could not deliver this)
     edges = (
         _copurchase_edges(spark, sf_dir, threshold=2)
         .repartition("src")
-        .localCheckpoint()
+        .cache()
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     obs0 = Observation()
@@ -2519,47 +2566,60 @@ def mis_parts_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     act, n_act = pri, obs0.get["n"]
     mis_parts = []
-    for rnd in range(_MIS_ROUNDS):
-        if n_act == 0:
-            LAST_ROUNDS["mis_parts_luby"] = rnd
-            break
-        eact = (
-            edges.join(act.select(F.col("node").alias("src")), "src", "leftsemi")
-            .join(act.select(F.col("node").alias("dst")), "dst", "leftsemi")
-            .repartition("src")
-            .localCheckpoint()
-        )
-        nbmin = (
-            eact.select("src", F.md5(F.col("dst").cast("string")).alias("npri"))
-            .groupBy("src")
-            .agg(F.min("npri").alias("minp"))
-            .withColumnRenamed("src", "node")
-        )
-        cand = (
-            act.join(nbmin, "node", "left_outer")
-            .filter(F.col("minp").isNull() | (F.col("pri") < F.col("minp")))
-            .select("node")
-            .localCheckpoint()
-        )
-        mis_parts.append(cand.select("node", F.lit(rnd).alias("r")))
-        killed = cand.unionByName(
-            eact.join(cand.select(F.col("node").alias("src")), "src", "leftsemi")
-            .select(F.col("dst").alias("node"))
-            .distinct()
-        )
-        obs = Observation()
-        act = (
-            act.join(killed, "node", "left_anti")
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint()
-        )
-        n_act = obs.get["n"]
-    else:
-        raise RuntimeError(
-            f"mis_parts_luby: active set non-empty after {_MIS_ROUNDS} rounds "
-            "-- raise _MIS_ROUNDS (and the oracle unroll) rather than publish "
-            "a partial MIS"
-        )
+    try:
+        for rnd in range(_MIS_ROUNDS):
+            if n_act == 0:
+                LAST_ROUNDS["mis_parts_luby"] = rnd
+                break
+            eact = (
+                edges.join(
+                    act.select(F.col("node").alias("src")), "src", "leftsemi"
+                )
+                .join(act.select(F.col("node").alias("dst")), "dst", "leftsemi")
+                .repartition("src")
+                .cache()
+            )
+            nbmin = (
+                eact.select(
+                    "src", F.md5(F.col("dst").cast("string")).alias("npri")
+                )
+                .groupBy("src")
+                .agg(F.min("npri").alias("minp"))
+                .withColumnRenamed("src", "node")
+            )
+            step = (
+                act.join(nbmin, "node", "left_outer")
+                .filter(F.col("minp").isNull() | (F.col("pri") < F.col("minp")))
+                .select("node")
+            )
+            planhook.emit("mis_parts_luby_round", step)
+            cand = step.localCheckpoint()
+            mis_parts.append(cand.select("node", F.lit(rnd).alias("r")))
+            killed = cand.unionByName(
+                eact.join(
+                    cand.select(F.col("node").alias("src")), "src", "leftsemi"
+                )
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            obs = Observation()
+            act = (
+                act.join(killed, "node", "left_anti")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()
+            )
+            n_act = obs.get["n"]
+            # both eact consumers (cand's checkpoint, act's checkpoint)
+            # have executed -- release this round's cache
+            eact.unpersist()
+        else:
+            raise RuntimeError(
+                f"mis_parts_luby: active set non-empty after {_MIS_ROUNDS} "
+                "rounds -- raise _MIS_ROUNDS (and the oracle unroll) rather "
+                "than publish a partial MIS"
+            )
+    finally:
+        edges.unpersist()
     out = mis_parts[0]
     for p in mis_parts[1:]:
         out = out.unionByName(p)
