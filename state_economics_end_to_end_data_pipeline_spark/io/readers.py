@@ -140,6 +140,17 @@ def _nanos_ts_columns(path: str) -> list[str]:
 # unaffected semantically.  Keyed by applicationId (same discipline as
 # plans/extensions' session memos) and evicted when the owning app dies.
 _SCAN_MEMO: dict[tuple[str, str], tuple[T.StructType, list[str]]] = {}
+# IMMUTABILITY CONTRACT: the memo assumes parquet files at a path are
+# immutable for the application's lifetime (true for the static catalog
+# fixtures this engine reads).  A caller that REWRITES a path in-process
+# (tests, incremental artifacts) must call clear_scan_memo() afterwards,
+# or the next read resolves against the stale schema.
+
+
+def clear_scan_memo() -> None:
+    """Drop all memoized scan schemas (for callers that rewrite parquet
+    fixtures in-process; see the immutability contract above)."""
+    _SCAN_MEMO.clear()
 
 
 def _evict_dead_apps_scan(live_app_id: str) -> None:
@@ -157,21 +168,25 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     memo = _SCAN_MEMO.get((app_id, path))
     if memo is None:
         _evict_dead_apps_scan(app_id)
-        nanos_cols = _nanos_ts_columns(path)
-        if nanos_cols:
-            # Runtime-settable; a session built outside get_spark (e.g. the
-            # driver's) would otherwise fail the scan with PARQUET_TYPE_ILLEGAL.
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Parquet timestamps without isAdjustedToUTC must scan as TIMESTAMP
-        # (session-local), not TIMESTAMP_NTZ -- watermarks, window() and
-        # unix_micros all require TIMESTAMP, and with a UTC session the
-        # micros are identical. Runtime-settable here (not only in
-        # session.get_spark) so the engine behaves the same on a session
-        # built by an external harness.
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        memo = (spark.read.parquet(path).schema, nanos_cols)
+        memo = (spark.read.parquet(path).schema, _nanos_ts_columns(path))
         _SCAN_MEMO[(app_id, path)] = memo
     schema, nanos_cols = memo
+    # Both confs are set UNCONDITIONALLY (not only on a memo miss): the
+    # memo is keyed by applicationId but several SparkSessions can share
+    # one application, and a second session hitting a warm memo must not
+    # scan nanos files without nanosAsLong (PARQUET_TYPE_ILLEGAL).  They
+    # are cheap runtime-settable flags (~micros per call).
+    if nanos_cols:
+        # A session built outside get_spark (e.g. the driver's) would
+        # otherwise fail the scan with PARQUET_TYPE_ILLEGAL.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet timestamps without isAdjustedToUTC must scan as TIMESTAMP
+    # (session-local), not TIMESTAMP_NTZ -- watermarks, window() and
+    # unix_micros all require TIMESTAMP, and with a UTC session the
+    # micros are identical. Runtime-settable here (not only in
+    # session.get_spark) so the engine behaves the same on a session
+    # built by an external harness.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # explicit schema: the scan skips footer re-resolution (it was resolved
     # once above and is pinned per app+path); the DataFrame itself is a
     # FRESH plan per call, so cross-query attribute-id sharing never arises

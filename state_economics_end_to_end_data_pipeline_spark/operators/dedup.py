@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from . import planhook
+from .partitioning import stage_loop_edges
 from .text import tokens, word_ngrams
 
 
@@ -504,9 +505,8 @@ def cluster_labels(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             directed.select(F.col("src").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .repartition("dst")
-        .cache()
     )
+    edges = stage_loop_edges(edges, "dst")
     # star-collapse initialization: label = min(id, direct neighbors).
     # Resolves star/clique shapes immediately; chains converge in
     # O(log diameter)-ish rounds instead of O(diameter).  (Self-loops

@@ -1,4 +1,4 @@
-"""Partition-shape helpers.
+"""Partition-shape helpers and loop-edge staging.
 
 The CPU-bound narrow operators (minhash, simhash, fingerprints, decode
 UDFs) are only as parallel as their input splits. A small parquet file
@@ -12,9 +12,53 @@ corpus-wide shuffle where the file layout is already parallel.
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
+
+# How iterative entries stage their loop-invariant edge relation, keyed
+# by the per-round join key (``$SPARK_GRAFT_EDGE_STAGING``):
+#
+# - ``cache`` (default): ``repartition(key).cache()``.
+#   InMemoryTableScanExec plan-preserves outputPartitioning, so every
+#   round's join/aggregate on the key is exchange-free on the edge side
+#   -- at 100 TB the difference between shuffling O(edges) once and once
+#   per round.  Cost at bench scale: AQE materializes the cache read as
+#   its own query stage (1-2 extra driver-scheduled jobs per round,
+#   measured ~0.3-0.5 s per sf0.1 entry) -- noise at scale, where one
+#   elided edge exchange dwarfs a job submission.
+# - ``ckpt_noaqe``: ``repartition(key).localCheckpoint()`` built with
+#   AQE disabled for the staging statement only.  The LogicalRDD then
+#   reports the hash partitioning too (under AQE it degrades to
+#   UnknownPartitioning -- the r14 dumps), with a plain RDD scan instead
+#   of a columnar cache read per round.
+# - ``ckpt``: the r14 shape (localCheckpoint under AQE).  Partitioning
+#   is NOT preserved; kept for A/B reference only.
+_EDGE_STAGE_MODE = os.environ.get("SPARK_GRAFT_EDGE_STAGING", "cache")
+
+
+def stage_loop_edges(df: DataFrame, key: str) -> DataFrame:
+    """Stage a loop-invariant relation hash-partitioned by ``key`` (the
+    per-round join/aggregate key) per ``_EDGE_STAGE_MODE`` above.
+
+    In ``cache`` mode the caller owns the lifecycle: ``unpersist()``
+    when the loop's result no longer references the staged relation
+    (per-call staging inside a query -- never cross-run state).  In the
+    checkpoint modes ``unpersist()`` is a no-op, so callers can call it
+    unconditionally."""
+    mode = _EDGE_STAGE_MODE
+    if mode == "cache":
+        return df.repartition(key).cache()
+    if mode == "ckpt_noaqe":
+        spark = df.sparkSession
+        old = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.repartition(key).localCheckpoint()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old)
+    return df.repartition(key).localCheckpoint()
 
 
 # Per-(application, analyzed-plan semanticHash) memo of a plan's scan
@@ -24,9 +68,19 @@ from pyspark.sql import DataFrame
 # same table scans every bench pass; ``semanticHash`` (analysis only,
 # ~15 ms) keys the memo instead.  Plan METADATA only -- never data or
 # results; partition counts are stable within an app (same files, same
-# split confs).  Same app-scoped eviction discipline as readers'
-# _SCAN_MEMO.
+# split confs).  Same app-scoped eviction discipline (and the same
+# path-immutability contract -- rewritten fixtures need clear()) as
+# readers' _SCAN_MEMO.  semanticHash is 32-bit: a collision would reuse
+# another plan's partition count and mis-gate the repartition -- a
+# PERFORMANCE-only risk (never correctness: rebalance_for_cpu returns
+# row-identical data either way), accepted at ~2e-10 per plan pair.
 _NPART_MEMO: dict[tuple[str, int], int] = {}
+
+
+def clear_npart_memo() -> None:
+    """Drop memoized partition counts (for callers that rewrite parquet
+    fixtures in-process)."""
+    _NPART_MEMO.clear()
 
 
 def rebalance_for_cpu(df: DataFrame, target: int | None = None) -> DataFrame:

@@ -70,8 +70,20 @@ def _py_norm2(vec) -> float:
 def _sql_dlit(x: float) -> str:
     """SQL text of one exact double literal: ``repr`` round-trips the
     IEEE value and a string->double cast is the exact inverse parse
-    (constant-folded to the identical Literal at analysis)."""
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
+    (constant-folded to the identical Literal at analysis).  Non-finite
+    values are mapped explicitly: Python repr says 'inf'/'nan', which
+    Spark's string->double cast does NOT accept ('Infinity'/'NaN' are
+    the accepted spellings) -- degenerate upstream math (an empty
+    cluster's centroid, say) must embed the value F.lit would have, not
+    NULL/AnalysisException."""
+    xf = float(x)
+    if xf != xf:
+        return "CAST('NaN' AS DOUBLE)"
+    if xf == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if xf == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"CAST('{xf!r}' AS DOUBLE)"
 
 
 def _sql_darr(vals) -> str:

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..io.readers import read_parquet_table as t
 from ..operators import planhook
+from ..operators.partitioning import stage_loop_edges
 from . import register
 
 _DAMP = 0.85
@@ -172,14 +173,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # r14: src-partitioned staging -- the src-keyed per-round consumers
     # (joins/aggregates on edges.src) reuse the preserved partitioning
-    # exchange-free.  r15: staged via CACHE, which plan-preserves the
-    # hash(src) partitioning (the r14 localCheckpoint did not -- its
-    # LogicalRDD reported UnknownPartitioning in the committed dumps).
-    edges = (
-        _copurchase_edges(spark, sf_dir, threshold=2)
-        .repartition("src")
-        .cache()
-    )
+    # exchange-free.  r15: staged via stage_loop_edges (default: CACHE,
+    # which plan-preserves the hash(src) partitioning; the r14
+    # localCheckpoint did not -- its LogicalRDD reported
+    # UnknownPartitioning in the committed dumps).
+    edges = stage_loop_edges(_copurchase_edges(spark, sf_dir, threshold=2), "src")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     root = (
         deg.orderBy(F.col("outdeg").desc(), F.col("src").asc())
@@ -688,7 +686,7 @@ def _min_label_components(
     selfloops = nodes.select(
         F.col("node").alias("src"), F.col("node").alias("dst")
     )
-    e = both.unionByName(selfloops).repartition("src").cache()
+    e = stage_loop_edges(both.unionByName(selfloops), "src")
     pot_expr = F.sum(F.col("comp").cast("decimal(38,0)")).alias("pot")
     obs0 = Observation()
     # r14: initial labels derive from e's MATERIALIZED self-loops (one
@@ -1171,11 +1169,7 @@ def coreness_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint job via ``observe`` instead of a separate
     # agg().collect() action per round.  Estimates bit-identical, same
     # round count.
-    edges = (
-        _copurchase_edges(spark, sf_dir, threshold=2)
-        .repartition("dst")
-        .cache()
-    )
+    edges = stage_loop_edges(_copurchase_edges(spark, sf_dir, threshold=2), "dst")
     deg = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
@@ -1298,11 +1292,7 @@ def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache also drops the eager checkpoint-materialization job.  The
     # returned lazy result reads the cache (the pagerank-ewd pattern),
     # so no unpersist here; the bench clears caches between entries.
-    edges = (
-        _copurchase_edges(spark, sf_dir, threshold=2)
-        .repartition("src")
-        .cache()
-    )
+    edges = stage_loop_edges(_copurchase_edges(spark, sf_dir, threshold=2), "src")
     lab = t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand")
     )
@@ -1758,11 +1748,7 @@ def lpa_communities_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never the edges.  r15: staged via CACHE, which plan-preserves the
     # hash(dst) partitioning (the r14 localCheckpoint did not -- its
     # LogicalRDD reported UnknownPartitioning in the committed dumps).
-    edges = (
-        _copurchase_edges(spark, sf_dir, threshold=2)
-        .repartition("dst")
-        .cache()
-    )
+    edges = stage_loop_edges(_copurchase_edges(spark, sf_dir, threshold=2), "dst")
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -2075,11 +2061,7 @@ def harmonic_centrality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange-free.  r15: staged via CACHE, which plan-preserves the
     # hash(src) partitioning (the r14 localCheckpoint did not -- its
     # LogicalRDD reported UnknownPartitioning in the committed dumps).
-    edges = (
-        _copurchase_edges(spark, sf_dir, threshold=2)
-        .repartition("src")
-        .cache()
-    )
+    edges = stage_loop_edges(_copurchase_edges(spark, sf_dir, threshold=2), "src")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     seeds = (
         deg.orderBy(F.col("outdeg").desc(), F.col("src").asc())
@@ -2360,11 +2342,7 @@ def densest_subgraph_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pattern that plan-preserves it).  greedy_densest_subgraph
     # runs the peel eagerly and its result references only checkpointed
     # survivor sets, so the cache is released right after.
-    edges = (
-        _copurchase_edges(spark, sf_dir, threshold=2)
-        .repartition("src")
-        .cache()
-    )
+    edges = stage_loop_edges(_copurchase_edges(spark, sf_dir, threshold=2), "src")
     out = greedy_densest_subgraph(edges, rounds_key="densest_subgraph_peel")
     edges.unpersist()
     return out
@@ -2424,13 +2402,11 @@ def greedy_densest_subgraph(
             .observe(obs_s, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        e_next = (
-            e.join(s.select(F.col("node").alias("src")), "src", "leftsemi")
-            .join(s.select(F.col("node").alias("dst")), "dst", "leftsemi")
-            .repartition("src")
-        )
+        e_next = e.join(
+            s.select(F.col("node").alias("src")), "src", "leftsemi"
+        ).join(s.select(F.col("node").alias("dst")), "dst", "leftsemi")
         planhook.emit("densest_subgraph_round", e_next)
-        e_next = e_next.cache()
+        e_next = stage_loop_edges(e_next, "src")
         n, dd = obs_s.get["n"], e_next.count()
         if prev_e is not None:
             prev_e.unpersist()
@@ -2552,11 +2528,7 @@ def mis_parts_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
     # src-keyed per-round consumers reuse the preserved partitioning
     # exchange-free (see _min_label_components on why localCheckpoint
     # could not deliver this)
-    edges = (
-        _copurchase_edges(spark, sf_dir, threshold=2)
-        .repartition("src")
-        .cache()
-    )
+    edges = stage_loop_edges(_copurchase_edges(spark, sf_dir, threshold=2), "src")
     nodes = edges.select(F.col("src").alias("node")).distinct()
     obs0 = Observation()
     pri = (
@@ -2571,13 +2543,13 @@ def mis_parts_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
             if n_act == 0:
                 LAST_ROUNDS["mis_parts_luby"] = rnd
                 break
-            eact = (
+            eact = stage_loop_edges(
                 edges.join(
                     act.select(F.col("node").alias("src")), "src", "leftsemi"
-                )
-                .join(act.select(F.col("node").alias("dst")), "dst", "leftsemi")
-                .repartition("src")
-                .cache()
+                ).join(
+                    act.select(F.col("node").alias("dst")), "dst", "leftsemi"
+                ),
+                "src",
             )
             nbmin = (
                 eact.select(

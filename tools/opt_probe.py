@@ -42,9 +42,13 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--n", type=int, default=3)
     ap.add_argument("--plan-tag", default=None)
+    ap.add_argument("--plan-dir", default="r15")
     ap.add_argument("--noop", action="store_true")
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
+    if args.n < 1:
+        print("--n must be >= 1", file=sys.stderr)
+        return 2
 
     spark = get_spark(app_name="opt-probe")
     qs = load_all()
@@ -80,7 +84,7 @@ def main() -> int:
             msg += f" noop_min={min(noop_times):.3f}s"
         print(msg)
         if args.plan_tag:
-            out = REPO / "plans" / "r14" / f"{name}_{args.plan_tag}.txt"
+            out = REPO / "plans" / args.plan_dir / f"{name}_{args.plan_tag}.txt"
             out.parent.mkdir(parents=True, exist_ok=True)
             df = qs[name].fn(spark, args.sf_dir)
             out.write_text(df._sc._jvm.PythonSQLUtils.explainString(
