@@ -20,14 +20,17 @@ from pyspark.sql import DataFrame
 # How iterative entries stage their loop-invariant edge relation, keyed
 # by the per-round join key (``$SPARK_GRAFT_EDGE_STAGING``):
 #
-# - ``cache`` (default): ``repartition(key).cache()``.
-#   InMemoryTableScanExec plan-preserves outputPartitioning, so every
-#   round's join/aggregate on the key is exchange-free on the edge side
-#   -- at 100 TB the difference between shuffling O(edges) once and once
-#   per round.  Cost at bench scale: AQE materializes the cache read as
-#   its own query stage (1-2 extra driver-scheduled jobs per round,
-#   measured ~0.3-0.5 s per sf0.1 entry) -- noise at scale, where one
-#   elided edge exchange dwarfs a job submission.
+# - ``cache`` (default): ``repartition(key).sortWithinPartitions(key)
+#   .cache()``.  InMemoryTableScanExec plan-preserves BOTH
+#   outputPartitioning and outputOrdering, so every round's join on the
+#   key is exchange-free AND sort-free on the edge side (non-broadcast
+#   round plan: SortMergeJoin reading the InMemoryTableScan directly --
+#   plans/r15/*_nobroadcast.txt) -- at 100 TB the difference between
+#   shuffling+sorting O(edges) once and once per round.  Cost at bench
+#   scale: AQE materializes the cache read as its own query stage (1-2
+#   extra driver-scheduled jobs per round, measured ~0.3-0.5 s per
+#   sf0.1 entry; the staging sort itself is a wash) -- noise at scale,
+#   where one elided edge exchange dwarfs a job submission.
 # - ``ckpt_noaqe``: ``repartition(key).localCheckpoint()`` built with
 #   AQE disabled for the staging statement only.  The LogicalRDD then
 #   reports the hash partitioning too (under AQE it degrades to
@@ -49,7 +52,7 @@ def stage_loop_edges(df: DataFrame, key: str) -> DataFrame:
     unconditionally."""
     mode = _EDGE_STAGE_MODE
     if mode == "cache":
-        return df.repartition(key).cache()
+        return df.repartition(key).sortWithinPartitions(key).cache()
     if mode == "ckpt_noaqe":
         spark = df.sparkSession
         old = spark.conf.get("spark.sql.adaptive.enabled")
